@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (binlog_processer_spark.*)
+over the deterministic CDC corpus derived from the driver's ``documents``
+table (binlog_processer_spark/corpus.py); the matching ``oracle_sql()`` entry
+re-derives the same corpus and the operator's semantics in DuckDB SQL. The
+corpus derivation is dialect-templated so both engines consume byte-identical
+inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +13,494 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.corpus import corpus_spark_df
+from binlog_processer_spark.functions.parse import (
+    corrupt_expr,
+    parse_raw,
+    serialize_expr,
+    split_quarantine,
+)
+from binlog_processer_spark.operators import aggregate as agg
+from binlog_processer_spark.operators.enrich import enrich_routing, enrich_schema_asof
+from binlog_processer_spark.operators.repair import repair
+from binlog_processer_spark.operators.resume import remaining_events
+from binlog_processer_spark.operators.route import (
+    apply_soft_delete,
+    fan_out_trees,
+    route,
+    split_ignored,
+    with_envelope,
+)
+from binlog_processer_spark.operators.skew import salted_sink_counts
+from binlog_processer_spark.operators.verify import reconcile
+
+# ---------------------------------------------------------------------------
+# Spark-side building blocks
+# ---------------------------------------------------------------------------
+
+ROUTING_COLS = [
+    "table_key",
+    "db_instance",
+    "database_sharded",
+    "database_name",
+    "table_name",
+    "route",
+    "ignored",
+]
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_spark_df(spark, sf_dir, "SELECT * FROM corpus")
+
+
+def _routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_spark_df(
+        spark, sf_dir, f"SELECT {', '.join(ROUTING_COLS)} FROM routing"
+    )
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_routing(_corpus(spark, sf_dir), _routing(spark, sf_dir))
+
+
+def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept, _ = split_ignored(_enriched(spark, sf_dir))
+    return kept
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed, _ = route(_enriched(spark, sf_dir))
+    return routed
+
+
+def _replica(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+    """Replica of the downstream store (TiDB/Hive analogue) derived from the
+    corpus final state; ``mutated`` injects deterministic discrepancies:
+    doc_num%37==5 missing, %41==7 stale (-2000min), %43==9 ghost-delete."""
+    fs = agg.final_state(_kept(spark, sf_dir)).withColumn(
+        "doc_num", F.col("doc_id").cast("bigint")
+    )
+    live = fs.filter(F.col("final_op") != "Delete")
+    if mutated:
+        live = live.filter(F.col("doc_num") % 37 != 5)
+        # stale injection only on final-op=Update rows: Creates are compared
+        # by existence only (TiDBCompareByFile.java:193-229), so a stale
+        # Create would never be flagged nor repaired
+        live = live.withColumn(
+            "replica_ts",
+            F.when(
+                (F.col("doc_num") % 41 == 7) & (F.col("final_op") == "Update"),
+                F.col("final_ts") - F.expr("make_interval(0,0,0,0,0,2000,0)"),
+            ).otherwise(F.col("final_ts")),
+        )
+        ghosts = (
+            fs.filter((F.col("final_op") == "Delete") & (F.col("doc_num") % 43 == 9))
+            .withColumn("replica_ts", F.col("final_ts"))
+        )
+        live = live.unionByName(ghosts)
+    else:
+        live = live.withColumn("replica_ts", F.col("final_ts"))
+    return live.select(
+        "database_name", "table_name", "doc_id", "replica_ts",
+        F.col("final_tokens").alias("replica_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle building blocks (same semantics, DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_X_ENRICHED = """
+enriched AS (
+  SELECT c.*, r.db_instance, r.database_sharded, r.database_name,
+         r.table_name, r.route, r.ignored
+  FROM corpus c JOIN routing r USING (table_key)),
+kept AS (SELECT * FROM enriched WHERE NOT ignored),
+survivors AS (
+  SELECT * EXCLUDE (archive_flag) FROM (
+    SELECT k.*,
+           last_value(sign IGNORE NULLS) OVER (
+             PARTITION BY database_name, table_name ORDER BY event_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS archive_flag
+    FROM kept k) t
+  WHERE NOT (op = 'Delete' AND coalesce(archive_flag, 0) = 1)),
+routed AS (
+  SELECT s.*, t.tree,
+         CASE WHEN t.tree = 'create' THEN cast(create_ts AS date)
+              ELSE cast(commit_ts AS date) END AS part_date
+  FROM survivors s CROSS JOIN (VALUES ('create'), ('update')) t(tree))
+"""
+
+_X_FINAL_STATE = """
+final_state AS (
+  SELECT database_name, table_name, doc_id,
+         arg_max(op, event_seq) AS final_op,
+         arg_max(commit_ts, event_seq) AS final_ts,
+         arg_max(tokens, event_seq) AS final_tokens,
+         max(event_seq) AS final_seq
+  FROM kept GROUP BY 1, 2, 3)
+"""
+
+_X_REPLICA_MUTATED = """
+replica AS (
+  SELECT database_name, table_name, doc_id,
+         CASE WHEN cast(doc_id AS bigint) % 41 = 7 AND final_op = 'Update'
+              THEN final_ts - to_minutes(2000) ELSE final_ts END AS replica_ts
+  FROM final_state
+  WHERE final_op <> 'Delete' AND cast(doc_id AS bigint) % 37 <> 5
+  UNION ALL
+  SELECT database_name, table_name, doc_id, final_ts AS replica_ts
+  FROM final_state
+  WHERE final_op = 'Delete' AND cast(doc_id AS bigint) % 43 = 9)
+"""
+
+
+def _oracle_full(select: str, extra_ctes: str = "") -> str:
+    from binlog_processer_spark.corpus import corpus_ctes
+
+    ctes = corpus_ctes("duckdb")
+    extra = ("," + extra_ctes.strip().rstrip(",")) if extra_ctes.strip() else ""
+    return f"WITH {ctes}{extra} {select}"
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate on sf0.001 (SURVEY §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    c = _corpus(spark, sf_dir)
+    raw = c.select(
+        corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
+    )
+    good, _bad = split_quarantine(parse_raw(raw))
+    good = good.withColumn(
+        "table_key",
+        F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
+    )
+    enriched = enrich_routing(good, _routing(spark, sf_dir))
+    kept, _ign = split_ignored(enriched)
+    kept = apply_soft_delete(kept)
+    routed = fan_out_trees(with_envelope(kept))
+    return agg.sink_counts(routed)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- S1/S2 + UDF surface: vectorized parse ---
+    def parse_roundtrip(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        raw = c.select(
+            corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
+        )
+        good, _ = split_quarantine(parse_raw(raw))
+        return good.select(
+            "doc_id", "source", "op", "event_seq", "commit_ts", "file_id",
+            "bucket", "n_tok", "tokens",
+        )
+
+    q["parse_roundtrip"] = parse_roundtrip
+
+    def quarantine_counts(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        raw = c.select(
+            corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
+        )
+        _, bad = split_quarantine(parse_raw(raw))
+        return bad.groupBy("status").agg(F.count("*").alias("cnt"))
+
+    q["quarantine_counts"] = quarantine_counts
+
+    # --- J1 broadcast enrich ---
+    def routing_enrich(spark, sf_dir):
+        return _enriched(spark, sf_dir).select(
+            "doc_id", "event_seq", "op", "db_instance", "database_name",
+            "table_name", "route", "ignored",
+        )
+
+    q["routing_enrich"] = routing_enrich
+
+    # --- J2 as-of schema lookup ---
+    def schema_asof(spark, sf_dir):
+        events = _corpus(spark, sf_dir)
+        schema_dim = corpus_spark_df(
+            spark, sf_dir,
+            "SELECT table_key, valid_from_ts, schema_fingerprint FROM schema_dim",
+        )
+        return enrich_schema_asof(events, schema_dim).select(
+            "doc_id", "event_seq", "table_key", "schema_fingerprint"
+        )
+
+    q["schema_asof"] = schema_asof
+
+    # --- P2 ignore filter side-output (A3) ---
+    def ignored_counts(spark, sf_dir):
+        _, ign = split_ignored(_enriched(spark, sf_dir))
+        return ign
+
+    q["ignored_counts"] = ignored_counts
+
+    # --- P3 soft-delete window ---
+    def soft_delete(spark, sf_dir):
+        return apply_soft_delete(_kept(spark, sf_dir)).select(
+            "database_name", "table_name", "event_seq", "op"
+        )
+
+    q["soft_delete"] = soft_delete
+
+    # --- P4 envelope / image selection ---
+    def image_selection(spark, sf_dir):
+        env = with_envelope(_kept(spark, sf_dir))
+        return env.select(
+            "doc_id", "event_seq", "op",
+            F.col("img.doc_id").alias("img_doc_id"),
+            F.col("img.n_tok").alias("img_n_tok"),
+            F.col("img.tokens").alias("img_tokens"),
+            F.col("before").isNull().alias("before_is_null"),
+            F.col("after").isNull().alias("after_is_null"),
+        )
+
+    q["image_selection"] = image_selection
+
+    # --- A1 per-sink counts (THE primary aggregate) ---
+    def sink_counts(spark, sf_dir):
+        return agg.sink_counts(_routed(spark, sf_dir))
+
+    q["sink_counts"] = sink_counts
+
+    # --- A1 under salting (same result, skew-safe shuffle) ---
+    def sink_counts_salted(spark, sf_dir):
+        return salted_sink_counts(
+            _routed(spark, sf_dir),
+            ["tree", "db_instance", "database_name", "table_name", "part_date"],
+        )
+
+    q["sink_counts_salted"] = sink_counts_salted
+
+    # --- A2 per-file counters ---
+    def file_event_counts(spark, sf_dir):
+        return agg.file_event_counts(_corpus(spark, sf_dir))
+
+    q["file_event_counts"] = file_event_counts
+
+    # --- A4 last-wins per id ---
+    def last_wins(spark, sf_dir):
+        return agg.last_wins_per_id(_kept(spark, sf_dir)).select(
+            "database_name", "table_name", "doc_id", "op", "event_seq", "commit_ts"
+        )
+
+    q["last_wins"] = last_wins
+
+    # --- A5 cancellation / final state ---
+    def final_state(spark, sf_dir):
+        return agg.final_state(_kept(spark, sf_dir))
+
+    q["final_state"] = final_state
+
+    # --- A8 watermarks ---
+    def watermarks(spark, sf_dir):
+        return agg.watermarks(_kept(spark, sf_dir))
+
+    q["watermarks"] = watermarks
+
+    # --- windowed histogram (streaming-shaped tumbling window) ---
+    def windowed_histogram(spark, sf_dir):
+        return agg.windowed_histogram(_kept(spark, sf_dir))
+
+    q["windowed_histogram"] = windowed_histogram
+
+    # --- A6 HAVING + GROUP_CONCAT report ---
+    def partitions_report(spark, sf_dir):
+        return agg.grouped_partitions_report(
+            agg.sink_counts(_routed(spark, sf_dir)), min_files=2, min_rows=10
+        )
+
+    q["partitions_report"] = partitions_report
+
+    # --- A9 gap detection ---
+    def file_gaps(spark, sf_dir):
+        files = corpus_spark_df(
+            spark, sf_dir,
+            "SELECT DISTINCT 'dir' || cast(doc_num % 2 AS string) AS dir,"
+            " cast((doc_num*doc_num) % 40 AS bigint) AS file_num FROM corpus",
+        )
+        return agg.file_gap_detection(files)
+
+    q["file_gaps"] = file_gaps
+
+    # --- J3/J4/J5 reconciliation with injected mutations ---
+    def reconcile_findings(spark, sf_dir):
+        return reconcile(_kept(spark, sf_dir), _replica(spark, sf_dir, mutated=True))
+
+    q["reconcile_findings"] = reconcile_findings
+
+    def reconcile_clean(spark, sf_dir):
+        return reconcile(
+            _kept(spark, sf_dir), _replica(spark, sf_dir, mutated=False)
+        ).select("database_name", "table_name", "doc_id", "finding")
+
+    q["reconcile_clean"] = reconcile_clean
+
+    # --- repair (MERGE semantics) ---
+    def repair_roundtrip(spark, sf_dir):
+        events = _kept(spark, sf_dir)
+        replica = _replica(spark, sf_dir, mutated=True)
+        findings = reconcile(events, replica)
+        return repair(events, replica, findings)
+
+    q["repair_roundtrip"] = repair_roundtrip
+
+    # --- resume anti-join ---
+    def resume_remaining(spark, sf_dir):
+        ev = remaining_events(
+            _corpus(spark, sf_dir), {"src0-f0", "src1-f1", "src2-f2"}
+        )
+        return ev.groupBy("file_id").agg(F.count("*").alias("cnt"))
+
+    q["resume_remaining"] = resume_remaining
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    notcorrupt = "(doc_num*5 + (event_seq % 4)) % 211 <> 7"
+
+    o["parse_roundtrip"] = _oracle_full(
+        f"SELECT doc_id, source, op, event_seq, commit_ts, file_id, bucket,"
+        f" n_tok, tokens FROM corpus WHERE {notcorrupt}"
+    )
+    o["quarantine_counts"] = _oracle_full(
+        f"SELECT 'PARSE_ERROR' AS status, count(*) AS cnt FROM corpus"
+        f" WHERE NOT ({notcorrupt})"
+    )
+    o["routing_enrich"] = _oracle_full(
+        "SELECT doc_id, event_seq, op, db_instance, database_name, table_name,"
+        " route, ignored FROM corpus c JOIN routing r USING (table_key)"
+    )
+    o["schema_asof"] = _oracle_full(
+        "SELECT doc_id, event_seq, table_key, schema_fingerprint FROM ("
+        " SELECT c.doc_id, c.event_seq, c.table_key, s.schema_fingerprint,"
+        "  row_number() OVER (PARTITION BY c.table_key, c.event_seq"
+        "   ORDER BY s.valid_from_ts DESC) AS rn"
+        " FROM corpus c JOIN schema_dim s USING (table_key)"
+        " WHERE s.valid_from_ts <= c.commit_ts) WHERE rn = 1"
+    )
+    o["ignored_counts"] = _oracle_full(
+        "SELECT database_name, table_name, count(*) AS ignored_cnt"
+        " FROM corpus c JOIN routing r USING (table_key)"
+        " WHERE ignored GROUP BY 1, 2",
+    )
+    o["soft_delete"] = _oracle_full(
+        "SELECT database_name, table_name, event_seq, op FROM survivors",
+        _X_ENRICHED,
+    )
+    o["image_selection"] = _oracle_full(
+        "SELECT doc_id, event_seq, op, doc_id AS img_doc_id, n_tok AS img_n_tok,"
+        " tokens AS img_tokens, (op = 'Create') AS before_is_null,"
+        " (op = 'Delete') AS after_is_null FROM kept",
+        _X_ENRICHED,
+    )
+    sink_counts_sql = (
+        "SELECT tree, db_instance, database_name, table_name, part_date,"
+        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
+        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
+        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt"
+        " FROM routed GROUP BY 1, 2, 3, 4, 5"
+    )
+    o["sink_counts"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
+    o["sink_counts_salted"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
+    o["file_event_counts"] = _oracle_full(
+        "SELECT file_id, count(*) AS total_cnt,"
+        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
+        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
+        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt"
+        " FROM corpus GROUP BY 1"
+    )
+    o["last_wins"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, op, event_seq, commit_ts"
+        " FROM (SELECT k.*, row_number() OVER (PARTITION BY database_name,"
+        " table_name, doc_id ORDER BY event_seq DESC) AS rn FROM kept k)"
+        " WHERE rn = 1",
+        _X_ENRICHED,
+    )
+    o["final_state"] = _oracle_full(
+        "SELECT * FROM final_state", _X_ENRICHED + "," + _X_FINAL_STATE
+    )
+    o["watermarks"] = _oracle_full(
+        "SELECT database_name, table_name, max(commit_ts) AS max_commit_ts"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    o["windowed_histogram"] = _oracle_full(
+        "SELECT database_name, table_name, date_trunc('day', commit_ts) AS win_start,"
+        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
+        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
+        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt,"
+        " max(commit_ts) AS win_watermark"
+        " FROM kept GROUP BY 1, 2, 3",
+        _X_ENRICHED,
+    )
+    o["partitions_report"] = _oracle_full(
+        "SELECT db_instance, database_name, table_name,"
+        " count(*) AS partition_cnt,"
+        " sum(insert_cnt + update_cnt + delete_cnt) AS total_rows,"
+        " string_agg(cast(part_date AS varchar), ',' ORDER BY cast(part_date AS varchar)) AS partitions_concat"
+        f" FROM ({sink_counts_sql}) GROUP BY 1, 2, 3"
+        " HAVING count(*) > 2 AND sum(insert_cnt + update_cnt + delete_cnt) >= 10",
+        _X_ENRICHED,
+    )
+    o["file_gaps"] = _oracle_full(
+        "SELECT dir, prev_num + 1 AS gap_start, file_num - 1 AS gap_end FROM ("
+        " SELECT dir, file_num, lag(file_num) OVER (PARTITION BY dir ORDER BY"
+        " file_num) AS prev_num FROM (SELECT DISTINCT 'dir' || cast(doc_num % 2 AS varchar) AS dir,"
+        " cast((doc_num*doc_num) % 40 AS bigint) AS file_num FROM corpus))"
+        " WHERE file_num - prev_num > 1"
+    )
+    findings_sql = (
+        "SELECT database_name, table_name, doc_id, 'missing_create' AS finding,"
+        " final_ts AS src_ts FROM final_state f WHERE final_op = 'Create' AND"
+        " NOT EXISTS (SELECT 1 FROM replica r WHERE r.database_name ="
+        " f.database_name AND r.table_name = f.table_name AND r.doc_id = f.doc_id)"
+        " UNION ALL "
+        "SELECT database_name, table_name, doc_id, 'missing_update' AS finding,"
+        " final_ts AS src_ts FROM final_state f WHERE final_op = 'Update' AND"
+        " NOT EXISTS (SELECT 1 FROM replica r WHERE r.database_name ="
+        " f.database_name AND r.table_name = f.table_name AND r.doc_id = f.doc_id)"
+        " UNION ALL "
+        "SELECT f.database_name, f.table_name, f.doc_id, 'stale_update' AS"
+        " finding, f.final_ts AS src_ts FROM final_state f JOIN replica r USING"
+        " (database_name, table_name, doc_id) WHERE f.final_op = 'Update' AND"
+        " f.final_ts > r.replica_ts"
+        " UNION ALL "
+        "SELECT f.database_name, f.table_name, f.doc_id, 'ghost_delete' AS"
+        " finding, f.final_ts AS src_ts FROM final_state f WHERE f.final_op ="
+        " 'Delete' AND EXISTS (SELECT 1 FROM replica r WHERE r.database_name ="
+        " f.database_name AND r.table_name = f.table_name AND r.doc_id = f.doc_id)"
+    )
+    o["reconcile_findings"] = _oracle_full(
+        findings_sql, _X_ENRICHED + "," + _X_FINAL_STATE + "," + _X_REPLICA_MUTATED
+    )
+    o["reconcile_clean"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, 'x' AS finding"
+        " FROM final_state WHERE 1 = 0",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
+    )
+    # repaired replica must equal the true final state's live rows, except
+    # rows never flagged keep their (possibly equal) replica values — with our
+    # injection every discrepancy IS flagged, so repaired == truth:
+    o["repair_roundtrip"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, final_ts AS replica_ts,"
+        " final_tokens AS replica_tokens FROM final_state WHERE final_op <> 'Delete'",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
+    )
+    o["resume_remaining"] = _oracle_full(
+        "SELECT file_id, count(*) AS cnt FROM corpus WHERE file_id NOT IN"
+        " ('src0-f0', 'src1-f1', 'src2-f2') GROUP BY 1"
+    )
+    return o

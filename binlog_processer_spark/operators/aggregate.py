@@ -1,0 +1,147 @@
+"""Aggregates: per-sink op counters, per-file counters, windowed histograms,
+watermarks, last-wins/cancellation final state, gap detection, lineage.
+
+Reference parity (SURVEY.md §2.4):
+- A1 per-sink {insert,update,delete} counts keyed by
+  (tree, instance, db, table, partition) — PartitionWriterManager.java:171-182,
+  WriteResultValue.java:22-35. THE primary correctness aggregate.
+- A2 per-file event counters — BinlogFileReader.java:243-281.
+- A4 last-event-per-id (HashMap overwrite in file order) —
+  AvroDataReader.java:95-127 → max_by(…, event_seq).
+- A5 cross-op cancellation (create∖update∖delete) —
+  AvroDataReader.java:128-135 → single-pass final-state groupBy.
+- A6 group-by + HAVING + GROUP_CONCAT — BaseDataCompare.java:38-67.
+- A8 max-commit-ts watermark — AliBinLogFileTransfer.java:100-134.
+- A9 missing-file-number gap detection — ResolveCheck.java:34-139 → lag window.
+- lineage manifest per (file, sink) — t_binlog_process_log, DBbiz.java:85-112.
+
+Scale posture: every aggregate here is a hash aggregate with map-side partial
+combine (Spark default); grouping keys are the sink key (low cardinality ⇒
+tiny shuffle) or doc_id (high cardinality ⇒ even shuffle, salting helper in
+operators/skew.py for the hot-sink histogram case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SINK_KEY = ["tree", "db_instance", "database_name", "table_name", "part_date"]
+
+
+def _op_counts():
+    return [
+        F.sum(F.when(F.col("op") == "Create", 1).otherwise(0)).alias("insert_cnt"),
+        F.sum(F.when(F.col("op") == "Update", 1).otherwise(0)).alias("update_cnt"),
+        F.sum(F.when(F.col("op") == "Delete", 1).otherwise(0)).alias("delete_cnt"),
+    ]
+
+
+def sink_counts(routed: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """A1: pivoted op counts per sink partition."""
+    return routed.groupBy(*(keys or SINK_KEY)).agg(*_op_counts())
+
+
+def file_event_counts(events: DataFrame) -> DataFrame:
+    """A2: per input-file totals + per-op counts."""
+    return events.groupBy("file_id").agg(
+        F.count("*").alias("total_cnt"), *_op_counts()
+    )
+
+
+def last_wins_per_id(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """A4: final event per (sink, doc_id) by file order (event_seq)."""
+    keys = keys or ["database_name", "table_name", "doc_id"]
+    w = Window.partitionBy(*keys).orderBy(F.col("event_seq").desc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def final_state(events: DataFrame) -> DataFrame:
+    """A4+A5 in one pass: last op/ts per doc — single groupBy with max_by,
+    no per-op maps and no anti-join cascade (the HashMap-overwrite +
+    cancellation law collapses to last-op-wins)."""
+    return events.groupBy("database_name", "table_name", "doc_id").agg(
+        F.max_by("op", "event_seq").alias("final_op"),
+        F.max_by("commit_ts", "event_seq").alias("final_ts"),
+        F.max_by("tokens", "event_seq").alias("final_tokens"),
+        F.max("event_seq").alias("final_seq"),
+    )
+
+
+def watermarks(events: DataFrame) -> DataFrame:
+    """A8: high-water commit timestamp per sink."""
+    return events.groupBy("database_name", "table_name").agg(
+        F.max("commit_ts").alias("max_commit_ts")
+    )
+
+
+def windowed_histogram(events: DataFrame, duration: str = "1 day") -> DataFrame:
+    """Per-sink tumbling-window op histogram (reference day-partition
+    granularity, TimeBasedPartitioner.java:15-38, as an event-time window)."""
+    return (
+        events.groupBy(
+            "database_name",
+            "table_name",
+            F.window("commit_ts", duration).alias("win"),
+        )
+        .agg(*_op_counts(), F.max("commit_ts").alias("win_watermark"))
+        .select(
+            "database_name",
+            "table_name",
+            F.col("win.start").alias("win_start"),
+            "insert_cnt",
+            "update_cnt",
+            "delete_cnt",
+            "win_watermark",
+        )
+    )
+
+
+def grouped_partitions_report(sink_cnts: DataFrame, min_files: int = 0,
+                              min_rows: int = 1) -> DataFrame:
+    """A6: per-table rollup with HAVING + GROUP_CONCAT(partitions)."""
+    g = sink_cnts.groupBy("db_instance", "database_name", "table_name").agg(
+        F.count("*").alias("partition_cnt"),
+        F.sum(
+            F.col("insert_cnt") + F.col("update_cnt") + F.col("delete_cnt")
+        ).alias("total_rows"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("part_date").cast("string")))
+        ).alias("partitions_concat"),
+    )
+    return g.filter(
+        (F.col("partition_cnt") > min_files) & (F.col("total_rows") >= min_rows)
+    )
+
+
+def file_gap_detection(files: DataFrame) -> DataFrame:
+    """A9: find gaps in per-directory sorted file numbers via a lag window.
+
+    `files` has (dir, file_num); output rows mark each gap with its bounds.
+    """
+    w = Window.partitionBy("dir").orderBy("file_num")
+    return (
+        files.withColumn("prev_num", F.lag("file_num").over(w))
+        .filter(F.col("file_num") - F.col("prev_num") > 1)
+        .select(
+            "dir",
+            (F.col("prev_num") + 1).alias("gap_start"),
+            (F.col("file_num") - 1).alias("gap_end"),
+        )
+    )
+
+
+def lineage_manifest(routed: DataFrame, quarantine_cnt_by_file: DataFrame | None = None) -> DataFrame:
+    """Per-(file, sink) lineage row: the t_binlog_process_log analogue."""
+    m = routed.groupBy(
+        "file_id", "tree", "db_instance", "database_name", "table_name"
+    ).agg(F.count("*").alias("routed_cnt"), *_op_counts())
+    if quarantine_cnt_by_file is not None:
+        m = m.join(quarantine_cnt_by_file, "file_id", "left").fillna(
+            0, subset=["failed_cnt"]
+        )
+    return m

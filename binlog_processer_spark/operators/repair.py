@@ -1,0 +1,60 @@
+"""Repair — apply reconciliation findings back to the replica.
+
+Reference parity (SURVEY.md §3.3): HiveDataRepair.java:105-171 /
+TiDBDataRepair.java:57-146 replay routed rows for the flagged ids and apply
+them Create→Update→Delete (HiveRepairByDataBase.java:28-35 op ordering) with a
+last-writer-wins guard (`IF(last_update < VALUES(last_update), …)`,
+DataBaseHandler.java:79-151).
+
+Spark-first restatement: the op ordering + LWW guard collapse into one
+MERGE-shaped dataflow — semi-join the routed final state to the finding ids,
+then (a) delete replica rows whose final op is Delete, (b) upsert rows whose
+final op is Create/Update and which are newer than the replica row. With
+Iceberg this is literally `MERGE INTO`; on the parquet storage layer it is the
+equivalent join expression producing the repaired replica snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import final_state
+
+KEYS = ["database_name", "table_name", "doc_id"]
+
+
+def repair(events: DataFrame, replica: DataFrame, findings: DataFrame) -> DataFrame:
+    """Return the repaired replica (new snapshot).
+
+    events: enriched change records (the routed data to replay);
+    replica: (…KEYS, replica_ts, replica_tokens);
+    findings: reconcile() output — only flagged ids are touched
+    (BinlogDBHandler.java:15-48 id-list scoping).
+    """
+    flagged = findings.select(*KEYS).distinct()
+    fs = final_state(events).join(flagged, KEYS, "left_semi")
+
+    upserts = fs.filter(F.col("final_op") != "Delete").select(
+        *KEYS,
+        F.col("final_ts").alias("replica_ts"),
+        F.col("final_tokens").alias("replica_tokens"),
+    )
+    deletes = fs.filter(F.col("final_op") == "Delete").select(*KEYS)
+
+    # WHEN MATCHED AND src newer THEN UPDATE / WHEN MATCHED (delete) THEN
+    # DELETE / WHEN NOT MATCHED THEN INSERT:
+    survivors = replica.join(deletes, KEYS, "left_anti")
+    lww = (
+        survivors.join(
+            upserts.select(*KEYS, F.col("replica_ts").alias("src_ts")),
+            KEYS,
+            "left",
+        )
+        .filter(F.col("src_ts").isNull() | (F.col("replica_ts") >= F.col("src_ts")))
+        .drop("src_ts")
+    )
+    inserted_or_updated = upserts.join(
+        lww.select(*KEYS), KEYS, "left_anti"
+    )
+    return lww.unionByName(inserted_or_updated)

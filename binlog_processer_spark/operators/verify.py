@@ -1,0 +1,72 @@
+"""Verification (reconciliation) — the reference's comparer module as joins.
+
+Reference parity (SURVEY.md §3.2): TiDBCompareByFile.java:52-265 /
+HiveCompareByFile.java:63-169 replay routed Avro into per-op last-wins id→ts
+maps, cancel across ops (AvroDataReader.java:128-135), then probe the replica:
+
+- missing Create: id routed as final Create but absent from replica
+  → **left-anti join** (BaseDataCompare.java:105-123 Maps.difference).
+- stale Update: id routed as final Update whose replica row is older
+  → **equi-join + theta residual** src.ts > dst.ts
+  (MapCompareUtil.java:15-30; UNIX_TIMESTAMP staleness predicate
+  TiDBCompareByFile.java:303-307).
+- ghost Delete: id routed as final Delete still present in replica
+  → **left-semi join** (MapCompareUtil.java:35-47 retainAll).
+
+The reference batches 5000-id UNION SELECT probes against TiDB; in Spark the
+replica is just a DataFrame and the probe is one shuffled (or broadcast, if
+the finding set is small — AQE decides) join per finding class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import final_state
+
+FINDING_COLS = ["database_name", "table_name", "doc_id", "finding", "src_ts"]
+
+
+def reconcile(events: DataFrame, replica: DataFrame) -> DataFrame:
+    """events: enriched change records; replica: (database_name, table_name,
+    doc_id, replica_ts). Returns the findings DataFrame (empty ⇔ consistent).
+    """
+    fs = final_state(events)
+    keys = ["database_name", "table_name", "doc_id"]
+
+    creates = fs.filter(F.col("final_op") == "Create")
+    updates = fs.filter(F.col("final_op") == "Update")
+    deletes = fs.filter(F.col("final_op") == "Delete")
+
+    missing_create = creates.join(replica, keys, "left_anti").select(
+        *keys,
+        F.lit("missing_create").alias("finding"),
+        F.col("final_ts").alias("src_ts"),
+    )
+    # Updates may land on ids the replica never saw (reference counts those as
+    # missing too: compareResult diff) — split equi-match into stale vs absent.
+    upd_absent = updates.join(replica, keys, "left_anti").select(
+        *keys,
+        F.lit("missing_update").alias("finding"),
+        F.col("final_ts").alias("src_ts"),
+    )
+    stale_update = (
+        updates.join(replica, keys, "inner")
+        .filter(F.col("final_ts") > F.col("replica_ts"))
+        .select(
+            *keys,
+            F.lit("stale_update").alias("finding"),
+            F.col("final_ts").alias("src_ts"),
+        )
+    )
+    ghost_delete = deletes.join(replica, keys, "left_semi").select(
+        *keys,
+        F.lit("ghost_delete").alias("finding"),
+        F.col("final_ts").alias("src_ts"),
+    )
+    return (
+        missing_create.unionByName(upd_absent)
+        .unionByName(stale_update)
+        .unionByName(ghost_delete)
+    )

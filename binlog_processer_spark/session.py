@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the pipeline.
+
+Scale posture (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces the reference's hand-rolled thread-pool sizing
+  (binlog-resovler TaskProcessor.java:44-52).
+- Arrow on: every Python-side transform is an Arrow-batched pandas UDF
+  (never per-row Python), per BASELINE.json input_hint.
+- Session timezone pinned UTC so the reference's ±8h CST shifts
+  (SchemaData.java:60-68) become explicit expressions, never ambient state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "binlog-processer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    # python workers (pandas UDF subprocesses) must resolve this package; on a
+    # real cluster --py-files ships it, in local mode PYTHONPATH covers it
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # parity with DuckDB oracle: no legacy rebase surprises on timestamps
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,61 @@
+"""spark-submit entry point for the batch pipeline.
+
+Usage (cluster)::
+
+    spark-submit --py-files dist/engine.zip jobs/run_pipeline.py \
+        --input /path/to/raw_events --output /path/to/warehouse
+
+Usage (local dev, generated corpus)::
+
+    python jobs/run_pipeline.py --generate 100000 --output /tmp/warehouse
+
+Prints the run's metrics as one JSON line; rerunning with the same output dir
+resumes from the processed-file manifest (skips completed input files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binlog_processer_spark.functions.parse import serialize_expr
+from binlog_processer_spark.plans.pipeline import run_pipeline
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.sources.generator import generate_corpus, routing_dim
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="parquet dir with a `raw` string column")
+    ap.add_argument(
+        "--generate", type=int, metavar="N_DOCS",
+        help="generate a deterministic N_DOCS corpus instead of --input",
+    )
+    ap.add_argument("--output", required=True, help="warehouse output dir")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore the processed-file manifest")
+    args = ap.parse_args()
+    if not args.input and not args.generate:
+        ap.error("one of --input / --generate is required")
+
+    spark = get_spark("run-pipeline")
+    if args.generate:
+        raw = generate_corpus(spark, args.generate).select(
+            serialize_expr().alias("raw")
+        )
+    else:
+        raw = spark.read.parquet(args.input)
+
+    res = run_pipeline(
+        spark, raw, routing_dim(spark), args.output, resume=not args.no_resume
+    )
+    print(json.dumps(res.metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

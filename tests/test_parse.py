@@ -1,0 +1,61 @@
+"""Vectorized parse: roundtrip identity, quarantine on malformed lines.
+
+Reference test model (SURVEY.md §5): runtime reconciliation — parse output
+must byte-equal the pre-serialization record; failures go to a side output
+(Status.java:3-15 analogue), never crash the job.
+"""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.functions.parse import (
+    parse_raw,
+    serialize_expr,
+    split_quarantine,
+)
+from binlog_processer_spark.sources.generator import generate_corpus
+
+
+def test_roundtrip_identity(spark):
+    corpus = generate_corpus(spark, 300, partitions=4)
+    raw = corpus.select(serialize_expr().alias("raw"))
+    good, bad = split_quarantine(parse_raw(raw))
+    assert bad.count() == 0
+
+    cols = ["doc_id", "source", "op", "event_seq", "n_tok", "tokens", "commit_ts"]
+    left = corpus.select(cols).sort("event_seq").collect()
+    right = good.select(cols).sort("event_seq").collect()
+    assert len(left) == len(right) > 0
+    for a, b in zip(left, right):
+        assert a == b  # exact token-array equality (BASELINE.json invariant)
+
+
+def test_malformed_lines_quarantined(spark):
+    lines = [
+        ("v1|1|1704067200|1704067200|Create|f0|src0|0|42||2|7,9",),  # good
+        ("v1|2|1704067200|1704067200|Create|f0|src0|0|43|1|0|",),    # good, empty tokens, sign=1
+        ("v1|3|170406",),                                   # truncated
+        ("",),                                              # empty
+        ("garbage with no pipes",),
+        ("v0|4|1704067200|1704067200|Create|f0|src0|0|44||1|5",),    # wrong version
+        ("v1|x|1704067200|1704067200|Create|f0|src0|0|45||1|5",),    # non-numeric seq
+    ]
+    df = spark.createDataFrame(lines, "raw string")
+    good, bad = split_quarantine(parse_raw(df))
+    assert good.count() == 2
+    assert bad.count() == 5
+    rows = {r.doc_id: r for r in good.collect()}
+    assert list(rows["42"].tokens) == [7, 9]
+    assert rows["42"].sign is None
+    assert list(rows["43"].tokens) == []
+    assert rows["43"].n_tok == 0
+    assert rows["43"].sign == 1
+
+
+def test_parse_is_arrow_batched(spark):
+    """No row-at-a-time Python: physical plan shows one ArrowEvalPython-free
+    mapInPandas (MapInPandas node), not BatchEvalPython."""
+    corpus = generate_corpus(spark, 50, partitions=2)
+    good, _ = split_quarantine(parse_raw(corpus.select(serialize_expr().alias("raw"))))
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

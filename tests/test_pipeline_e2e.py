@@ -1,0 +1,72 @@
+"""End-to-end pipeline: generator → serialize → parse → enrich → route →
+write → aggregates, with resume/no-duplicate semantics (SURVEY.md §3.1
+restatement + §5 golden test)."""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.functions.parse import serialize_expr
+from binlog_processer_spark.plans.pipeline import run_pipeline
+from binlog_processer_spark.sources.generator import generate_corpus, routing_dim
+
+
+def _raw(spark, n_docs=200):
+    return generate_corpus(spark, n_docs, partitions=4).select(
+        serialize_expr().alias("raw")
+    )
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    assert res.metrics["rows_failed"] == 0
+    assert res.metrics["rows_routed"] > 0
+
+    routed = res.tables["routed"].read(spark)
+    counts = res.tables["sink_counts"].read(spark)
+    # count parity: sum of per-sink counts == routed rows (A1 assertion)
+    total = counts.select(
+        F.sum(F.col("insert_cnt") + F.col("update_cnt") + F.col("delete_cnt"))
+    ).collect()[0][0]
+    assert total == routed.count() == res.metrics["rows_routed"]
+    # dual trees double every surviving record
+    trees = dict(
+        routed.groupBy("tree").count().rdd.map(lambda r: (r.tree, r["count"])).collect()
+    )
+    assert trees["create"] == trees["update"]
+    # token-array invariant: routed image tokens equal source tokens
+    src = generate_corpus(spark, 200, partitions=4).select(
+        "event_seq", F.col("tokens").alias("src_tokens")
+    )
+    joined = routed.filter(F.col("tree") == "update").join(src, "event_seq")
+    bad = joined.filter(
+        F.coalesce(F.col("img.tokens"), F.expr("cast(array() as array<int>)"))
+        != F.col("src_tokens")
+    )
+    assert bad.count() == 0
+
+    lineage = res.tables["lineage"].read(spark)
+    assert lineage.count() > 0
+    wm = res.tables["watermarks"].read(spark)
+    assert wm.filter(F.col("max_commit_ts").isNull()).count() == 0
+
+
+def test_pipeline_resume_no_duplicates(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    full = run_pipeline(spark, _raw(spark), routing_dim(spark), out + "_ref")
+
+    # first run sees only files src0-f0..: simulate partial input
+    raw = generate_corpus(spark, 200, partitions=4)
+    part1 = raw.filter(F.col("file_id").endswith("-f0")).select(
+        serialize_expr().alias("raw")
+    )
+    r1 = run_pipeline(spark, part1, routing_dim(spark), out)
+    assert r1.metrics["files_processed"] > 0
+
+    # second run gets the FULL input; manifest anti-join must skip -f0 files
+    r2 = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    routed = r2.tables["routed"].read(spark)
+    # no duplicates: every (tree, event_seq) appears exactly once
+    dups = routed.groupBy("tree", "event_seq").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+    # complete: rerun total equals the single-shot reference run
+    assert routed.count() == full.tables["routed"].read(spark).count()

@@ -1,0 +1,124 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
+row-count, column names, and order-insensitive values (columns sorted by
+name, rows sorted) — approximating the driver's value-hash compare.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            import numpy as np
+
+            df[c] = s.map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
+            ).astype(str)
+        elif str(s.dtype).startswith("datetime"):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype.kind == "f":
+            df[c] = s.round(6)
+        elif str(s.dtype).startswith(("Int", "int", "uint")):
+            df[c] = s.astype("float64").round(0)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name, spark_pdf, duck_pdf) -> list[str]:
+    errs = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        errs.append(f"columns spark={sc} duck={dc}")
+        return errs
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" and bv.dtype.kind == "f":
+                bad = [
+                    i
+                    for i, (x, y) in enumerate(zip(av, bv))
+                    if not (
+                        (math.isnan(x) and math.isnan(y))
+                        or math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6)
+                    )
+                ]
+            else:
+                neq = av.astype(str) != bv.astype(str)
+                bad = list(av.index[neq])
+            if bad:
+                i = bad[0]
+                errs.append(
+                    f"col {c}: {len(bad)} diffs, first row {i}: "
+                    f"spark={a[c][i]!r} duck={b[c][i]!r}"
+                )
+    return errs
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from binlog_processer_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"PASS {name} (rows-only: {len(spdf)} rows)")
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, spdf, dpdf)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs))
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(spdf)} rows)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
