@@ -33,6 +33,24 @@ from binlog_processer_spark.operators.route import (
     split_ignored,
     with_envelope,
 )
+from binlog_processer_spark.functions.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_count_cols,
+)
+from binlog_processer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_block_pairs,
+    simhash_signatures,
+)
+from binlog_processer_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
 from binlog_processer_spark.operators.skew import salted_sink_counts
 from binlog_processer_spark.operators.verify import reconcile
 
@@ -364,6 +382,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resume_remaining"] = resume_remaining
 
+    # ------------------------------------------------------------------
+    # training-data ops: dedup / similarity / text analysis (documents +
+    # embeddings tables)
+    # ------------------------------------------------------------------
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
+    q["dedup_minhash_sigs"] = lambda s, d: minhash_signatures(_docs(s, d), k=4)
+    q["dedup_minhash_pairs"] = lambda s, d: minhash_lsh_pairs(
+        _docs(s, d), k=8, bands=4
+    )
+    q["dedup_simhash_sigs"] = lambda s, d: simhash_signatures(_docs(s, d))
+    q["dedup_simhash_pairs"] = lambda s, d: simhash_block_pairs(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
+        _docs(s, d), n=3, min_jaccard_bp=5000
+    )
+    q["ann_cosine_topk"] = lambda s, d: cosine_topk(
+        _embs(s, d), query_ids=list(range(10)), k=10
+    )
+    q["ann_cosine_lsh"] = lambda s, d: cosine_topk_lsh(
+        _embs(s, d), query_ids=list(range(10)), k=5
+    )
+    q["text_token_counts"] = lambda s, d: token_count_cols(_docs(s, d))
+    q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
+    q["text_lang_id"] = lambda s, d: lang_id(_docs(s, d))
+    q["text_fingerprints"] = lambda s, d: fingerprints(_docs(s, d))
+
+    # ------------------------------------------------------------------
+    # structured-streaming + multimodal surfaces
+    # ------------------------------------------------------------------
+
+    def _stream_raw_dir(spark, sf_dir):
+        """Serialized corpus (uncorrupted) as a single-file stream source —
+        one micro-batch, so batch-local window semantics equal the batch
+        pipeline's."""
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="blp_stream_")
+        _corpus(spark, sf_dir).select(serialize_expr().alias("raw")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d + "/raw")
+        return d
+
+    def streaming_sink_counts(spark, sf_dir):
+        from binlog_processer_spark.streaming.stream_pipeline import (
+            merged_stream_counts,
+            run_streaming_pipeline,
+        )
+
+        d = _stream_raw_dir(spark, sf_dir)
+        table = run_streaming_pipeline(
+            spark, d + "/raw", _routing(spark, sf_dir), d + "/out"
+        )
+        return merged_stream_counts(spark, table)
+
+    q["streaming_sink_counts"] = streaming_sink_counts
+
+    def streaming_running_totals(spark, sf_dir):
+        from binlog_processer_spark.streaming.stream_pipeline import (
+            streaming_running_counts,
+        )
+
+        d = _stream_raw_dir(spark, sf_dir)
+        return streaming_running_counts(
+            spark, d + "/raw", query_name="q_running_counts"
+        )
+
+    q["streaming_running_totals"] = streaming_running_totals
+
+    def streaming_stateful_totals(spark, sf_dir):
+        from binlog_processer_spark.functions.parse import parse_raw as pr
+        from binlog_processer_spark.streaming.stateful import (
+            stateful_running_counts,
+        )
+
+        d = _stream_raw_dir(spark, sf_dir)
+        raw = spark.readStream.schema("raw string").parquet(d + "/raw")
+        good = pr(raw).filter(F.col("status") == "OK")
+        out = stateful_running_counts(good)
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("q_stateful_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table("q_stateful_totals").select(
+            "source", "insert_cnt", "update_cnt", "delete_cnt", "max_commit_ts"
+        )
+
+    q["streaming_stateful_totals"] = streaming_stateful_totals
+
+    def multimodal_features(spark, sf_dir):
+        from binlog_processer_spark.multimodal import (
+            extract_features,
+            synthesize_media,
+        )
+
+        return extract_features(synthesize_media(_docs(spark, sf_dir)))
+
+    q["multimodal_features"] = multimodal_features
+
     return q
 
 
@@ -503,4 +629,192 @@ def oracle_sql() -> dict[str, str]:
         "SELECT file_id, count(*) AS cnt FROM corpus WHERE file_id NOT IN"
         " ('src0-f0', 'src1-f1', 'src2-f2') GROUP BY 1"
     )
+
+    # ------------------------------------------------------------------
+    # training-data ops oracles (documents + embeddings, DuckDB dialect)
+    # ------------------------------------------------------------------
+    DW = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
+    DNORM = f"array_to_string({DW}, ' ')"
+    nonempty = "length(trim(coalesce(text, ''))) > 0"
+
+    o["dedup_exact"] = (
+        f"SELECT md5({DNORM}) AS text_hash, min(doc_id) AS rep_doc_id,"
+        f" count(*) AS dup_cnt FROM documents GROUP BY 1 HAVING count(*) > 1"
+    )
+
+    _dsh3 = (
+        f"list_transform(range(1, greatest(len({DW}) - 2, 0) + 1),"
+        f" i -> array_to_string(list_slice({DW}, i, i + 2), ' '))"
+    )
+
+    def _mh(i: int) -> str:
+        return (
+            f"list_aggregate(list_transform({_dsh3},"
+            f" s -> md5(s || '#{i}')), 'min')"
+        )
+
+    o["dedup_minhash_sigs"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{_mh(i)} AS mh{i}" for i in range(4))
+        + f" FROM documents WHERE len({DW}) >= 3"
+    )
+    _bands = ", ".join(
+        f"md5({_mh(2 * b)} || '|' || {_mh(2 * b + 1)}) AS band{b}"
+        for b in range(4)
+    )
+    _stack = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
+        for b in range(4)
+    )
+    o["dedup_minhash_pairs"] = (
+        f"WITH banded AS (SELECT doc_id, {_bands} FROM documents WHERE len({DW}) >= 3),"
+        f" stacked AS ({_stack})"
+        " SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b"
+        " FROM stacked l JOIN stacked r ON l.band_id = r.band_id"
+        " AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"
+    )
+
+    def _simbit(j: int) -> str:
+        vote = (
+            f"list_sum(list_transform({DW}, w -> CASE WHEN"
+            f" ascii(substr(md5(w), {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        return f"CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END"
+
+    _simhash = " || ".join(_simbit(j) for j in range(32))
+    o["dedup_simhash_sigs"] = (
+        f"SELECT doc_id, {_simhash} AS simhash FROM documents WHERE {nonempty}"
+    )
+    _blk_stack = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS blk_id,"
+        f" substr(simhash, {b * 8 + 1}, 8) AS blk FROM sigs"
+        for b in range(4)
+    )
+    o["dedup_simhash_pairs"] = (
+        f"WITH sigs AS (SELECT doc_id, {_simhash} AS simhash FROM documents"
+        f" WHERE {nonempty}), stacked AS ({_blk_stack}),"
+        " cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,"
+        "  l.simhash AS sh_a, r.simhash AS sh_b"
+        "  FROM stacked l JOIN stacked r ON l.blk_id = r.blk_id"
+        "  AND l.blk = r.blk AND l.doc_id < r.doc_id)"
+        " SELECT doc_a, doc_b, cast(list_sum(list_transform(range(1, 33),"
+        "  i -> CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)"
+        "  THEN 1 ELSE 0 END)) AS int) AS hamming"
+        " FROM cand WHERE list_sum(list_transform(range(1, 33),"
+        "  i -> CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)"
+        "  THEN 1 ELSE 0 END)) <= 3"
+    )
+    _dsh = (
+        f"list_transform(range(1, greatest(len({DW}) - 2, 0) + 1),"
+        f" i -> array_to_string(list_slice({DW}, i, i + 2), ' '))"
+    )
+    o["dedup_ngram_jaccard"] = (
+        f"WITH sh AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
+        f" FROM documents WHERE len({DW}) >= 3),"
+        " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),"
+        " common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "  count(*) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle"
+        "  AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT doc_a, doc_b, common,"
+        "  cast(floor(common * 10000 / (sa.n_sh + sb.n_sh - common)) AS bigint)"
+        "  AS jaccard_bp"
+        " FROM common JOIN sizes sa ON sa.doc_id = doc_a"
+        " JOIN sizes sb ON sb.doc_id = doc_b"
+        " WHERE common * 10000 / (sa.n_sh + sb.n_sh - common) >= 5000"
+    )
+
+    _cos64 = (
+        "list_dot_product(cast(q_emb AS double[]), cast(embedding AS double[]))"
+        " / nullif(sqrt(list_dot_product(cast(q_emb AS double[]),"
+        " cast(q_emb AS double[]))) * sqrt(list_dot_product("
+        " cast(embedding AS double[]), cast(embedding AS double[]))), 0.0)"
+    )
+    o["ann_cosine_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb"
+        " FROM embeddings WHERE vec_id < 10),"
+        " scored AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 10"
+    )
+    _bucket = (
+        "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||"
+        " CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||"
+        " CASE WHEN embedding[21] >= 0 THEN '1' ELSE '0' END)"
+    )
+    o["ann_cosine_lsh"] = (
+        f"WITH e AS (SELECT vec_id, embedding, {_bucket} AS bucket FROM embeddings),"
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS"
+        " q_bucket FROM e WHERE vec_id < 10),"
+        " scored AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM e JOIN q ON bucket = q_bucket AND vec_id <> query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 5"
+    )
+
+    _nw = f"CASE WHEN {nonempty} THEN len({DW}) ELSE 0 END"
+    o["text_token_counts"] = (
+        f"SELECT doc_id, cast({_nw} AS int) AS ws_tokens,"
+        " cast(ceil(length(coalesce(text, '')) / 4.0) AS int) AS subword_est,"
+        " cast(length(coalesce(text, '')) AS int) AS n_chars FROM documents"
+    )
+    _stop = ", ".join(
+        f"'{w}'"
+        for w in ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    )
+    _stop_bp = (
+        f"CASE WHEN {nonempty} THEN cast(floor(len(list_filter({DW},"
+        f" w -> list_contains([{_stop}], lower(w)))) * 10000 / len({DW}))"
+        f" AS bigint) ELSE 0 END"
+    )
+    _mwl_bp = (
+        f"CASE WHEN ({_nw}) = 0 THEN 0 ELSE"
+        f" cast(floor(length(array_to_string({DW}, '')) * 10000 / ({_nw})) AS bigint) END"
+    )
+    o["text_quality"] = (
+        f"SELECT doc_id, cast({_nw} AS int) AS n_words,"
+        f" {_mwl_bp} AS mean_word_len_bp, {_stop_bp} AS stopword_bp,"
+        f" cast((CASE WHEN ({_nw}) BETWEEN 10 AND 1000 THEN 4000 ELSE 0 END)"
+        f" + (CASE WHEN ({_mwl_bp}) BETWEEN 30000 AND 80000 THEN 3000 ELSE 0 END)"
+        f" + (CASE WHEN ({_stop_bp}) > 0 THEN 3000 ELSE 0 END) AS bigint)"
+        " AS quality_bp FROM documents"
+    )
+    _pred = (
+        f"CASE WHEN ({_stop_bp}) >= 800 THEN 'en'"
+        f" WHEN (CASE WHEN {nonempty} THEN"
+        f" length(array_to_string({DW}, '')) / len({DW}) ELSE 0 END) < 4"
+        " THEN 'short' ELSE 'unk' END"
+    )
+    o["text_lang_id"] = (
+        f"SELECT doc_id, lang AS labeled_lang, {_pred} AS pred_lang,"
+        f" ({_pred}) = lang AS lang_match FROM documents"
+    )
+    o["text_fingerprints"] = (
+        f"SELECT doc_id, md5({DNORM}) AS content_fp,"
+        f" CASE WHEN len({DW}) < 3 THEN md5('') ELSE"
+        f" md5(array_to_string(list_sort(list_distinct({_dsh})), '|')) END"
+        " AS shingle_fp FROM documents"
+    )
+
+    # streaming surfaces: single-batch AvailableNow ≡ batch semantics
+    o["streaming_sink_counts"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
+    o["streaming_running_totals"] = _oracle_full(
+        "SELECT source, op, count(*) AS cnt, max(commit_ts) AS max_commit_ts"
+        " FROM corpus GROUP BY 1, 2"
+    )
+    o["streaming_stateful_totals"] = _oracle_full(
+        "SELECT source,"
+        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
+        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
+        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt,"
+        " max(commit_ts) AS max_commit_ts FROM corpus GROUP BY 1"
+    )
+    # multimodal_features: deliberately rows-only (binary payload features
+    # aren't SQL-expressible in DuckDB without byte-level UDFs)
     return o

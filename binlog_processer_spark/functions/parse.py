@@ -9,7 +9,12 @@ back by a **vectorized Arrow-batched mapInPandas** — never per-row Python
 
 Wire format (RAW_VERSION v1)::
 
-    v1|<event_seq>|<unix_commit_s>|<unix_create_s>|<op>|<file_id>|<source>|<bucket>|<doc_id>|<sign-or-empty>|<n_tok>|<t0,t1,...>
+    v1|<event_seq>|<unix_commit_s>|<unix_create_s>|<op>|<file_id>|<source>|<bucket>|<doc_id>|<sign-or-empty>|<n_tok>|<hex(int32-BE tokens)>
+
+The token payload is hex-packed int32 (8 hex chars per token, the binlog-bytes
+analogue): the batch decode is ONE ``bytes.fromhex`` + ``np.frombuffer`` +
+``np.split`` per Arrow batch — no per-token Python, unlike a delimited decimal
+payload which would need a string→int parse per token.
 
 Malformed lines (truncated/garbled upstream) are not dropped: they surface as
 ``status='PARSE_ERROR'`` quarantine rows, modeled on the reference's status
@@ -78,7 +83,10 @@ def serialize_expr() -> F.Column:
         F.col("doc_id"),
         F.coalesce(F.col("sign").cast("string"), F.lit("")),
         F.col("n_tok").cast("string"),
-        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string"))),
+        # hex-packed int32-BE payload, built entirely in codegen
+        F.array_join(
+            F.transform("tokens", lambda t: F.lpad(F.hex(t), 8, "0")), ""
+        ),
     )
 
 
@@ -131,23 +139,25 @@ def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"
         out["sign"] = pd.to_numeric(
             parts[9].where(ok).replace("", None), errors="coerce"
         ).astype("Int32")
-        out["n_tok"] = pd.to_numeric(parts[10].where(ok), errors="coerce").astype(
-            "Int32"
-        )
-        # vectorized token decode: one split per row via pandas C str engine,
-        # empty payload → empty int32 array
-        toks = parts[11].where(ok).str.split(",")
+        n_tok = pd.to_numeric(parts[10].where(ok), errors="coerce").astype("Int32")
+        out["n_tok"] = n_tok
+
+        # batch-vectorized token decode: payload length must be 8 hex chars
+        # per declared token (corrupt otherwise), then ONE fromhex/frombuffer
+        # for the whole batch and zero-copy splits per row
+        ntok_vals = n_tok.fillna(0).to_numpy(dtype=np.int64)
+        payload = parts[11]
+        ok &= payload.str.len() == ntok_vals * 8
+        ok &= payload.str.fullmatch(r"[0-9a-fA-F]*")
+        okarr = ok.to_numpy()
+        counts = np.where(okarr, ntok_vals, 0)
+        blob = bytes.fromhex("".join(payload.where(ok, "").tolist()))
+        vals = np.frombuffer(blob, dtype=">i4").astype(np.int32)
+        splits = np.split(vals, np.cumsum(counts)[:-1]) if len(counts) else []
         out["tokens"] = [
-            None
-            if not isok
-            else (
-                np.array([], dtype=np.int32)
-                if (len(t) == 1 and t[0] == "")
-                else np.asarray(t, dtype=np.int32)
-            )
-            for isok, t in zip(ok.to_numpy(), toks.fillna("").to_numpy())
+            s if isok else None for s, isok in zip(splits, okarr)
         ]
-        out["status"] = np.where(ok.to_numpy(), "OK", "PARSE_ERROR")
+        out["status"] = np.where(okarr, "OK", "PARSE_ERROR")
         out["raw"] = raw
         yield out
 

@@ -1,0 +1,109 @@
+"""Text-analysis functions for training-data curation.
+
+Training-pipeline additions (SURVEY has no analogue — the reference carries
+opaque row payloads): language-ID heuristic, quality scoring, token counting,
+and document fingerprinting, all as JVM-side column expressions (codegen, no
+UDFs) with exact DuckDB-oracle parity (ratios reported in basis points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORDS = "split(trim(coalesce(text, '')), '\\\\s+')"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def token_count_cols(df: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil(chars/4),
+    the common chars-per-token rule of thumb) — both pure expressions."""
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
+        ).cast("int").alias("ws_tokens"),
+        F.expr("cast(ceil(length(coalesce(text, '')) / 4.0) as int)").alias("subword_est"),
+        F.length(F.coalesce("text", F.lit(""))).cast("int").alias("n_chars"),
+    )
+
+
+def stopword_ratio_bp() -> Column:
+    in_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(
+        f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE "
+        f"cast(floor(size(filter({WORDS}, w -> lower(w) IN ({in_set}))) * 10000"
+        f" / size({WORDS})) as bigint) END"
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score (basis points):
+    word count band, mean word length band, stopword presence — the
+    Gopher-rules-shaped feature family, deterministic and oracle-parity."""
+    n_words = f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
+    mean_wlen_bp = (
+        f"CASE WHEN ({n_words}) = 0 THEN 0 ELSE "
+        f"cast(floor(length(array_join({WORDS}, '')) * 10000 / ({n_words})) as bigint) END"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(n_words).cast("int").alias("n_words"),
+        F.expr(mean_wlen_bp).alias("mean_word_len_bp"),
+        stopword_ratio_bp().alias("stopword_bp"),
+        (
+            F.when(F.expr(n_words).between(10, 1000), F.lit(4000)).otherwise(0)
+            + F.when(
+                F.expr(mean_wlen_bp).between(30000, 80000), F.lit(3000)
+            ).otherwise(0)
+            + F.when(stopword_ratio_bp() > 0, F.lit(3000)).otherwise(0)
+        ).cast("bigint").alias("quality_bp"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Character/stopword n-gram heuristic language ID.
+
+    Deterministic rule: English stopword hit-rate ≥ 8% → 'en'; else if mean
+    word length < 4 → 'short'; else 'unk'. (The corpus text is synthetic
+    English-ish regardless of its `lang` label; the operator demonstrates the
+    classification plumbing, and `lang_match` reports agreement.)
+    """
+    pred = (
+        F.when(stopword_ratio_bp() >= 800, F.lit("en"))
+        .when(
+            F.expr(
+                f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE "
+                f"length(array_join({WORDS}, '')) / size({WORDS}) END"
+            )
+            < 4,
+            F.lit("short"),
+        )
+        .otherwise(F.lit("unk"))
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Document fingerprints:
+    - content_fp: md5 of whitespace-normalized text (exact-dup key)
+    - shingle_fp: md5 over the *sorted distinct* 3-gram shingle set — a
+      rolling-hash-set fingerprint robust to shingle order."""
+    norm = f"array_join({WORDS}, ' ')"
+    sh = (
+        f"transform(sequence(1, greatest(size({WORDS}) - 2, 0)),"
+        f" i -> array_join(slice({WORDS}, i, 3), ' '))"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("content_fp"),
+        F.expr(
+            f"CASE WHEN size({WORDS}) < 3 THEN md5('') ELSE "
+            f"md5(array_join(array_sort(array_distinct({sh})), '|')) END"
+        ).alias("shingle_fp"),
+    )

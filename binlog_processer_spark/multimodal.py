@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training pipelines carry images/audio/video as ``binary`` columns with a
+metadata struct; the engine treats them exactly like the reference treats
+opaque row payloads (bytes in, bytes out, per-row invariants). Real
+decode/resize/frame-sample needs codec libraries that are NOT in this
+environment, so the decode kernel is stubbed: ``fake=True`` (default)
+computes deterministic byte-level features (real Spark plumbing, fake
+pixels); ``fake=False`` raises NotImplementedError where PIL/ffmpeg would be
+called. Schema, partitioning, UDF signature, and Arrow batch shape are real
+and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes int, checksum bigint, "
+    "width int, height int, feat array<float>"
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media: payload = utf-8 text bytes, metadata struct
+    (modality, width, height) derived from doc_id arithmetic."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("modality"),
+            (F.col("doc_id") % 64 * 16 + 64).cast("int").alias("width"),
+            (F.col("doc_id") % 48 * 16 + 64).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _extract_batches(fake: bool):
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if not fake:
+            raise NotImplementedError(
+                "real decode requires PIL/libav (not in this environment); "
+                "run with fake=True for deterministic byte-level features"
+            )
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len).astype("int32")
+            checksum = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+                if len(b)
+                else 0
+            ).astype("int64")
+            # 4-dim fake embedding: byte-histogram quartile mass fractions
+            feats = []
+            for b in payloads:
+                if not len(b):
+                    feats.append(np.zeros(4, dtype=np.float32))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.histogram(arr, bins=4, range=(0, 256))[0]
+                feats.append((hist / len(arr)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                    "checksum": checksum,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "feat": feats,
+                }
+            )
+
+    return extract
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(_extract_batches(fake), FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """'Video' frame sampling as byte-stride slices — the partition-friendly
+    plan shape for frame extraction (real decoder would replace the slice)."""
+    return media.filter(F.col("meta.modality") == "video").select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(int(length(payload) / {every_n}), 1)),"
+            f" i -> substring(payload, (i - 1) * {every_n} + 1, {every_n}))"
+        ).alias("frames"),
+    )

