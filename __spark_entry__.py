@@ -50,6 +50,7 @@ from binlog_processer_spark.operators.dedup import (
 from binlog_processer_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
+    near_dup_pairs,
 )
 from binlog_processer_spark.operators.skew import salted_sink_counts
 from binlog_processer_spark.operators.verify import reconcile
@@ -409,6 +410,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_lsh"] = lambda s, d: cosine_topk_lsh(
         _embs(s, d), query_ids=list(range(10)), k=5
     )
+
+    def dedup_embedding_cosine(spark, sf_dir):
+        # embeddings are synthetic-random (no natural near-dups), so plant
+        # deterministic perturbed clones (vec_id%10==0 → +100000, every
+        # coordinate +0.01) and detect them; the oracle derives the same
+        # augmented set, so recall of the LSH bucket join is compared exactly
+        emb = _embs(spark, sf_dir)
+        orig = emb.select(
+            "vec_id", F.expr("cast(embedding as array<double>)").alias("embedding")
+        )
+        dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double) + 0.01D)"
+            ).alias("embedding"),
+        )
+        return near_dup_pairs(orig.unionByName(dup), threshold_bp=9000)
+
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
     q["text_token_counts"] = lambda s, d: token_count_cols(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
     q["text_lang_id"] = lambda s, d: lang_id(_docs(s, d))
@@ -756,6 +776,24 @@ def oracle_sql() -> dict[str, str]:
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 5"
+    )
+    _cos_ab = (
+        "list_dot_product(a.embedding, b.embedding)"
+        " / nullif(sqrt(list_dot_product(a.embedding, a.embedding))"
+        " * sqrt(list_dot_product(b.embedding, b.embedding)), 0.0)"
+    )
+    o["dedup_embedding_cosine"] = (
+        "WITH aug AS ("
+        " SELECT vec_id, cast(embedding AS double[]) AS embedding FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 100000,"
+        "  list_transform(cast(embedding AS double[]), x -> x + 0.01)"
+        " FROM embeddings WHERE vec_id % 10 = 0),"
+        f" e AS (SELECT vec_id, embedding, {_bucket} AS bucket FROM aug)"
+        f" SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        f"  cast(round(({_cos_ab}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        "  WHERE cosine_bp >= 9000"
     )
 
     _nw = f"CASE WHEN {nonempty} THEN len({DW}) ELSE 0 END"

@@ -158,7 +158,11 @@ def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"
             s if isok else None for s, isok in zip(splits, okarr)
         ]
         out["status"] = np.where(okarr, "OK", "PARSE_ERROR")
-        out["raw"] = raw
+        # raw is kept only for quarantine forensics; nulling it on OK rows
+        # keeps ~2KB/row of wire text out of the Arrow return + any persist
+        # of the parsed relation (at 10^12 rows that raw echo would dominate
+        # the pipeline's memory traffic)
+        out["raw"] = raw.where(~ok)
         yield out
 
 

@@ -135,6 +135,59 @@ def file_gap_detection(files: DataFrame) -> DataFrame:
     )
 
 
+def single_pass_rollups(
+    routed: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One scan → (sink_counts, watermarks, histograms, lineage, base).
+
+    `base` is returned (persisted) so the caller can unpersist it once the
+    four derived outputs have been materialized.
+
+    The four pipeline aggregates share a common super-key
+    (tree, db_instance, database, table, part_date, file_id) whose
+    cardinality is sinks × days × files — tiny next to the fact. Aggregating
+    to that key once and re-aggregating the result replaces four full scans
+    of the routed relation with one (the reference computes all its counters
+    in the same single pass over the file, BinlogFileReader.java:243-281 +
+    PartitionWriterManager.java:171-182).
+
+    The histogram derivation relies on an invariant of the update tree:
+    part_date = to_date(commit_ts) (route.fan_out_trees), so the 1-day
+    tumbling window start IS the partition date.
+    """
+    base = routed.groupBy(
+        "tree", "db_instance", "database_name", "table_name",
+        "part_date", "file_id",
+    ).agg(
+        F.count("*").alias("routed_cnt"),
+        *_op_counts(),
+        F.max("commit_ts").alias("max_commit_ts"),
+    )
+    base = base.persist()
+    upd = base.filter(F.col("tree") == "update")
+    sums = [
+        F.sum("insert_cnt").alias("insert_cnt"),
+        F.sum("update_cnt").alias("update_cnt"),
+        F.sum("delete_cnt").alias("delete_cnt"),
+    ]
+    sink_cnts = base.groupBy(*SINK_KEY).agg(*sums)
+    wm = upd.groupBy("database_name", "table_name").agg(
+        F.max("max_commit_ts").alias("max_commit_ts")
+    )
+    hist = (
+        upd.groupBy(
+            "database_name",
+            "table_name",
+            F.col("part_date").cast("timestamp").alias("win_start"),
+        )
+        .agg(*sums, F.max("max_commit_ts").alias("win_watermark"))
+    )
+    lineage = base.groupBy(
+        "file_id", "tree", "db_instance", "database_name", "table_name"
+    ).agg(F.sum("routed_cnt").alias("routed_cnt"), *sums)
+    return sink_cnts, wm, hist, lineage, base
+
+
 def lineage_manifest(routed: DataFrame, quarantine_cnt_by_file: DataFrame | None = None) -> DataFrame:
     """Per-(file, sink) lineage row: the t_binlog_process_log analogue."""
     m = routed.groupBy(

@@ -17,7 +17,7 @@ expression, not a UDF, so it stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,23 +35,36 @@ def enrich_routing(events: DataFrame, routing: DataFrame) -> DataFrame:
 def enrich_schema_asof(
     events: DataFrame, schema_dim: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
-    """J2 as-of: pick the latest schema version with valid_from_ts <= commit_ts.
+    """J2 as-of: pick the latest schema version with valid_from_ts <= commit_ts
+    (the TreeMap floor-lookup, SchemaRepository.java:52-77).
 
-    Implemented as broadcast range-join + per-event argmax window. The window
-    partitions by event identity (event_seq is unique per key), so with the
-    dimension broadcast this costs one shuffle on the fact's event key only;
-    for the usual tiny dimension (<=versions per table) the multiplied
-    intermediate is #events × #matching_versions, bounded and skew-free.
+    Zero-shuffle on the fact side: the dimension's versions are packed into
+    one descending-sorted array per key (a tiny pre-aggregate on the
+    dimension only), broadcast, and the floor pick is a pure `filter(...)[0]`
+    array expression inside whole-stage codegen. The alternative — multiply
+    the fact by matching versions and window-argmax per event — would shuffle
+    the whole 10^12-row fact on event identity.
     """
     keys = keys or ["table_key"]
-    joined = events.join(F.broadcast(schema_dim), keys, "inner").filter(
-        F.col("valid_from_ts") <= F.col("commit_ts")
+    # valid_from_ts first so the struct sort orders by version time
+    val_cols = ["valid_from_ts"] + [
+        c for c in schema_dim.columns if c not in keys and c != "valid_from_ts"
+    ]
+    packed = schema_dim.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*val_cols)), asc=False
+        ).alias("__versions")
     )
-    w = Window.partitionBy(*keys, "event_seq").orderBy(
-        F.col("valid_from_ts").desc()
+    joined = events.join(F.broadcast(packed), keys, "inner")
+    picked = (
+        joined.withColumn(
+            "__v",
+            F.expr("filter(__versions, v -> v.valid_from_ts <= commit_ts)[0]"),
+        )
+        # no version valid at event time ⇒ floor lookup misses ⇒ row drops
+        .filter(F.col("__v").isNotNull())
+        .drop("__versions")
     )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    for c in val_cols:
+        picked = picked.withColumn(c, F.col("__v")[c])
+    return picked.drop("__v")

@@ -120,6 +120,39 @@ def cosine_topk_lsh(
     )
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold_bp: int = 9000,
+    dims: tuple[int, ...] = (1, 8, 21),
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (training-data dedup).
+
+    Candidate generation is the same sign-bucket LSH as `cosine_topk_lsh`,
+    but as a bucket-keyed *self-join* (shuffle on the bucket key — at scale
+    each bucket is a partition, so the scored pair count is sum(b_i^2)/2
+    instead of n^2/2). Pairs with cosine >= threshold_bp/10000 are reported
+    once (id_a < id_b). Missed cross-bucket pairs are the standard LSH
+    recall trade, as in MinHash-LSH text dedup (operators/dedup.py).
+    """
+    emb = embeddings.withColumn("bucket", sign_bucket_expr(dims))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), "embedding", "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_bp",
+            F.round(cosine_expr("q_emb", "embedding") * 10000).cast("bigint"),
+        )
+        .filter(F.col("cosine_bp") >= threshold_bp)
+        .select("id_a", "id_b", "cosine_bp")
+    )
+
+
 def cosine_topk_np(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:

@@ -5,7 +5,8 @@ This is the Spark restatement of the reference's resolve entry point
 → PartitionWriterManager): one linear DataFrame DAG instead of MQ + thread
 pools. The raw-event scan + parse + broadcast enrich + routing expressions run
 shuffle-free inside one codegen stage; the only shuffles are the soft-delete
-window / final aggregates (keyed by sink) and the fan-out write clustering.
+window (which doubles as the fan-out write clustering) and the final
+aggregates (keyed by sink).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def run_pipeline(
     """
     t0 = time.time()
     manifest = ProcessedManifest(os.path.join(out_dir, "_processed.json"))
+    already_done = manifest.load() if resume else set()
 
     # one physical parse pass feeds both the good path and the quarantine
     # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale)
@@ -56,19 +58,39 @@ def run_pipeline(
         F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
     )
     if resume:
-        good = remaining_events(good, manifest.load())
+        good = remaining_events(good, already_done)
 
     enriched = enrich_routing(good, routing_df)
     routed, ignored_counts = route(enriched)
-    # cluster by the write's partition key BEFORE the fan-out write: without
-    # this every task touches ~every (tree, db, table, day) dir — O(tasks ×
-    # partitions) tiny files and commit storms; with it each partition dir is
-    # written by one task (the reference's one-writer-per-sink-path invariant,
-    # PartitionWriterManager.java:139-167, recovered at shuffle cost instead
-    # of writer-cache cost). AQE coalesces the shuffle to the real key count.
-    routed = routed.repartition(*PARTITION_COLS)
-    # single scan feeds the write and four aggregates
-    routed = routed.persist()
+    # No explicit repartition: the soft-delete window inside route() already
+    # shuffled by (database, table), so rows arrive clustered by sink — each
+    # write task touches only its own (tree, db, table, month) dirs (the
+    # reference's one-writer-per-sink-path invariant,
+    # PartitionWriterManager.java:139-167) without a second shuffle of the
+    # 2x-exploded envelope. The envelope keeps `before`/`after` as derived
+    # views for queries, but only `img` is persisted/written: the three
+    # structs share one token array, and tripling it would triple shuffle,
+    # cache, and parquet bytes (the dominant cost at 10^12 rows).
+    # Written directly, never cached: caching would columnar-encode every
+    # token array a second time, and no consumer needs the arrays again —
+    # the aggregates below re-read the committed parquet with the token
+    # column pruned away (a few % of the written bytes).
+    routed = routed.select(
+        "tree",
+        "db_instance",
+        "database_name",
+        "table_name",
+        "part_month",
+        "part_date",
+        "doc_id",
+        "op",
+        "event_seq",
+        "commit_ts",
+        "create_ts",
+        "file_id",
+        "source",
+        "img",
+    )
     try:
         tables = {
             name: SnapshotTable(os.path.join(out_dir, name))
@@ -82,67 +104,49 @@ def run_pipeline(
             )
         }
         tables["routed"].write(
-            routed.select(
-                "tree",
-                "db_instance",
-                "database_name",
-                "table_name",
-                "part_month",
-                "part_date",
-                "doc_id",
-                "op",
-                "event_seq",
-                "commit_ts",
-                "create_ts",
-                "file_id",
-                "source",
-                "before",
-                "after",
-                "img",
-            ),
+            routed,
             partition_by=PARTITION_COLS,
             mode="overwrite" if not resume else "append",
         )
-        # aggregates must reflect the committed table (not just the increment)
-        # so a resumed run republishes complete counts — the reference
+        # aggregates reflect the committed table (not just the increment) so
+        # a resumed run republishes complete counts — the reference
         # re-derives counts from t_binlog_process_log the same way
-        # (BaseDataCompare.java:38-67). On a fresh table the increment IS the
-        # table, so reuse the in-memory `routed` and skip the disk rescan.
-        fresh = tables["routed"].current_snapshot() == 0
-        committed = routed if fresh else tables["routed"].read(spark).persist()
-        sink_counts = agg.sink_counts(committed)
-        wm = agg.watermarks(committed.filter(F.col("tree") == "update"))
-        hist = agg.windowed_histogram(committed.filter(F.col("tree") == "update"))
-        lineage = agg.lineage_manifest(committed)
+        # (BaseDataCompare.java:38-67). One column-pruned scan feeds all four
+        # outputs via a shared super-key rollup.
+        committed = tables["routed"].read(spark)
+        sink_counts, wm, hist, lineage, rollup_base = agg.single_pass_rollups(committed)
 
         # aggregate tables are small (per-sink cardinality) — one file each
         tables["sink_counts"].write(sink_counts.coalesce(1))
         tables["watermarks"].write(wm.coalesce(1))
         tables["histograms"].write(hist.coalesce(1))
-        # lineage is tiny (one row per file×sink): collect once, reuse for the
-        # manifest instead of a second distinct-scan of routed
+        # lineage is tiny (one row per file×sink): collect once, reuse for
+        # the manifest and the routed-row metric without further scans
         lineage_rows = lineage.collect()
         tables["lineage"].write(
             spark.createDataFrame(lineage_rows, lineage.schema)
         )
-        if not fresh:
-            committed.unpersist()
+        rollup_base.unpersist()
 
         n_quarantine = quarantine.count()
         if n_quarantine:
             tables["quarantine"].write(quarantine)
 
-        n_routed = routed.count()
+        # lineage spans the whole committed table; metrics report THIS run's
+        # increment (the reference's per-run t_binlog_process_log semantics)
         files_done = sorted({r.file_id for r in lineage_rows})
+        new_files = [f for f in files_done if f not in already_done]
+        n_routed = sum(
+            r.routed_cnt for r in lineage_rows if r.file_id not in already_done
+        )
         manifest.mark(files_done)
 
         metrics = {
             "rows_routed": n_routed,
             "rows_failed": n_quarantine,
-            "files_processed": len(files_done),
+            "files_processed": len(new_files),
             "wall_sec": round(time.time() - t0, 3),
         }
         return PipelineResult(metrics=metrics, tables=tables)
     finally:
-        routed.unpersist()
         parsed.unpersist()

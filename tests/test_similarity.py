@@ -61,3 +61,36 @@ def test_lsh_restricts_to_bucket(spark):
     ids = {r.vec_id for r in got}
     assert 3 not in ids             # opposite-sign bucket excluded
     assert 1 in ids
+
+
+def test_near_dup_pairs_finds_planted_clones(spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import near_dup_pairs
+
+    base = _emb(spark).select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("embedding")
+    )
+    clones = base.select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.001D)").alias("embedding"),
+    )
+    got = near_dup_pairs(
+        base.unionByName(clones), threshold_bp=9990, dims=(1, 2, 3)
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    # every planted clone pairs with its original (same sign bucket: the
+    # 0.001 shift cannot flip any sign in VECS, whose nonzero coords are >=0.1)
+    assert {(v, v + 100) for v, _ in VECS} <= pairs
+    # and nothing else is a near-dup at 0.999 except clone-of-neighbour pairs
+    for r in got:
+        assert r.cosine_bp >= 9990
+
+
+def test_near_dup_respects_bucket_blocking(spark):
+    from binlog_processer_spark.operators.similarity import near_dup_pairs
+
+    # vec 0 and its exact opposite (vec 3) are in different sign buckets and
+    # anti-correlated: never reported even at threshold 0
+    got = near_dup_pairs(_emb(spark), threshold_bp=0, dims=(1, 2, 3)).collect()
+    assert all({r.id_a, r.id_b} != {0, 3} for r in got)

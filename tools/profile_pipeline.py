@@ -1,0 +1,112 @@
+"""Phase-timing profile of the batch pipeline (tools-only, not shipped).
+
+Usage: python tools/profile_pipeline.py <cpus> <n_docs>
+Prints per-phase wall times to locate scaling bottlenecks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.functions.parse import (
+    parse_raw,
+    serialize_expr,
+    split_quarantine,
+)
+from binlog_processer_spark.operators import aggregate as agg
+from binlog_processer_spark.operators.enrich import enrich_routing
+from binlog_processer_spark.operators.route import PARTITION_COLS, route
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.sources.generator import generate_corpus, routing_dim
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def main() -> None:
+    cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+    spark = get_spark(
+        f"prof-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    tmp = tempfile.mkdtemp(prefix="blp_prof_")
+    times: dict[str, float] = {}
+
+    def mark(name, t0):
+        times[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {times[name]}s", flush=True)
+
+    try:
+        raw_path = os.path.join(tmp, "raw")
+        (
+            generate_corpus(spark, n_docs, partitions=64)
+            .select(serialize_expr().alias("raw"))
+            .write.mode("overwrite")
+            .parquet(raw_path)
+        )
+        raw = spark.read.parquet(raw_path)
+        raw.count()
+
+        T0 = time.time()
+        t = time.time()
+        parsed = parse_raw(raw).persist(StorageLevel.MEMORY_AND_DISK)
+        parsed.count()
+        mark("parse+persist", t)
+
+        good, quarantine = split_quarantine(parsed)
+        good = good.withColumn(
+            "table_key",
+            F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
+        )
+        enriched = enrich_routing(good, routing_dim(spark))
+        routed, _ign = route(enriched)
+        t = time.time()
+        routed = routed.select(
+            "tree", "db_instance", "database_name", "table_name",
+            "part_month", "part_date", "doc_id", "op", "event_seq",
+            "commit_ts", "create_ts", "file_id", "source", "img",
+        ).persist()
+        routed.count()
+        mark("enrich+route+persist", t)
+
+        t = time.time()
+        tbl = SnapshotTable(os.path.join(tmp, "out", "routed"))
+        tbl.write(routed, partition_by=PARTITION_COLS, mode="overwrite")
+        mark("write_routed", t)
+
+        t = time.time()
+        agg.sink_counts(routed).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "out", "sc")
+        )
+        mark("sink_counts", t)
+        t = time.time()
+        upd = routed.filter(F.col("tree") == "update")
+        agg.watermarks(upd).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "out", "wm")
+        )
+        agg.windowed_histogram(upd).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "out", "hist")
+        )
+        mark("wm+hist", t)
+        t = time.time()
+        agg.lineage_manifest(routed).collect()
+        mark("lineage", t)
+        t = time.time()
+        quarantine.count()
+        routed.count()
+        mark("counts", t)
+        total = time.time() - T0
+        print(f"TOTAL {total:.2f}s cpus={cpus} docs={n_docs}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
