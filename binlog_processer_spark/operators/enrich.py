@@ -59,7 +59,9 @@ def enrich_schema_asof(
     picked = (
         joined.withColumn(
             "__v",
-            F.expr("filter(__versions, v -> v.valid_from_ts <= commit_ts)[0]"),
+            # get() (not [0]): ANSI mode throws on empty-array index when no
+            # version is valid at event time
+            F.expr("get(filter(__versions, v -> v.valid_from_ts <= commit_ts), 0)"),
         )
         # no version valid at event time ⇒ floor lookup misses ⇒ row drops
         .filter(F.col("__v").isNotNull())

@@ -23,7 +23,7 @@ on a single pass — no per-sink job loop, no driver-side iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SYSTEM_DATABASES = ("mysql", "infra")
@@ -52,23 +52,60 @@ def split_ignored(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return kept, ignored_counts
 
 
-def soft_delete_flag(df: DataFrame) -> DataFrame:
-    """P3: running archive flag per sink; NULL sign rows don't change it."""
-    w = (
-        Window.partitionBy("database_name", "table_name")
-        .orderBy("event_seq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def _sign_timeline(df: DataFrame) -> DataFrame:
+    """Per-(db, table) descending timeline of sign (archive-flag) events.
+
+    Sign events are rare administrative rows — the reference keeps the whole
+    flag state in one in-process map (IgnoreStrategy.java:10-30,
+    BinlogFileReader.java:218-234), so "timeline fits in a broadcast" is the
+    same smallness assumption, made explicit.
+    """
+    return (
+        df.filter(F.col("sign").isNotNull())
+        .groupBy("database_name", "table_name")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("event_seq", "sign")), asc=False
+            ).alias("__sign_tl")
+        )
     )
-    return df.withColumn("archive_flag", F.last("sign", ignorenulls=True).over(w))
+
+
+def _floor_flag_expr() -> F.Column:
+    """Flag in effect at this row = last sign event with event_seq <= ours."""
+    # get() (not [0]): ANSI mode throws on empty-array index, and "no sign
+    # event at or before this row" is a legal state meaning flag-unset
+    return F.expr("get(filter(__sign_tl, v -> v.event_seq <= event_seq), 0).sign")
+
+
+def soft_delete_flag(df: DataFrame) -> DataFrame:
+    """P3: running archive flag per sink; NULL sign rows don't change it.
+
+    Broadcast floor-lookup against the sign timeline instead of a
+    `last(sign, ignoreNulls) OVER (... ROWS UNBOUNDED PRECEDING)` window:
+    the window would shuffle AND sort the whole fact by (db, table) just to
+    propagate a handful of administrative flags. Same result, zero fact
+    shuffle.
+    """
+    joined = df.join(
+        F.broadcast(_sign_timeline(df)),
+        ["database_name", "table_name"],
+        "left",
+    )
+    return joined.withColumn("archive_flag", _floor_flag_expr()).drop("__sign_tl")
 
 
 def apply_soft_delete(df: DataFrame) -> DataFrame:
     """P3: drop Delete events while the archive flag is set."""
-    flagged = soft_delete_flag(df)
-    # coalesce: a NULL flag (no sign event seen yet) must NOT drop Deletes
-    return flagged.filter(
-        ~((F.col("op") == "Delete") & (F.coalesce("archive_flag", F.lit(0)) == 1))
-    ).drop("archive_flag")
+    joined = df.join(
+        F.broadcast(_sign_timeline(df)),
+        ["database_name", "table_name"],
+        "left",
+    )
+    # evaluate the timeline scan only on Delete rows (the only op the flag
+    # affects); a NULL flag (no sign event seen yet) must NOT drop Deletes
+    flag = F.when(F.col("op") == "Delete", _floor_flag_expr())
+    return joined.filter(~(F.coalesce(flag, F.lit(0)) == 1)).drop("__sign_tl")
 
 
 def with_envelope(df: DataFrame) -> DataFrame:
@@ -107,15 +144,35 @@ def fan_out_trees(df: DataFrame) -> DataFrame:
     )
 
 
-def route(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
+def route(
+    enriched: DataFrame, cluster_for_write: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Full routing stage: filters → soft-delete → envelope → dual trees.
 
     Returns (routed rows ready for partitioned write, ignored-count side agg).
+
+    cluster_for_write: repartition by (database, table) BEFORE the 2-way tree
+    explode — each sink partition dir then gets written by one task (the
+    reference's one-writer-per-sink-path invariant,
+    PartitionWriterManager.java:139-167) and the shuffle moves each token
+    array once, not twice. Off by default so pure query composition stays
+    shuffle-free.
     """
     df = filter_system_schemas(enriched)
     kept, ignored_counts = split_ignored(df)
     kept = apply_soft_delete(kept)
     kept = with_envelope(kept)
+    if cluster_for_write:
+        # salt the cluster key: sink sizes are skewed (hot tables), and a
+        # plain hash of ~sinks keys into ~2x-cores partitions leaves
+        # straggler reducers; a small salt splits each sink across <=4 tasks
+        # (bounded files-per-dir) while evening the load — the aggregation
+        # analogue lives in operators/skew.py
+        kept = kept.repartition(
+            "database_name",
+            "table_name",
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)),
+        )
     routed = fan_out_trees(kept)
     return routed, ignored_counts
 

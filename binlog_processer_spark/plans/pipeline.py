@@ -61,20 +61,17 @@ def run_pipeline(
         good = remaining_events(good, already_done)
 
     enriched = enrich_routing(good, routing_df)
-    routed, ignored_counts = route(enriched)
-    # No explicit repartition: the soft-delete window inside route() already
-    # shuffled by (database, table), so rows arrive clustered by sink — each
-    # write task touches only its own (tree, db, table, month) dirs (the
-    # reference's one-writer-per-sink-path invariant,
-    # PartitionWriterManager.java:139-167) without a second shuffle of the
-    # 2x-exploded envelope. The envelope keeps `before`/`after` as derived
-    # views for queries, but only `img` is persisted/written: the three
-    # structs share one token array, and tripling it would triple shuffle,
-    # cache, and parquet bytes (the dominant cost at 10^12 rows).
+    # cluster_for_write: the one fact shuffle in the whole plan — pre-explode
+    # repartition by sink so each partition dir is written by one task.
+    # The envelope keeps `before`/`after` as derived views for queries, but
+    # only `img` is persisted/written: the three structs share one token
+    # array, and tripling it would triple shuffle, cache, and parquet bytes
+    # (the dominant cost at 10^12 rows).
     # Written directly, never cached: caching would columnar-encode every
     # token array a second time, and no consumer needs the arrays again —
     # the aggregates below re-read the committed parquet with the token
     # column pruned away (a few % of the written bytes).
+    routed, ignored_counts = route(enriched, cluster_for_write=True)
     routed = routed.select(
         "tree",
         "db_instance",

@@ -49,6 +49,13 @@ def get_spark(
         # parity with DuckDB oracle: no legacy rebase surprises on timestamps
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.ui.enabled", "false")
+        # v2: tasks move their files into the final dirs at task commit
+        # (parallel) instead of a sequential driver-side move at job commit —
+        # the fan-out write touches hundreds of partition dirs, so v1's
+        # serial rename pass is a fixed multi-second tail on every write.
+        # Safe here: every write targets a fresh immutable snap-<n> dir
+        # (storage/table.py), so a failed job leaves only an uncommitted dir.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,7 +1,7 @@
 """Phase-timing profile of the batch pipeline (tools-only, not shipped).
 
+Mirrors plans/pipeline.py phase-for-phase with wall-clock marks.
 Usage: python tools/profile_pipeline.py <cpus> <n_docs>
-Prints per-phase wall times to locate scaling bottlenecks.
 """
 
 from __future__ import annotations
@@ -32,15 +32,17 @@ from binlog_processer_spark.storage.table import SnapshotTable
 
 def main() -> None:
     cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="blp_prof_", dir=shm)
     spark = get_spark(
-        f"prof-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        f"prof-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.local.dir": os.path.join(tmp, "spark_local")},
     )
-    tmp = tempfile.mkdtemp(prefix="blp_prof_")
-    times: dict[str, float] = {}
 
     def mark(name, t0):
-        times[name] = round(time.time() - t0, 2)
-        print(f"  {name}: {times[name]}s", flush=True)
+        print(f"  {name}: {time.time() - t0:.2f}s", flush=True)
 
     try:
         raw_path = os.path.join(tmp, "raw")
@@ -65,44 +67,32 @@ def main() -> None:
             F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
         )
         enriched = enrich_routing(good, routing_dim(spark))
-        routed, _ign = route(enriched)
-        t = time.time()
+        routed, _ign = route(enriched, cluster_for_write=True)
         routed = routed.select(
             "tree", "db_instance", "database_name", "table_name",
             "part_month", "part_date", "doc_id", "op", "event_seq",
             "commit_ts", "create_ts", "file_id", "source", "img",
-        ).persist()
-        routed.count()
-        mark("enrich+route+persist", t)
-
+        )
         t = time.time()
         tbl = SnapshotTable(os.path.join(tmp, "out", "routed"))
         tbl.write(routed, partition_by=PARTITION_COLS, mode="overwrite")
-        mark("write_routed", t)
+        mark("route+write", t)
 
         t = time.time()
-        agg.sink_counts(routed).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "out", "sc")
-        )
-        mark("sink_counts", t)
-        t = time.time()
-        upd = routed.filter(F.col("tree") == "update")
-        agg.watermarks(upd).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "out", "wm")
-        )
-        agg.windowed_histogram(upd).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "out", "hist")
-        )
-        mark("wm+hist", t)
-        t = time.time()
-        agg.lineage_manifest(routed).collect()
-        mark("lineage", t)
+        committed = tbl.read(spark)
+        sc, wm, hist, lineage, base = agg.single_pass_rollups(committed)
+        sc.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "o1"))
+        wm.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "o2"))
+        hist.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "o3"))
+        rows = lineage.collect()
+        base.unpersist()
+        mark("rollups", t)
+
         t = time.time()
         quarantine.count()
-        routed.count()
-        mark("counts", t)
-        total = time.time() - T0
-        print(f"TOTAL {total:.2f}s cpus={cpus} docs={n_docs}")
+        mark("quarantine_cnt", t)
+        print(f"TOTAL {time.time() - T0:.2f}s cpus={cpus} docs={n_docs} "
+              f"lineage_rows={len(rows)}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
