@@ -1,0 +1,110 @@
+"""spark-submit entry point for reconciliation (reference entry point B).
+
+Replays the routed warehouse into per-id final state and probes it against a
+replica table (the TiDB/Hive stand-in), emitting findings —
+missing_create / missing_update / stale_update / ghost_delete
+(binlog-comparer TiDBCompareByFile.java:31-265 restated as joins,
+SURVEY.md §3.2).
+
+Usage::
+
+    spark-submit --py-files dist/engine.zip jobs/run_verify.py \
+        --warehouse /path/to/wh [--replica /path/to/replica.parquet] \
+        [--mutate]
+
+Without --replica, a replica is derived from the warehouse's own final state
+(self-check: zero findings). --mutate deterministically injects
+discrepancies (missing / stale / ghost rows) into the derived replica so the
+finding classes can be demonstrated end-to-end. Findings are written to
+<warehouse>/findings and a JSON summary line is printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.operators.verify import reconcile
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Update-tree routed rows as change records (one row per event)."""
+    routed = SnapshotTable(os.path.join(warehouse, "routed")).read(spark)
+    return routed.filter(F.col("tree") == "update").select(
+        "database_name",
+        "table_name",
+        "doc_id",
+        "op",
+        "event_seq",
+        "commit_ts",
+        F.col("img.tokens").alias("tokens"),
+    )
+
+
+def derived_replica(events: DataFrame, mutate: bool) -> DataFrame:
+    """Replica = live final state; --mutate injects deterministic faults
+    (doc hash %37 missing, %41 stale, %43 ghost-delete) mirroring the test
+    corpus's mutation scheme."""
+    from binlog_processer_spark.operators.aggregate import final_state
+
+    fs = final_state(events).withColumn("h", F.abs(F.xxhash64("doc_id")))
+    live = fs.filter(F.col("final_op") != "Delete")
+    if mutate:
+        live = live.filter(F.col("h") % 37 != 5).withColumn(
+            "replica_ts",
+            F.when(
+                (F.col("h") % 41 == 7) & (F.col("final_op") == "Update"),
+                F.col("final_ts") - F.expr("make_interval(0,0,0,0,0,2000,0)"),
+            ).otherwise(F.col("final_ts")),
+        )
+        ghosts = fs.filter(
+            (F.col("final_op") == "Delete") & (F.col("h") % 43 == 9)
+        ).withColumn("replica_ts", F.col("final_ts"))
+        live = live.unionByName(ghosts)
+    else:
+        live = live.withColumn("replica_ts", F.col("final_ts"))
+    return live.select(
+        "database_name", "table_name", "doc_id", "replica_ts",
+        F.col("final_tokens").alias("replica_tokens"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--replica", help="parquet path with replica rows")
+    ap.add_argument("--mutate", action="store_true",
+                    help="inject deterministic faults into the derived replica")
+    args = ap.parse_args()
+
+    spark = get_spark("binlog-verify")
+    events = routed_events(spark, args.warehouse)
+    if args.replica:
+        replica = spark.read.parquet(args.replica)
+    else:
+        replica = derived_replica(events, args.mutate)
+
+    findings = reconcile(events, replica)
+    tbl = SnapshotTable(os.path.join(args.warehouse, "findings"))
+    tbl.write(findings.coalesce(1))
+    counts = {
+        r["finding"]: r["cnt"]
+        for r in findings.groupBy("finding")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    print(json.dumps({"findings_total": sum(counts.values()), **counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
