@@ -94,13 +94,26 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed
 
 
-def _replica(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.final_state(_kept(spark, sf_dir))
+
+
+def _md5_arr(col: str) -> F.Column:
+    """Deterministic scalar digest of an int/float array column, mirrored
+    exactly by the DuckDB ``_duck_md5_arr`` expression — the driver's canon
+    sorts/hashes scalar values and cannot hash raw arrays."""
+    return F.expr(f"md5(concat_ws(',', transform({col}, x -> cast(x as string))))")
+
+
+def _duck_md5_arr(col: str) -> str:
+    return f"md5(array_to_string(list_transform({col}, x -> cast(x as varchar)), ','))"
+
+
+def _replica_from_fs(fs: DataFrame, mutated: bool) -> DataFrame:
     """Replica of the downstream store (TiDB/Hive analogue) derived from the
     corpus final state; ``mutated`` injects deterministic discrepancies:
     doc_num%37==5 missing, %41==7 stale (-2000min), %43==9 ghost-delete."""
-    fs = agg.final_state(_kept(spark, sf_dir)).withColumn(
-        "doc_num", F.col("doc_id").cast("bigint")
-    )
+    fs = fs.withColumn("doc_num", F.col("doc_id").cast("bigint"))
     live = fs.filter(F.col("final_op") != "Delete")
     if mutated:
         live = live.filter(F.col("doc_num") % 37 != 5)
@@ -125,6 +138,10 @@ def _replica(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
         "database_name", "table_name", "doc_id", "replica_ts",
         F.col("final_tokens").alias("replica_tokens"),
     )
+
+
+def _replica(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+    return _replica_from_fs(_final_state(spark, sf_dir), mutated)
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
         )
         good, _ = split_quarantine(parse_raw(raw))
+        # tokens surface as (size, md5 digest): the driver canon hashes scalar
+        # values; the digest keeps the exact-token-equality invariant testable
         return good.select(
             "doc_id", "source", "op", "event_seq", "commit_ts", "file_id",
-            "bucket", "n_tok", "tokens",
+            "bucket", "n_tok", _md5_arr("tokens").alias("tokens_md5"),
         )
 
     q["parse_roundtrip"] = parse_roundtrip
@@ -279,24 +298,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "event_seq", "op",
             F.col("img.doc_id").alias("img_doc_id"),
             F.col("img.n_tok").alias("img_n_tok"),
-            F.col("img.tokens").alias("img_tokens"),
+            _md5_arr("img.tokens").alias("img_tokens_md5"),
             F.col("before").isNull().alias("before_is_null"),
             F.col("after").isNull().alias("after_is_null"),
         )
 
     q["image_selection"] = image_selection
 
+    # date columns are a canon hazard too (Spark DATE → python date objects,
+    # DuckDB DATE → datetime64); timestamps proved hash-stable in round 1
+    # (watermarks), so sink keys surface part_date as a timestamp
+    def _ts_part_date(df):
+        return df.withColumn("part_date", F.col("part_date").cast("timestamp"))
+
     # --- A1 per-sink counts (THE primary aggregate) ---
     def sink_counts(spark, sf_dir):
-        return agg.sink_counts(_routed(spark, sf_dir))
+        return _ts_part_date(agg.sink_counts(_routed(spark, sf_dir)))
 
     q["sink_counts"] = sink_counts
 
     # --- A1 under salting (same result, skew-safe shuffle) ---
     def sink_counts_salted(spark, sf_dir):
-        return salted_sink_counts(
-            _routed(spark, sf_dir),
-            ["tree", "db_instance", "database_name", "table_name", "part_date"],
+        return _ts_part_date(
+            salted_sink_counts(
+                _routed(spark, sf_dir),
+                ["tree", "db_instance", "database_name", "table_name", "part_date"],
+            )
         )
 
     q["sink_counts_salted"] = sink_counts_salted
@@ -317,7 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- A5 cancellation / final state ---
     def final_state(spark, sf_dir):
-        return agg.final_state(_kept(spark, sf_dir))
+        return _final_state(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "final_op", "final_ts",
+            _md5_arr("final_tokens").alias("final_tokens_md5"),
+            F.size("final_tokens").alias("final_n_tok"),
+            "final_seq",
+        )
 
     q["final_state"] = final_state
 
@@ -354,23 +386,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- J3/J4/J5 reconciliation with injected mutations ---
     def reconcile_findings(spark, sf_dir):
-        return reconcile(_kept(spark, sf_dir), _replica(spark, sf_dir, mutated=True))
+        fs = _final_state(spark, sf_dir).persist()
+        return reconcile(None, _replica_from_fs(fs, mutated=True), fs=fs)
 
     q["reconcile_findings"] = reconcile_findings
 
     def reconcile_clean(spark, sf_dir):
-        return reconcile(
-            _kept(spark, sf_dir), _replica(spark, sf_dir, mutated=False)
-        ).select("database_name", "table_name", "doc_id", "finding")
+        fs = _final_state(spark, sf_dir).persist()
+        return reconcile(None, _replica_from_fs(fs, mutated=False), fs=fs).select(
+            "database_name", "table_name", "doc_id", "finding"
+        )
 
     q["reconcile_clean"] = reconcile_clean
 
-    # --- repair (MERGE semantics) ---
+    # --- repair (MERGE semantics) — ONE event replay shared by replica
+    # derivation, reconcile, and repair (AvroDataReader.java:95-135 replays
+    # once; recomputing final_state per stage was a 3x scan) ---
     def repair_roundtrip(spark, sf_dir):
-        events = _kept(spark, sf_dir)
-        replica = _replica(spark, sf_dir, mutated=True)
-        findings = reconcile(events, replica)
-        return repair(events, replica, findings)
+        fs = _final_state(spark, sf_dir).persist()
+        replica = _replica_from_fs(fs, mutated=True)
+        findings = reconcile(None, replica, fs=fs)
+        repaired = repair(None, replica, findings, fs=fs)
+        return repaired.select(
+            "database_name", "table_name", "doc_id", "replica_ts",
+            _md5_arr("replica_tokens").alias("replica_tokens_md5"),
+        )
 
     q["repair_roundtrip"] = repair_roundtrip
 
@@ -460,7 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         table = run_streaming_pipeline(
             spark, d + "/raw", _routing(spark, sf_dir), d + "/out"
         )
-        return merged_stream_counts(spark, table)
+        return merged_stream_counts(spark, table).withColumn(
+            "part_date", F.col("part_date").cast("timestamp")
+        )
 
     q["streaming_sink_counts"] = streaming_sink_counts
 
@@ -506,7 +548,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synthesize_media,
         )
 
-        return extract_features(synthesize_media(_docs(spark, sf_dir)))
+        feats = extract_features(synthesize_media(_docs(spark, sf_dir)))
+        # feat holds byte-histogram mass fractions (count/n_bytes, float32);
+        # round(x * n_bytes) recovers the integer bin counts exactly (counts
+        # << 2^24), giving an exactly-comparable digest for the oracle
+        return feats.select(
+            "doc_id", "modality", "n_bytes", "checksum", "width", "height",
+            F.expr(
+                "md5(concat_ws(',', transform(feat,"
+                " x -> cast(round(x * n_bytes) as int))))"
+            ).alias("feat_md5"),
+        )
 
     q["multimodal_features"] = multimodal_features
 
@@ -519,7 +571,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["parse_roundtrip"] = _oracle_full(
         f"SELECT doc_id, source, op, event_seq, commit_ts, file_id, bucket,"
-        f" n_tok, tokens FROM corpus WHERE {notcorrupt}"
+        f" n_tok, {_duck_md5_arr('tokens')} AS tokens_md5"
+        f" FROM corpus WHERE {notcorrupt}"
     )
     o["quarantine_counts"] = _oracle_full(
         f"SELECT 'PARSE_ERROR' AS status, count(*) AS cnt FROM corpus"
@@ -548,24 +601,28 @@ def oracle_sql() -> dict[str, str]:
     )
     o["image_selection"] = _oracle_full(
         "SELECT doc_id, event_seq, op, doc_id AS img_doc_id, n_tok AS img_n_tok,"
-        " tokens AS img_tokens, (op = 'Create') AS before_is_null,"
+        f" {_duck_md5_arr('tokens')} AS img_tokens_md5,"
+        " (op = 'Create') AS before_is_null,"
         " (op = 'Delete') AS after_is_null FROM kept",
         _X_ENRICHED,
     )
+    # DuckDB sum() yields HUGEINT (object/float in pandas) while Spark's sum
+    # is bigint — every sum must be cast so the driver's value hash compares
     sink_counts_sql = (
-        "SELECT tree, db_instance, database_name, table_name, part_date,"
-        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
-        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
-        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt"
+        "SELECT tree, db_instance, database_name, table_name,"
+        " cast(part_date AS timestamp) AS part_date,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt"
         " FROM routed GROUP BY 1, 2, 3, 4, 5"
     )
     o["sink_counts"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
     o["sink_counts_salted"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
     o["file_event_counts"] = _oracle_full(
         "SELECT file_id, count(*) AS total_cnt,"
-        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
-        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
-        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt"
         " FROM corpus GROUP BY 1"
     )
     o["last_wins"] = _oracle_full(
@@ -576,7 +633,11 @@ def oracle_sql() -> dict[str, str]:
         _X_ENRICHED,
     )
     o["final_state"] = _oracle_full(
-        "SELECT * FROM final_state", _X_ENRICHED + "," + _X_FINAL_STATE
+        "SELECT database_name, table_name, doc_id, final_op, final_ts,"
+        f" {_duck_md5_arr('final_tokens')} AS final_tokens_md5,"
+        " cast(len(final_tokens) AS int) AS final_n_tok, final_seq"
+        " FROM final_state",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
     )
     o["watermarks"] = _oracle_full(
         "SELECT database_name, table_name, max(commit_ts) AS max_commit_ts"
@@ -585,9 +646,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["windowed_histogram"] = _oracle_full(
         "SELECT database_name, table_name, date_trunc('day', commit_ts) AS win_start,"
-        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
-        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
-        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt,"
         " max(commit_ts) AS win_watermark"
         " FROM kept GROUP BY 1, 2, 3",
         _X_ENRICHED,
@@ -595,8 +656,8 @@ def oracle_sql() -> dict[str, str]:
     o["partitions_report"] = _oracle_full(
         "SELECT db_instance, database_name, table_name,"
         " count(*) AS partition_cnt,"
-        " sum(insert_cnt + update_cnt + delete_cnt) AS total_rows,"
-        " string_agg(cast(part_date AS varchar), ',' ORDER BY cast(part_date AS varchar)) AS partitions_concat"
+        " cast(sum(insert_cnt + update_cnt + delete_cnt) AS bigint) AS total_rows,"
+        " string_agg(cast(cast(part_date AS date) AS varchar), ',' ORDER BY cast(cast(part_date AS date) AS varchar)) AS partitions_concat"
         f" FROM ({sink_counts_sql}) GROUP BY 1, 2, 3"
         " HAVING count(*) > 2 AND sum(insert_cnt + update_cnt + delete_cnt) >= 10",
         _X_ENRICHED,
@@ -642,7 +703,8 @@ def oracle_sql() -> dict[str, str]:
     # injection every discrepancy IS flagged, so repaired == truth:
     o["repair_roundtrip"] = _oracle_full(
         "SELECT database_name, table_name, doc_id, final_ts AS replica_ts,"
-        " final_tokens AS replica_tokens FROM final_state WHERE final_op <> 'Delete'",
+        f" {_duck_md5_arr('final_tokens')} AS replica_tokens_md5"
+        " FROM final_state WHERE final_op <> 'Delete'",
         _X_ENRICHED + "," + _X_FINAL_STATE,
     )
     o["resume_remaining"] = _oracle_full(
@@ -848,11 +910,27 @@ def oracle_sql() -> dict[str, str]:
     )
     o["streaming_stateful_totals"] = _oracle_full(
         "SELECT source,"
-        " sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS insert_cnt,"
-        " sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS update_cnt,"
-        " sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS delete_cnt,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt,"
         " max(commit_ts) AS max_commit_ts FROM corpus GROUP BY 1"
     )
-    # multimodal_features: deliberately rows-only (binary payload features
-    # aren't SQL-expressible in DuckDB without byte-level UDFs)
+    # multimodal features: the payload is utf-8 text bytes and the driver's
+    # documents.text is pure ASCII at every sf (verified octet_length ==
+    # length), so byte-level features ARE SQL-expressible via per-char ascii()
+    o["multimodal_features"] = (
+        "WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)"
+        " SELECT doc_id,"
+        " CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+        "  ELSE 'video' END AS modality,"
+        " cast(length(t) AS int) AS n_bytes,"
+        " cast(coalesce(list_sum(list_transform(range(1, length(t) + 1),"
+        "  i -> ascii(substr(t, i, 1)))), 0) AS bigint) AS checksum,"
+        " cast(doc_id % 64 * 16 + 64 AS int) AS width,"
+        " cast(doc_id % 48 * 16 + 64 AS int) AS height,"
+        " md5(array_to_string(list_transform([0, 1, 2, 3], k ->"
+        "  cast(len(list_filter(range(1, length(t) + 1),"
+        "  i -> ascii(substr(t, i, 1)) // 64 = k)) AS int)), ',')) AS feat_md5"
+        " FROM t"
+    )
     return o

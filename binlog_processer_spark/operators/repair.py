@@ -24,16 +24,26 @@ from .aggregate import final_state
 KEYS = ["database_name", "table_name", "doc_id"]
 
 
-def repair(events: DataFrame, replica: DataFrame, findings: DataFrame) -> DataFrame:
+def repair(
+    events: DataFrame | None,
+    replica: DataFrame,
+    findings: DataFrame,
+    fs: DataFrame | None = None,
+) -> DataFrame:
     """Return the repaired replica (new snapshot).
 
     events: enriched change records (the routed data to replay);
     replica: (…KEYS, replica_ts, replica_tokens);
     findings: reconcile() output — only flagged ids are touched
     (BinlogDBHandler.java:15-48 id-list scoping).
+    ``fs``: optionally pass the same precomputed ``final_state`` used by
+    ``reconcile`` so verify→repair replays the event log once, not thrice
+    (the reference keeps one in-memory replay, AvroDataReader.java:95-135).
     """
+    if fs is None:
+        fs = final_state(events)
     flagged = findings.select(*KEYS).distinct()
-    fs = final_state(events).join(flagged, KEYS, "left_semi")
+    fs = fs.join(flagged, KEYS, "left_semi")
 
     upserts = fs.filter(F.col("final_op") != "Delete").select(
         *KEYS,

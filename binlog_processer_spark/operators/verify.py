@@ -28,11 +28,21 @@ from .aggregate import final_state
 FINDING_COLS = ["database_name", "table_name", "doc_id", "finding", "src_ts"]
 
 
-def reconcile(events: DataFrame, replica: DataFrame) -> DataFrame:
+def reconcile(
+    events: DataFrame | None,
+    replica: DataFrame,
+    fs: DataFrame | None = None,
+) -> DataFrame:
     """events: enriched change records; replica: (database_name, table_name,
     doc_id, replica_ts). Returns the findings DataFrame (empty ⇔ consistent).
+
+    ``fs``: optionally pass a precomputed (ideally persisted)
+    ``final_state(events)`` — the reference replays the routed data ONCE and
+    probes the replica from the in-memory maps (AvroDataReader.java:95-135);
+    recomputing the replay per probe class would be a 3x scan at 100 TB.
     """
-    fs = final_state(events)
+    if fs is None:
+        fs = final_state(events)
     keys = ["database_name", "table_name", "doc_id"]
 
     creates = fs.filter(F.col("final_op") == "Create")

@@ -27,11 +27,17 @@ def normalize(df):
         if s.dtype == object:
             import numpy as np
 
-            df[c] = s.map(
-                lambda v: tuple(v)
-                if isinstance(v, (list, tuple, np.ndarray))
-                else v
-            ).astype(str)
+            # the driver's canon sort_values THROWS on list cells
+            # ("unhashable type: 'list'") — do NOT soften it here (tuple
+            # normalization hid exactly this in round 1); surface it the
+            # same way the driver would
+            bad = s.map(lambda v: isinstance(v, (list, tuple, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} holds array values — the driver's canon "
+                    "cannot hash these; project a scalar digest instead"
+                )
+            df[c] = s.astype(str)
         elif str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype.kind == "f":
@@ -48,6 +54,19 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         errs.append(f"columns spark={sc} duck={dc}")
+        return errs
+    # the driver's value hash is dtype-sensitive: DuckDB HUGEINT sums arrive
+    # as object/float and hash-mismatch Spark's int64 even when values are
+    # equal — flag any dtype-KIND divergence instead of coercing it away
+    for c in sc:
+        ka = spark_pdf[c].dtype.kind
+        kb = duck_pdf[c].dtype.kind
+        if ka != kb and {ka, kb} - {"M", "m"}:
+            errs.append(
+                f"dtype-kind col {c}: spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (driver hash would mismatch)"
+            )
+    if errs:
         return errs
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
