@@ -131,7 +131,13 @@ def _parse_arrow_batches(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    digits = r"^\d+$"
+    # length-bounded so every downstream pc.cast is guaranteed in-range:
+    # 18 digits < 2^63 (int64 fields), 9 digits < 2^31 (int32 fields).
+    # Out-of-range / non-numeric / bare '-' values are DATA, not bugs — they
+    # must fold into status='PARSE_ERROR', never raise in the executor.
+    digits64 = r"^\d{1,18}$"
+    digits32 = r"^\d{1,9}$"
+    sign_re = r"^(-?\d{1,9})?$"
     for batch in batches:
         raw = batch.column(0)
         if isinstance(raw, pa.ChunkedArray):
@@ -145,10 +151,12 @@ def _parse_arrow_batches(batches):
         ok = pc.and_kleene(
             pc.equal(f[0], RAW_VERSION), pa.array(lens >= N_FIELDS)
         )
-        for i in (1, 2, 3, 10):
-            ok = pc.and_kleene(ok, pc.match_substring_regex(f[i], digits))
+        for i in (1, 2, 3):
+            ok = pc.and_kleene(ok, pc.match_substring_regex(f[i], digits64))
+        for i in (7, 10):
+            ok = pc.and_kleene(ok, pc.match_substring_regex(f[i], digits32))
         ok = pc.and_kleene(
-            ok, pc.match_substring_regex(f[9], r"^-?\d*$")
+            ok, pc.match_substring_regex(f[9], sign_re)
         )
         ok = pc.if_else(pc.is_valid(ok), ok, pa.scalar(False))
 
@@ -159,13 +167,11 @@ def _parse_arrow_batches(batches):
             return pc.cast(masked(i), typ)
 
         # payload integrity: exactly 8 hex chars per declared token
+        n_tok_sel = pc.fill_null(
+            pc.match_substring_regex(f[10], digits32), False
+        )
         n_tok_all = np.asarray(
-            pc.cast(
-                pc.if_else(
-                    pc.match_substring_regex(f[10], digits), f[10], "0"
-                ),
-                pa.int64(),
-            )
+            pc.cast(pc.if_else(n_tok_sel, f[10], "0"), pa.int64())
         )
         pay_len = np.asarray(pc.binary_length(pc.if_else(ok, f[11], "")))
         ok_np = np.asarray(ok) & (pay_len == n_tok_all * 8)
@@ -175,9 +181,22 @@ def _parse_arrow_batches(batches):
         ok_np &= np.asarray(hexok)
         ok = pa.array(ok_np)
 
-        # ONE decode for the whole batch, ListArray straight from offsets
+        # ONE decode for the whole batch, ListArray straight from offsets.
+        # A StringArray's value buffer IS the row-order concatenation of all
+        # its strings — slice it once instead of materializing per-row
+        # Python strings (to_pylist) just to re-join them.
         payloads = pc.if_else(ok, f[11], "")
-        blob = bytes.fromhex("".join(payloads.to_pylist()))
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        _, off_buf, data_buf = payloads.buffers()
+        if len(payloads) and data_buf is not None:
+            po = np.frombuffer(off_buf, dtype=np.int32)[
+                payloads.offset : payloads.offset + len(payloads) + 1
+            ]
+            hex_all = data_buf.to_pybytes()[po[0] : po[-1]]
+        else:
+            hex_all = b""
+        blob = bytes.fromhex(hex_all.decode("ascii"))
         vals = np.frombuffer(blob, dtype=">i4").astype(np.int32)
         counts = np.where(ok_np, n_tok_all, 0)
         tok_offsets = np.zeros(len(counts) + 1, dtype=np.int32)

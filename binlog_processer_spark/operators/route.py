@@ -52,15 +52,25 @@ def split_ignored(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return kept, ignored_counts
 
 
+# ceiling on sign events per (db, table) before the broadcast floor-lookup
+# is refused: 1M structs ≈ 16 MB per hot sink — beyond that the "sign events
+# are rare administrative rows" smallness assumption is simply wrong and the
+# window implementation should be used instead
+MAX_SIGN_TIMELINE = 1_000_000
+_SIGN_TL_TYPE = "array<struct<event_seq:bigint,sign:int>>"
+
+
 def _sign_timeline(df: DataFrame) -> DataFrame:
     """Per-(db, table) descending timeline of sign (archive-flag) events.
 
     Sign events are rare administrative rows — the reference keeps the whole
     flag state in one in-process map (IgnoreStrategy.java:10-30,
     BinlogFileReader.java:218-234), so "timeline fits in a broadcast" is the
-    same smallness assumption, made explicit.
+    same smallness assumption, made explicit AND guarded: a timeline above
+    MAX_SIGN_TIMELINE raises a diagnosable error instead of an opaque
+    driver/broadcast OOM.
     """
-    return (
+    tl = (
         df.filter(F.col("sign").isNotNull())
         .groupBy("database_name", "table_name")
         .agg(
@@ -68,6 +78,20 @@ def _sign_timeline(df: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("event_seq", "sign")), asc=False
             ).alias("__sign_tl")
         )
+    )
+    guard_msg = F.concat(
+        F.lit("soft-delete sign timeline for ("),
+        F.col("database_name"), F.lit(", "), F.col("table_name"),
+        F.lit(") has "), F.size("__sign_tl").cast("string"),
+        F.lit(f" entries (> {MAX_SIGN_TIMELINE}): too large to broadcast — "
+              "sign events are not rare here; use the window-based "
+              "soft-delete instead"),
+    )
+    return tl.withColumn(
+        "__sign_tl",
+        F.when(
+            F.size("__sign_tl") <= MAX_SIGN_TIMELINE, F.col("__sign_tl")
+        ).otherwise(F.raise_error(guard_msg).cast(_SIGN_TL_TYPE)),
     )
 
 

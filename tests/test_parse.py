@@ -53,6 +53,28 @@ def test_malformed_lines_quarantined(spark):
     assert rows["43"].sign == 1
 
 
+def test_malformed_numerics_quarantined_not_raised(spark):
+    """Malformed numeric fields are DATA: they must fold into PARSE_ERROR,
+    never raise ArrowInvalid in the executor (module contract; regression
+    guard for the unvalidated bucket cast)."""
+    lines = [
+        ("v1|1|1704067200|1704067200|Create|f0|src0|0|42||1|00000007",),  # good
+        ("v1|2|1704067200|1704067200|Create|f0|src0|XX|43||1|00000007",),  # bucket non-numeric
+        ("v1|3|1704067200|1704067200|Create|f0|src0|99999999999|44||1|00000007",),  # bucket > int32
+        ("v1|4|1704067200|1704067200|Create|f0|src0|0|45|-|1|00000007",),  # bare '-' sign
+        ("v1|99999999999999999999999999|1704067200|1704067200|Create|f0|src0|0|46||1|00000007",),  # seq > int64
+        ("v1|5|1704067200|1704067200|Create|f0|src0|0|47||9999999999|00000007",),  # n_tok > int32
+        ("v1|6|99999999999999999999|1704067200|Create|f0|src0|0|48||1|00000007",),  # ts > int64
+    ]
+    df = spark.createDataFrame(lines, "raw string")
+    good, bad = split_quarantine(parse_raw(df))
+    assert good.count() == 1
+    assert bad.count() == 6
+    assert {r.status for r in bad.collect()} == {"PARSE_ERROR"}
+    row = good.collect()[0]
+    assert row.doc_id == "42" and list(row.tokens) == [7]
+
+
 def test_parse_is_arrow_batched(spark):
     """No row-at-a-time Python: physical plan shows one ArrowEvalPython-free
     mapInPandas (MapInPandas node), not BatchEvalPython."""
