@@ -50,25 +50,43 @@ def main() -> None:
 
     spark = get_spark("binlog-repair")
     events = routed_events(spark, args.warehouse)
+    from binlog_processer_spark.operators.aggregate import final_state
+
+    # ONE event replay shared by replica derivation, reconcile, repair, and
+    # the re-verify (AvroDataReader.java:95-135 replays once)
+    fs = final_state(events).persist()
+    replica_tbl = None
     if args.replica:
-        replica = spark.read.parquet(args.replica)
+        if os.path.exists(os.path.join(args.replica, "_current")):
+            # replica lives in snapshot storage: the repair commits as a NEW
+            # SNAPSHOT of the SAME table (TransactionOperate.java:29-66 —
+            # repair is a transaction on the replica, not a side copy)
+            replica_tbl = SnapshotTable(args.replica)
+            replica = replica_tbl.read(spark)
+        else:
+            replica = spark.read.parquet(args.replica)
     else:
         replica = derived_replica(
-            events, True if args.mutate is None else args.mutate
+            events, True if args.mutate is None else args.mutate, fs=fs
         )
 
-    findings = reconcile(events, replica).persist()
+    findings = reconcile(None, replica, fs=fs).persist()
     n_before = findings.count()
-    repaired = repair(events, replica, findings)
+    repaired = repair(None, replica, findings, fs=fs)
 
-    tbl = SnapshotTable(os.path.join(args.warehouse, "replica_repaired"))
-    tbl.write(repaired)
-    n_after = reconcile(events, tbl.read(spark)).count()
+    tbl = replica_tbl or SnapshotTable(
+        os.path.join(args.warehouse, "replica_repaired")
+    )
+    snap = tbl.write(repaired)
+    # re-verify against the COMMITTED snapshot, not the in-flight DataFrame
+    # (BinlogDBHandler.java:50-68 marks rows repaired only after commit)
+    n_after = reconcile(None, tbl.read(spark, snapshot=snap), fs=fs).count()
     findings.unpersist()
     print(json.dumps({
         "findings_before": n_before,
         "findings_after": n_after,
-        "repaired_rows": tbl.read(spark).count(),
+        "snapshot": snap,
+        "repaired_rows": tbl.read(spark, snapshot=snap).count(),
     }))
     spark.stop()
 

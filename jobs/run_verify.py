@@ -50,13 +50,18 @@ def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
     )
 
 
-def derived_replica(events: DataFrame, mutate: bool) -> DataFrame:
+def derived_replica(
+    events: DataFrame, mutate: bool, fs: DataFrame | None = None
+) -> DataFrame:
     """Replica = live final state; --mutate injects deterministic faults
     (doc hash %37 missing, %41 stale, %43 ghost-delete) mirroring the test
-    corpus's mutation scheme."""
+    corpus's mutation scheme. Pass a precomputed (persisted) ``fs`` so the
+    event replay is shared with reconcile/repair (one scan, not three)."""
     from binlog_processer_spark.operators.aggregate import final_state
 
-    fs = final_state(events).withColumn("h", F.abs(F.xxhash64("doc_id")))
+    if fs is None:
+        fs = final_state(events)
+    fs = fs.withColumn("h", F.abs(F.xxhash64("doc_id")))
     live = fs.filter(F.col("final_op") != "Delete")
     if mutate:
         live = live.filter(F.col("h") % 37 != 5).withColumn(
@@ -88,12 +93,15 @@ def main() -> None:
 
     spark = get_spark("binlog-verify")
     events = routed_events(spark, args.warehouse)
+    from binlog_processer_spark.operators.aggregate import final_state
+
+    fs = final_state(events).persist()
     if args.replica:
         replica = spark.read.parquet(args.replica)
     else:
-        replica = derived_replica(events, args.mutate)
+        replica = derived_replica(events, args.mutate, fs=fs)
 
-    findings = reconcile(events, replica)
+    findings = reconcile(None, replica, fs=fs)
     tbl = SnapshotTable(os.path.join(args.warehouse, "findings"))
     tbl.write(findings.coalesce(1))
     counts = {

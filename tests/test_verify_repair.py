@@ -89,3 +89,31 @@ def test_repair_restores_truth(spark):
     assert got == truth
     # idempotence: reconciling the repaired replica finds nothing
     assert reconcile(ev, repaired).count() == 0
+
+
+def test_repair_commits_replica_snapshot(spark, tmp_path):
+    """The repair closes the transaction loop (TransactionOperate.java:29-66):
+    the repaired replica is committed as a NEW snapshot of the SAME replica
+    table, reconcile-after-repair against the COMMITTED snapshot is clean,
+    and the parent snapshot remains rollback-able."""
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    ev = _events(spark)
+    tbl = SnapshotTable(str(tmp_path / "replica"))
+    snap0 = tbl.write(
+        _replica(spark, [("db", "t", "a", TS, [2]), ("db", "t", "c", TS, [4])])
+    )
+
+    fs = final_state(ev)
+    replica = tbl.read(spark)
+    findings = reconcile(None, replica, fs=fs)
+    assert findings.count() == 4
+    snap1 = tbl.write(repair(None, replica, findings, fs=fs))
+    assert snap1 == snap0 + 1
+    assert tbl.history()[0]["parent"] == snap0
+
+    # reconcile against the COMMITTED snapshot → zero findings
+    assert reconcile(None, tbl.read(spark, snapshot=snap1), fs=fs).count() == 0
+    # the broken state is still addressable: rollback → findings reappear
+    tbl.rollback(snap0)
+    assert reconcile(None, tbl.read(spark), fs=fs).count() == 4
