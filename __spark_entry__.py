@@ -794,8 +794,13 @@ def oracle_sql() -> dict[str, str]:
         f"WITH sh AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
         f" FROM documents WHERE len({DW}) >= 3),"
         " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),"
+        # stop-shingle DF cap mirrored from ngram_jaccard_pairs(max_df=128):
+        # denominator (sizes) stays full, only candidate generation is capped
+        " hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 128),"
+        " shj AS (SELECT * FROM sh WHERE shingle NOT IN"
+        "  (SELECT shingle FROM hot)),"
         " common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
-        "  count(*) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle"
+        "  count(*) AS common FROM shj a JOIN shj b ON a.shingle = b.shingle"
         "  AND a.doc_id < b.doc_id GROUP BY 1, 2)"
         " SELECT doc_a, doc_b, common,"
         "  cast(floor(common * 10000 / (sa.n_sh + sb.n_sh - common)) AS bigint)"
@@ -822,18 +827,34 @@ def oracle_sql() -> dict[str, str]:
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 10"
     )
-    _bucket = (
-        "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||"
-        " CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||"
-        " CASE WHEN embedding[21] >= 0 THEN '1' ELSE '0' END)"
+    # banded sign-LSH twin expressions (identical Rademacher plane constants
+    # inlined on both sides — operators/similarity.py)
+    from binlog_processer_spark.operators.similarity import (
+        DEFAULT_BANDS,
+        DEFAULT_PLANES,
+        duck_sign_signature,
     )
+
+    _r = DEFAULT_PLANES // DEFAULT_BANDS
+    _band_vals = ", ".join(f"({b})" for b in range(DEFAULT_BANDS))
+    _sig = duck_sign_signature(DEFAULT_PLANES)
+
     o["ann_cosine_lsh"] = (
-        f"WITH e AS (SELECT vec_id, embedding, {_bucket} AS bucket FROM embeddings),"
-        " q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS"
-        " q_bucket FROM e WHERE vec_id < 10),"
-        " scored AS (SELECT query_id, vec_id,"
+        f"WITH sigs AS (SELECT vec_id, {_sig} AS sig FROM embeddings),"
+        f" bands AS (SELECT vec_id, b.band_id,"
+        f"  substr(sig, b.band_id * {_r} + 1, {_r}) AS band"
+        f"  FROM sigs CROSS JOIN (VALUES {_band_vals}) b(band_id)),"
+        " qb AS (SELECT vec_id AS query_id, band_id, band FROM bands"
+        "  WHERE vec_id < 10),"
+        " cand AS (SELECT DISTINCT qb.query_id, v.vec_id FROM bands v"
+        "  JOIN qb ON v.band_id = qb.band_id AND v.band = qb.band"
+        "  AND v.vec_id <> qb.query_id),"
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb"
+        "  FROM embeddings WHERE vec_id < 10),"
+        " scored AS (SELECT c.query_id, c.vec_id,"
         f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
-        "  FROM e JOIN q ON bucket = q_bucket AND vec_id <> query_id),"
+        "  FROM cand c JOIN embeddings ON embeddings.vec_id = c.vec_id"
+        "  JOIN q ON q.query_id = c.query_id),"
         " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
@@ -851,10 +872,17 @@ def oracle_sql() -> dict[str, str]:
         " SELECT vec_id + 100000,"
         "  list_transform(cast(embedding AS double[]), x -> x + 0.01)"
         " FROM embeddings WHERE vec_id % 10 = 0),"
-        f" e AS (SELECT vec_id, embedding, {_bucket} AS bucket FROM aug)"
-        f" SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        f" sigs AS (SELECT vec_id, {_sig} AS sig FROM aug),"
+        f" bands AS (SELECT vec_id, b.band_id,"
+        f"  substr(sig, b.band_id * {_r} + 1, {_r}) AS band"
+        f"  FROM sigs CROSS JOIN (VALUES {_band_vals}) b(band_id)),"
+        " cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b"
+        "  FROM bands l JOIN bands r ON l.band_id = r.band_id"
+        "  AND l.band = r.band AND l.vec_id < r.vec_id)"
+        f" SELECT id_a, id_b,"
         f"  cast(round(({_cos_ab}) * 10000) AS bigint) AS cosine_bp"
-        "  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        "  FROM cand JOIN aug a ON a.vec_id = id_a"
+        "  JOIN aug b ON b.vec_id = id_b"
         "  WHERE cosine_bp >= 9000"
     )
 

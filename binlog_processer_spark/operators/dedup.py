@@ -205,19 +205,38 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_jaccard_bp: int = 5000
+    docs: DataFrame, n: int = 3, min_jaccard_bp: int = 5000,
+    max_df: int = 128,
 ) -> DataFrame:
     """Jaccard over word n-grams, relationally:
 
     explode distinct shingles → self-join on shingle → common counts →
     jaccard = common / (|A| + |B| - common). Output in basis points (int)
-    for exact cross-engine comparison. The shingle join key is md5-uniform,
-    skew-free; frequency-capped shingles (stop-shingles) could be dropped at
-    larger scale.
+    for exact cross-engine comparison.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: one
+    stop-shingle shared by k docs contributes k² join rows, so an uncapped
+    join is quadratic in the hottest shingle — the 100 TB scale-killer. A
+    shingle above the cap is dropped from candidate generation only; the
+    jaccard DENOMINATOR still uses full per-doc shingle counts, so surviving
+    pairs' scores shift at most by the dropped commons (a standard
+    stop-shingle recall trade, like DF-capped stop-words in IR). Pass
+    ``max_df=None`` to disable.
     """
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        # hot set is tiny by construction (few shingles exceed the cap) —
+        # broadcast anti-join, no extra fact shuffle
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(
             b,

@@ -5,10 +5,10 @@ Training-data-pipeline operators beyond the reference's scope:
 - brute-force cosine top-k (the exactness baseline): broadcast the query
   set, score every (query, candidate) with a JVM-side fold — no Python in
   the scoring loop — then per-query top-k via a rank window.
-- LSH-bucketed ANN (the scale path): deterministic sign-bucket on fixed
-  coordinate hyperplanes; candidates only within the query's bucket, so the
-  scored pair count drops by ~2^planes. Recall is traded for fan-in, as in
-  any LSH ANN.
+- LSH-bucketed ANN (the scale path): banded sign-LSH over deterministic
+  Rademacher (±1) hyperplanes; candidates share ≥1 full band of r sign bits
+  (recall 1−(1−p^r)^b), and the band width scales with corpus size
+  (``planes_for``) so the bucket self-join stays ~linear at any n.
 - numpy matrix path (`cosine_topk_np`): mapInPandas + one BLAS matmul per
   Arrow batch per query-block — the throughput path when k and the query set
   are larger; same results as the SQL fold (tested), kept out of the oracle
@@ -74,36 +74,121 @@ def cosine_topk(
     )
 
 
-def sign_bucket_expr(dims: tuple[int, ...] = (1, 8, 21)) -> F.Column:
-    """Deterministic LSH bucket: concatenated signs of fixed coordinates
-    (coordinate hyperplanes — the deterministic, oracle-computable stand-in
-    for random hyperplane projections)."""
-    bits = [
-        f"CASE WHEN element_at(embedding, {d}) >= 0 THEN '1' ELSE '0' END"
-        for d in dims
+DEFAULT_PLANES = 32
+DEFAULT_BANDS = 4
+
+
+def rademacher_planes(
+    n_planes: int, dim: int, seed: str = "signlsh-v2"
+) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) random hyperplanes, seeded by md5 —
+    the same constants are inlined into the Spark expression and the DuckDB
+    oracle, so both engines compute identical sign signatures. Unlike the
+    round-1 fixed-coordinate planes, the plane count is unbounded (not
+    capped by the embedding dimension), so the signature width can scale
+    with the corpus (``planes_for``)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{k}:{i}".encode()).digest()[0] % 2
+            else -1
+            for i in range(dim)
+        ]
+        for k in range(n_planes)
     ]
+
+
+def planes_for(n: int, bands: int = DEFAULT_BANDS) -> int:
+    """Scale the signature with the corpus: band width r ≈ log2(n) − 2 keeps
+    the expected band-bucket size near 2^2 = 4 docs, so the per-band
+    self-join stays ~linear (Σ b_i² ≈ n · bucket_size) as n grows — the
+    100 TB posture the fixed 8-bucket scheme lacked."""
+    import math
+
+    r = max(4, math.ceil(math.log2(max(n, 2))) - 2)
+    return bands * r
+
+
+def sign_signature_expr(
+    n_planes: int = DEFAULT_PLANES, dim: int = 64, col: str = "embedding"
+) -> F.Column:
+    """'0'/'1' signature string: bit k = sign of dot(embedding, plane_k).
+
+    Pure codegen (fold over zip_with with literal ±1 arrays) — shuffle-free,
+    no Python in the loop."""
+    bits = []
+    for plane in rademacher_planes(n_planes, dim):
+        arr = ", ".join(f"{c}D" for c in plane)
+        bits.append(
+            f"CASE WHEN aggregate(zip_with({col}, array({arr}),"
+            " (x, h) -> cast(x as double) * h), 0D, (a, v) -> a + v) >= 0"
+            " THEN '1' ELSE '0' END"
+        )
     return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def duck_sign_signature(
+    n_planes: int = DEFAULT_PLANES, dim: int = 64, col: str = "embedding"
+) -> str:
+    """DuckDB twin of ``sign_signature_expr`` (identical plane constants)."""
+    bits = []
+    for plane in rademacher_planes(n_planes, dim):
+        arr = ", ".join(str(float(c)) for c in plane)
+        bits.append(
+            f"CASE WHEN list_dot_product(cast({col} AS double[]), [{arr}])"
+            " >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _banded(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
+    """(vec_id, band_id, band): unpivot the signature into per-band slices."""
+    r = n_planes // bands
+    return sig_df.selectExpr(
+        "vec_id",
+        "stack({n}, {args}) as (band_id, band)".format(
+            n=bands,
+            args=", ".join(
+                f"{b}, substring(sig, {b * r + 1}, {r})" for b in range(bands)
+            ),
+        ),
+    )
 
 
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    dims: tuple[int, ...] = (1, 8, 21),
+    n_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+    dim: int = 64,
 ) -> DataFrame:
-    """ANN: score only candidates sharing the query's sign bucket."""
-    emb = embeddings.withColumn("bucket", sign_bucket_expr(dims))
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    """ANN: score only candidates sharing ≥1 signature band with the query
+    (banded multi-probe sign-LSH — recall 1−(1−p^r)^b instead of the single
+    all-bits bucket's p^planes)."""
+    emb = embeddings.select("vec_id", "embedding")
+    sig = emb.withColumn("sig", sign_signature_expr(n_planes, dim))
+    stacked = _banded(sig, n_planes, bands)
+    q_stacked = stacked.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band"
+    )
+    cand = (
+        stacked.join(
+            F.broadcast(q_stacked),
+            ["band_id", "band"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q_emb = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        emb.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
         .withColumn(
             "cosine_bp",
             F.round(cosine_expr("q_emb", "embedding") * 10000).cast("bigint"),
@@ -123,30 +208,45 @@ def cosine_topk_lsh(
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold_bp: int = 9000,
-    dims: tuple[int, ...] = (1, 8, 21),
+    n_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (training-data dedup).
 
-    Candidate generation is the same sign-bucket LSH as `cosine_topk_lsh`,
-    but as a bucket-keyed *self-join* (shuffle on the bucket key — at scale
-    each bucket is a partition, so the scored pair count is sum(b_i^2)/2
-    instead of n^2/2). Pairs with cosine >= threshold_bp/10000 are reported
-    once (id_a < id_b). Missed cross-bucket pairs are the standard LSH
-    recall trade, as in MinHash-LSH text dedup (operators/dedup.py).
+    Banded sign-LSH self-join: docs sharing any full band of
+    r = n_planes/bands sign bits become candidates; candidates are scored
+    exactly and thresholded. The per-band join key has 2^r values, so the
+    scored pair count is bands · Σ b_i² ≈ bands · n²/2^r — with
+    ``n_planes = planes_for(n)`` the expected bucket size is constant and
+    the join stays ~linear in n (vs the round-1 fixed 8-bucket scheme's
+    n²/8). Pairs report once (id_a < id_b); cross-band misses are the
+    standard LSH recall trade (1−(1−p^r)^b at similarity p per bit).
     """
-    emb = embeddings.withColumn("bucket", sign_bucket_expr(dims))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
+    emb = embeddings.select("vec_id", "embedding")
+    sig = emb.withColumn("sig", sign_signature_expr(n_planes, dim))
+    stacked = _banded(sig, n_planes, bands)
+    l, r_ = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        l.join(
+            r_,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b")
+        )
+        .distinct()
     )
-    b = emb.select(F.col("vec_id").alias("id_b"), "embedding", "bucket")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "cosine_bp",
-            F.round(cosine_expr("q_emb", "embedding") * 10000).cast("bigint"),
+            F.round(cosine_expr("emb_a", "emb_b") * 10000).cast("bigint"),
         )
         .filter(F.col("cosine_bp") >= threshold_bp)
         .select("id_a", "id_b", "cosine_bp")

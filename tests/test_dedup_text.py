@@ -75,3 +75,31 @@ def test_fingerprints_stability(spark):
     assert fp[1].content_fp != fp[3].content_fp
     assert fp[1].shingle_fp == fp[2].shingle_fp
     assert fp[5].shingle_fp == fp[6].shingle_fp  # both empty → md5('')
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """An injected stop-shingle shared by every doc must not explode the
+    candidate join: with max_df below the corpus size, pairs connected ONLY
+    through the stop-shingle disappear, while genuinely similar pairs
+    (sharing non-hot shingles) survive with full-denominator jaccard."""
+    stop = "lorem ipsum dolor"
+    rows = [
+        # 40 docs sharing ONLY the stop-shingle + a unique tail
+        *[(i, f"lorem ipsum dolor unique{i} tail{i}", "en", "s") for i in range(40)],
+        # one genuine near-dup pair with private overlap
+        (100, "alpha beta gamma delta epsilon", "en", "s"),
+        (101, "alpha beta gamma delta zeta", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    uncapped = ngram_jaccard_pairs(docs, min_jaccard_bp=1, max_df=None)
+    capped = ngram_jaccard_pairs(docs, min_jaccard_bp=1, max_df=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # stop-shingle alone fans out C(40,2) = 780 pairs uncapped
+    assert n_un >= 780
+    # capped: the hot shingle is excluded from candidate generation
+    assert n_cap < 40
+    genuine = {(r.doc_a, r.doc_b): r.jaccard_bp for r in capped.collect()}
+    assert (100, 101) in genuine
+    # denominator uses FULL shingle sets: 2 common of 3+3 shingles → 5000 bp
+    assert genuine[(100, 101)] == 5000

@@ -55,11 +55,12 @@ def test_numpy_path_matches_sql_fold(spark):
 
 
 def test_lsh_restricts_to_bucket(spark):
-    # dims (1, 8, 21) on 3-dim vectors: element_at OOB → null >= 0 → false →
-    # still deterministic bucketing; vec 3 (negative x) separates from vec 0
-    got = cosine_topk_lsh(_emb(spark), [0], k=4, dims=(1,)).collect()
+    # vec 3 = −vec 0: every plane dot flips sign, so no signature band is
+    # shared and 3 is never a candidate; vec 1 (0.9, 0.1, 0) has the same
+    # sign as vec 0 under every ±1 plane (|0.9·h0| > |0.1·h1|) → candidate
+    got = cosine_topk_lsh(_emb(spark), [0], k=4, dim=3).collect()
     ids = {r.vec_id for r in got}
-    assert 3 not in ids             # opposite-sign bucket excluded
+    assert 3 not in ids             # opposite-sign signature excluded
     assert 1 in ids
 
 
@@ -76,11 +77,11 @@ def test_near_dup_pairs_finds_planted_clones(spark):
         F.expr("transform(embedding, x -> x + 0.001D)").alias("embedding"),
     )
     got = near_dup_pairs(
-        base.unionByName(clones), threshold_bp=9990, dims=(1, 2, 3)
+        base.unionByName(clones), threshold_bp=9990, dim=3
     ).collect()
     pairs = {(r.id_a, r.id_b) for r in got}
-    # every planted clone pairs with its original (same sign bucket: the
-    # 0.001 shift cannot flip any sign in VECS, whose nonzero coords are >=0.1)
+    # every planted clone pairs with its original (identical signatures: the
+    # 0.001 shift cannot flip any plane dot in VECS, whose dots are >=0.5)
     assert {(v, v + 100) for v, _ in VECS} <= pairs
     # and nothing else is a near-dup at 0.999 except clone-of-neighbour pairs
     for r in got:
@@ -90,7 +91,46 @@ def test_near_dup_pairs_finds_planted_clones(spark):
 def test_near_dup_respects_bucket_blocking(spark):
     from binlog_processer_spark.operators.similarity import near_dup_pairs
 
-    # vec 0 and its exact opposite (vec 3) are in different sign buckets and
-    # anti-correlated: never reported even at threshold 0
-    got = near_dup_pairs(_emb(spark), threshold_bp=0, dims=(1, 2, 3)).collect()
+    # vec 0 and its exact opposite (vec 3) disagree on every sign bit and
+    # share no band: never reported even at threshold 0
+    got = near_dup_pairs(_emb(spark), threshold_bp=0, dim=3).collect()
     assert all({r.id_a, r.id_b} != {0, 3} for r in got)
+
+
+def test_bucket_count_scales_with_corpus(spark):
+    """planes_for grows the signature with n, so the number of occupied
+    band-buckets grows and expected bucket size stays bounded — the property
+    that keeps the candidate self-join ~linear at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import (
+        DEFAULT_BANDS,
+        _banded,
+        planes_for,
+        sign_signature_expr,
+    )
+
+    assert planes_for(1_000) < planes_for(1_000_000) < planes_for(10**12)
+
+    def occupied_buckets(n):
+        # deterministic pseudo-random 8-dim embeddings from pure SQL
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 8), i ->"
+                " cast(pmod(hash(id, i), 2001) - 1000 as float) / 1000.0F)"
+            ).alias("embedding"),
+        )
+        np = planes_for(n)
+        sig = emb.withColumn("sig", sign_signature_expr(np, dim=8))
+        return (
+            _banded(sig, np, DEFAULT_BANDS)
+            .select("band_id", "band")
+            .distinct()
+            .count()
+        )
+
+    small, large = occupied_buckets(200), occupied_buckets(3200)
+    assert large > small
+    # expected docs per (band_id, band) bucket stays bounded
+    assert 3200 * DEFAULT_BANDS / large < 32
