@@ -29,6 +29,7 @@ from binlog_processer_spark.operators.resume import remaining_events
 from binlog_processer_spark.operators.route import (
     apply_soft_delete,
     fan_out_trees,
+    filter_system_schemas,
     route,
     split_ignored,
     with_envelope,
@@ -85,7 +86,7 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept, _ = split_ignored(_enriched(spark, sf_dir))
+    kept, _ = split_ignored(filter_system_schemas(_enriched(spark, sf_dir)))
     return kept
 
 
@@ -153,7 +154,8 @@ enriched AS (
   SELECT c.*, r.db_instance, r.database_sharded, r.database_name,
          r.table_name, r.route, r.ignored
   FROM corpus c JOIN routing r USING (table_key)),
-kept AS (SELECT * FROM enriched WHERE NOT ignored),
+kept AS (SELECT * FROM enriched
+         WHERE NOT ignored AND database_name NOT IN ('mysql', 'infra')),
 survivors AS (
   SELECT * EXCLUDE (archive_flag) FROM (
     SELECT k.*,
@@ -219,7 +221,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
     )
     enriched = enrich_routing(good, _routing(spark, sf_dir))
-    kept, _ign = split_ignored(enriched)
+    kept, _ign = split_ignored(filter_system_schemas(enriched))
     kept = apply_soft_delete(kept)
     routed = fan_out_trees(with_envelope(kept))
     return agg.sink_counts(routed)
@@ -422,6 +424,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ev.groupBy("file_id").agg(F.count("*").alias("cnt"))
 
     q["resume_remaining"] = resume_remaining
+
+    # --- P1 system-schema filter (src13 routes to database 'mysql') ---
+    def system_schema_counts(spark, sf_dir):
+        return (
+            _enriched(spark, sf_dir)
+            .filter(F.col("database_name").isin("mysql", "infra"))
+            .groupBy("database_name")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    q["system_schema_counts"] = system_schema_counts
+
+    # --- timezone/epoch compat (SchemaData.java:60-68 −8h CST shift;
+    #     DataBaseHandler.java:44-52 epoch s↔ms 10-digit heuristic) ---
+    def timezone_compat(spark, sf_dir):
+        from binlog_processer_spark.functions.compat import (
+            cst_date_shift,
+            epoch_to_ts,
+        )
+
+        c = _corpus(spark, sf_dir)
+        mixed = c.withColumn(
+            "epoch_mixed",
+            F.when(
+                F.col("doc_num") % 2 == 0, F.unix_timestamp("commit_ts")
+            ).otherwise(F.unix_timestamp("commit_ts") * 1000),
+        )
+        return mixed.select(
+            "doc_id", "event_seq", "epoch_mixed",
+            epoch_to_ts(F.col("epoch_mixed")).alias("recovered_ts"),
+            F.to_date(cst_date_shift(F.col("commit_ts")))
+            .cast("timestamp")
+            .alias("cst_day"),
+            (epoch_to_ts(F.col("epoch_mixed")) == F.col("commit_ts")).alias(
+                "roundtrip_ok"
+            ),
+        )
+
+    q["timezone_compat"] = timezone_compat
+
+    # --- P5 identifier normalization (AvroDataBuilder.java:223,237-247) ---
+    def identifier_norm(spark, sf_dir):
+        from binlog_processer_spark.functions.compat import normalize_identifier
+
+        raw_ident = F.concat(
+            F.lit("`"), F.upper("database_name"), F.lit("`.`"),
+            F.upper("table_name"), F.lit("`"),
+        )
+        return _routing(spark, sf_dir).select(
+            "table_key",
+            raw_ident.alias("raw_ident"),
+            normalize_identifier(raw_ident).alias("norm_ident"),
+        )
+
+    q["identifier_norm"] = identifier_norm
+
+    # --- id-list truncation (CheckDBUtil.java:39-46, cap lowered to 10 so
+    #     truncation bites at sf0.01) ---
+    def probe_id_lists(spark, sf_dir):
+        from binlog_processer_spark.functions.compat import truncated_id_list
+
+        return truncated_id_list(
+            _kept(spark, sf_dir), ["database_name", "table_name"], max_ids=10
+        )
+
+    q["probe_id_lists"] = probe_id_lists
+
+    # --- √n probe sample (TiDBCompareByFile.java:386-411) ---
+    def probe_sample(spark, sf_dir):
+        from binlog_processer_spark.functions.compat import sqrt_sample
+
+        base = (
+            _kept(spark, sf_dir)
+            .select("database_name", "table_name", "doc_id")
+            .distinct()
+        )
+        return sqrt_sample(base, ["database_name", "table_name"])
+
+    q["probe_sample"] = probe_sample
+
+    # --- per-row token equality on ROUTED rows (BASELINE.json invariant,
+    #     gated by the driver instead of pytest only) ---
+    def routed_tokens_digest(spark, sf_dir):
+        routed = _routed(spark, sf_dir)
+        return routed.select(
+            "tree", "doc_id", "event_seq", "op",
+            F.col("img.n_tok").alias("img_n_tok"),
+            _md5_arr("img.tokens").alias("tokens_md5"),
+        )
+
+    q["routed_tokens_digest"] = routed_tokens_digest
 
     # ------------------------------------------------------------------
     # training-data ops: dedup / similarity / text analysis (documents +
@@ -710,6 +803,55 @@ def oracle_sql() -> dict[str, str]:
     o["resume_remaining"] = _oracle_full(
         "SELECT file_id, count(*) AS cnt FROM corpus WHERE file_id NOT IN"
         " ('src0-f0', 'src1-f1', 'src2-f2') GROUP BY 1"
+    )
+    o["system_schema_counts"] = _oracle_full(
+        "SELECT database_name, count(*) AS cnt"
+        " FROM corpus c JOIN routing r USING (table_key)"
+        " WHERE database_name IN ('mysql', 'infra') GROUP BY 1"
+    )
+    _rec = (
+        "CASE WHEN epoch_mixed < 10000000000"
+        " THEN make_timestamp(epoch_mixed * 1000000)"
+        " ELSE make_timestamp(epoch_mixed * 1000) END"
+    )
+    o["timezone_compat"] = _oracle_full(
+        f"SELECT doc_id, event_seq, epoch_mixed, {_rec} AS recovered_ts,"
+        " cast(cast(commit_ts - to_hours(8) AS date) AS timestamp) AS cst_day,"
+        f" ({_rec} = commit_ts) AS roundtrip_ok FROM m",
+        "m AS (SELECT doc_id, event_seq, commit_ts,"
+        " CASE WHEN doc_num % 2 = 0 THEN cast(epoch(commit_ts) AS bigint)"
+        " ELSE cast(epoch(commit_ts) AS bigint) * 1000 END AS epoch_mixed"
+        " FROM corpus)",
+    )
+    _raw_ident = (
+        "'`' || upper(database_name) || '`.`' || upper(table_name) || '`'"
+    )
+    o["identifier_norm"] = _oracle_full(
+        f"SELECT table_key, {_raw_ident} AS raw_ident,"
+        f" lower(replace({_raw_ident}, '`', '')) AS norm_ident FROM routing"
+    )
+    _idlist = "list_slice(list_sort(list(doc_id)), 1, 10)"
+    o["probe_id_lists"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " count(doc_id) AS total_ids,"
+        f" cast(len({_idlist}) AS int) AS probe_ids,"
+        f" md5(array_to_string({_idlist}, ',')) AS ids_md5"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    o["probe_sample"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id FROM ("
+        " SELECT *, count(*) OVER (PARTITION BY database_name, table_name)"
+        "  AS n, row_number() OVER (PARTITION BY database_name, table_name"
+        "  ORDER BY md5(doc_id), doc_id) AS rn"
+        " FROM (SELECT DISTINCT database_name, table_name, doc_id FROM kept))"
+        " WHERE rn <= ceil(sqrt(n))",
+        _X_ENRICHED,
+    )
+    o["routed_tokens_digest"] = _oracle_full(
+        "SELECT tree, doc_id, event_seq, op, n_tok AS img_n_tok,"
+        f" {_duck_md5_arr('tokens')} AS tokens_md5 FROM routed",
+        _X_ENRICHED,
     )
 
     # ------------------------------------------------------------------

@@ -25,6 +25,10 @@ cancellation paths of AvroDataReader.java:128-135 execute):
 - ``table_key``   source || '#' || bucket          (TABLE_MAP join key)
 - ``sign``        (doc_id*3 + r) % 97: 0→1, 1→0, else NULL (soft-delete flag
                   events, IgnoreStrategy.java:10-30 analogue)
+
+Routing maps source ``src13`` to database_name ``mysql`` — a system schema —
+so the P1 system-schema filter (BinlogFileReader.java:188-190) is exercised
+by the oracle contract, not just pytest.
 """
 
 from __future__ import annotations
@@ -122,9 +126,11 @@ routing AS (
     s.source AS r_source, b.bucket AS r_bucket,
     'inst' || cast(b.bucket % 2 AS {d['STR']}) AS db_instance,
     'db_' || s.source || cast(b.bucket % 2 + 1 AS {d['STR']}) AS database_sharded,
-    'db_' || s.source AS database_name,
+    CASE WHEN s.source = 'src13' THEN 'mysql'
+         ELSE 'db_' || s.source END AS database_name,
     't' || cast(b.bucket AS {d['STR']}) AS table_name,
-    'db_' || s.source || '.t' || cast(b.bucket AS {d['STR']}) AS route,
+    CASE WHEN s.source = 'src13' THEN 'mysql'
+         ELSE 'db_' || s.source END || '.t' || cast(b.bucket AS {d['STR']}) AS route,
     (s.source = 'src15' AND b.bucket = 3) AS ignored
   FROM (SELECT DISTINCT source FROM documents) s
   CROSS JOIN ({buckets}) b

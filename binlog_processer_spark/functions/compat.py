@@ -1,0 +1,113 @@
+"""Reference-compat scalar/group operators (SURVEY §7.3 hard-part 3 + §2.8).
+
+Small semantics the reference applies when replaying real data; each is a
+pure expression (codegen, shuffle-free) or a bounded group aggregate, with a
+DuckDB-oracle twin where used by the contract.
+
+- CST date shift: the reference stores date-typed values as millis at CST
+  (UTC+8) midnight and subtracts 8h when converting back
+  (SchemaData.java:60-68) — replaying its output without the shift lands
+  every date one day late for the 8h window.
+- epoch s↔ms heuristic: mixed feeds carry unix seconds OR millis in the same
+  column; the reference disambiguates by digit count — ≥13 digits ⇒ millis
+  (TiDBCompareByFile.java:252,279; DataBaseHandler.java:44-52).
+- identifier normalization (P5): lowercase + backtick strip before schema
+  lookup (AvroDataBuilder.java:223,237-247; SchemaProviders.java:106-107).
+- id-list truncation: probe id lists cap at 1000 ids per batch
+  (CheckDBUtil.java:39-46 ID_LIST_MAX).
+- √n sampling: the comparer probes a √n-sized sample per table before a full
+  scan (TiDBCompareByFile.java:386-411); random sampling is replayed here as
+  a deterministic md5-ordered prefix so the oracle computes the same rows.
+- type widening: schema evolution promotes int→long, float→double,
+  bytes→string (SchemaConverter.java:14-74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+)
+
+CST_OFFSET_HOURS = 8
+EPOCH_MS_THRESHOLD = 10_000_000_000  # < 10^10 ⇒ seconds (10-digit ≈ 2286 CE)
+ID_LIST_MAX = 1000
+
+
+def cst_date_shift(ts: Column) -> Column:
+    """Date-typed millis were written at CST midnight: shift −8h before
+    taking the date (SchemaData.java:60-68)."""
+    return ts - F.expr(f"make_interval(0, 0, 0, 0, {CST_OFFSET_HOURS}, 0, 0)")
+
+
+def epoch_to_ts(v: Column) -> Column:
+    """Unix seconds OR millis → timestamp by magnitude (10-digit heuristic,
+    DataBaseHandler.java:44-52)."""
+    return F.when(
+        v < F.lit(EPOCH_MS_THRESHOLD), F.timestamp_seconds(v)
+    ).otherwise(F.timestamp_millis(v))
+
+
+def normalize_identifier(name: Column) -> Column:
+    """P5: lowercase + backtick strip (AvroDataBuilder.java:223,237-247)."""
+    return F.lower(F.regexp_replace(name, "`", ""))
+
+
+def truncated_id_list(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str = "doc_id",
+    max_ids: int = ID_LIST_MAX,
+) -> DataFrame:
+    """Per-key sorted id list capped at ``max_ids`` (CheckDBUtil.java:39-46):
+    (keys…, total_ids, probe_ids(≤max), ids_md5 digest of the probe list)."""
+    ids = F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids)
+    return df.groupBy(*keys).agg(
+        F.count(id_col).alias("total_ids"),
+        F.size(ids).alias("probe_ids"),
+        F.md5(F.concat_ws(",", ids)).alias("ids_md5"),
+    )
+
+
+def sqrt_sample(
+    df: DataFrame, keys: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic √n sample per key group (TiDBCompareByFile.java:386-411
+    probes √n rows before a full compare): rank rows by md5(id) within the
+    group and keep the first ceil(√group_size) — a uniform pseudo-random
+    sample both engines compute identically."""
+    w = Window.partitionBy(*keys)
+    wo = w.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.withColumn("__n", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(F.col("__rn") <= F.ceil(F.sqrt(F.col("__n"))))
+        .drop("__n", "__rn")
+    )
+
+
+_WIDEN = {
+    IntegerType(): LongType(),
+    FloatType(): DoubleType(),
+    BinaryType(): StringType(),
+}
+
+
+def widen_types(df: DataFrame) -> DataFrame:
+    """Schema-evolution widening (SchemaConverter.java:14-74): int→long,
+    float→double, binary→string; other types (and nested fields' top-level
+    containers) pass through unchanged."""
+    cols = []
+    for f in df.schema.fields:
+        tgt = _WIDEN.get(f.dataType)
+        if tgt is not None:
+            cols.append(F.col(f.name).cast(tgt).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
