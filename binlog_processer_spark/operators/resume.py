@@ -34,7 +34,15 @@ class ProcessedManifest:
             return set(json.load(f)["processed"])
 
     def mark(self, file_ids: list[str]) -> None:
-        done = self.load() | set(file_ids)
+        self._save(self.load() | set(file_ids))
+
+    def unmark(self, file_ids: list[str]) -> None:
+        """Forget completed files so the next run re-processes them — the
+        structural-repair hook (Repair.java:179-260 resets t_binlog_process
+        status for files whose output was lost)."""
+        self._save(self.load() - set(file_ids))
+
+    def _save(self, done: set[str]) -> None:
         tmp = self.path + ".tmp"
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(tmp, "w") as f:

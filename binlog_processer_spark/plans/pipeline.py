@@ -113,19 +113,39 @@ def run_pipeline(
         committed = tables["routed"].read(spark)
         sink_counts, wm, hist, lineage, rollup_base = agg.single_pass_rollups(committed)
 
-        # aggregate tables are small (per-sink cardinality) — one file each
-        tables["sink_counts"].write(sink_counts.coalesce(1))
-        tables["watermarks"].write(wm.coalesce(1))
-        tables["histograms"].write(hist.coalesce(1))
-        # lineage is tiny (one row per file×sink): collect once, reuse for
-        # the manifest and the routed-row metric without further scans
-        lineage_rows = lineage.collect()
-        tables["lineage"].write(
-            spark.createDataFrame(lineage_rows, lineage.schema)
-        )
+        # materialize the shared rollup ONCE before fanning out publishes —
+        # otherwise the concurrent jobs below race to compute the same cached
+        # partitions
+        rollup_base.count()
+
+        # the four aggregate outputs are tiny (per-sink cardinality, one file
+        # each) but each publish is its own Spark job whose submit + commit
+        # tail is serial; at higher core counts those fixed tails dominate the
+        # wall clock (they don't parallelize), so publish CONCURRENTLY —
+        # Spark's scheduler handles multi-threaded job submission natively
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _publish_lineage():
+            # lineage is one row per file×sink: collect once, reuse for the
+            # manifest and the routed-row metric without further scans
+            rows = lineage.collect()
+            tables["lineage"].write(spark.createDataFrame(rows, lineage.schema))
+            return rows
+
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            f_lineage = ex.submit(_publish_lineage)
+            f_quar = ex.submit(quarantine.count)
+            f_pub = [
+                ex.submit(tables["sink_counts"].write, sink_counts.coalesce(1)),
+                ex.submit(tables["watermarks"].write, wm.coalesce(1)),
+                ex.submit(tables["histograms"].write, hist.coalesce(1)),
+            ]
+            lineage_rows = f_lineage.result()
+            n_quarantine = f_quar.result()
+            for f in f_pub:
+                f.result()
         rollup_base.unpersist()
 
-        n_quarantine = quarantine.count()
         if n_quarantine:
             tables["quarantine"].write(quarantine)
 

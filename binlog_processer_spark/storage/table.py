@@ -63,15 +63,31 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
         properties: dict | None = None,
+        file_format: str = "parquet",
     ) -> int:
+        """``file_format``: 'parquet' (default) or 'orc' — the ORC path is the
+        Hive-side S9 analogue (HiveCompareByFile.java reads ORC tables); a
+        table keeps one format for its whole lineage."""
         parent = self.current_snapshot()
         snap = (parent + 1) if parent is not None else 0
         snap_dir = os.path.join(self.root, f"snap-{snap}")
         data_dir = os.path.join(snap_dir, "data")
+        excluded: list[str] = []
+        if parent is not None:
+            pm = self._manifest(parent)
+            pfmt = pm.get("format", "parquet")
+            if pfmt != file_format:
+                if mode == "append":
+                    raise ValueError(
+                        f"cannot append {file_format} to a {pfmt} table"
+                    )
+                file_format = file_format  # overwrite may switch formats
+            if mode == "append":
+                excluded = pm.get("excluded_files", [])
         w = df.write.mode("errorifexists")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(data_dir)
+        w.format(file_format).save(data_dir)
 
         data_dirs = [os.path.relpath(data_dir, self.root)]
         if mode == "append" and parent is not None:
@@ -83,6 +99,8 @@ class SnapshotTable:
             "created_ms": int(time.time() * 1000),
             "partition_by": partition_by or [],
             "data_dirs": data_dirs,
+            "format": file_format,
+            "excluded_files": excluded,
             # schema travels in metadata (Iceberg-style): readers never pay
             # inference, and empty snapshots stay readable
             "schema": df.schema.json(),
@@ -93,33 +111,96 @@ class SnapshotTable:
         self._commit(snap)
         return snap
 
+    def exclude_files(self, files: list[str]) -> int:
+        """Metadata-only snapshot that drops the given data files from the
+        table (paths absolute or root-relative) — the structural-quarantine
+        commit for corrupt output files (ListCorruptAvroFile.java:34-44:
+        unreadable Avro files are moved aside so the table stays readable).
+        No data is touched; the parent snapshot still serves the old view."""
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(parent)
+        rel = {
+            os.path.relpath(p, self.root) if os.path.isabs(p) else p
+            for p in files
+        }
+        snap = parent + 1
+        snap_dir = os.path.join(self.root, f"snap-{snap}")
+        os.makedirs(snap_dir, exist_ok=True)
+        manifest = {
+            **m,
+            "snapshot": snap,
+            "parent": parent,
+            "mode": "exclude",
+            "created_ms": int(time.time() * 1000),
+            "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
+        }
+        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._commit(snap)
+        return snap
+
+    def data_files(self, snapshot: int | None = None) -> list[str]:
+        """Absolute paths of the data files the given (default current)
+        snapshot reads, exclusions applied."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            return []
+        m = self._manifest(snap)
+        ext = "." + ("orc" if m.get("format", "parquet") == "orc" else "parquet")
+        excluded = set(m.get("excluded_files", []))
+        out = []
+        for d in m["data_dirs"]:
+            base = os.path.join(self.root, d)
+            for dirpath, _, files in os.walk(base):
+                for f in files:
+                    if f.endswith(ext):
+                        p = os.path.join(dirpath, f)
+                        if os.path.relpath(p, self.root) not in excluded:
+                            out.append(p)
+        return sorted(out)
+
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         snap = self.current_snapshot() if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(snap)
-        paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
+        fmt = m.get("format", "parquet")
+        ext = "." + ("orc" if fmt == "orc" else "parquet")
+        excluded = set(m.get("excluded_files", []))
         schema = StructType.fromJson(json.loads(m["schema"]))
 
-        def _has_data(p: str) -> bool:
-            for _, _, files in os.walk(p):
-                if any(f.endswith(".parquet") for f in files):
-                    return True
-            return False
-
-        paths = [p for p in paths if _has_data(p)]
-        if not paths:
-            return spark.createDataFrame([], schema)
-        if m["partition_by"]:
-            # each snapshot dir is its own partition-discovery root; the union
-            # still pushes partition filters into every branch's scan
-            out = None
-            for p in paths:
-                d = spark.read.schema(schema).option("basePath", p).parquet(p)
-                out = d if out is None else out.unionByName(d)
+        def _files_under(p: str) -> list[str]:
+            out = []
+            for dirpath, _, files in os.walk(p):
+                for f in files:
+                    if f.endswith(ext):
+                        fp = os.path.join(dirpath, f)
+                        if os.path.relpath(fp, self.root) not in excluded:
+                            out.append(fp)
             return out
-        return spark.read.schema(schema).parquet(*paths)
+
+        def _scan(p: str, explicit: list[str] | None = None) -> DataFrame:
+            r = spark.read.schema(schema).option("basePath", p).format(fmt)
+            return r.load(explicit if explicit is not None else p)
+
+        paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
+        branches = []
+        for p in paths:
+            files = _files_under(p)
+            if not files:
+                continue
+            # with exclusions the scan must list files explicitly (partition
+            # values still resolve from each file's dir via basePath)
+            branches.append(_scan(p, files if excluded else None))
+        if not branches:
+            return spark.createDataFrame([], schema)
+        out = branches[0]
+        for d in branches[1:]:
+            out = out.unionByName(d)
+        return out
 
     def rollback(self, snapshot: int) -> None:
         self._manifest(snapshot)  # existence check
