@@ -194,7 +194,9 @@ def scaling_run() -> None:
     for _ in range(3):
         bw4 = max(bw4, _bandwidth_probe(4))
         bw16 = max(bw16, _bandwidth_probe(16))
-    hw_ceiling = min((bw16 / bw4) / 4, 1.0)
+    # NOT clamped (per round-1 advice): a ceiling or normalized figure >1
+    # would signal probe noise and must be visible, not silently capped
+    hw_ceiling = (bw16 / bw4) / 4
     eff_norm = eff / hw_ceiling if hw_ceiling else float("nan")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -208,12 +210,21 @@ def scaling_run() -> None:
             "| parallelism | wall (s) | throughput (seq/s) |\n|---|---|---|\n"
             f"| local[4] (N) | {tn} | {results[4]['throughput_seq_per_sec']} |\n"
             f"| local[16] (4N) | {t4n} | {results[16]['throughput_seq_per_sec']} |\n\n"
-            f"- raw scaling efficiency (T_N/T_4N)/4 = **{eff:.3f}**\n"
-            f"- host memory-bandwidth ceiling for the same 4→16 step "
+            f"- raw scaling efficiency (T_N/T_4N)/4 = **{eff:.3f}**"
+            + (
+                " — below the ≥0.8 north-rule target ON THIS SINGLE-VM HOST"
+                " (see methodology: the raw figure includes the host's"
+                " shared-memory-bus ceiling, which a real multi-node cluster"
+                " does not have)\n"
+                if eff < 0.8
+                else " (≥ 0.8 north-rule target met raw)\n"
+            )
+            + f"- host memory-bandwidth ceiling for the same 4→16 step "
             f"(numpy stream-copy probe, {bw4:.1f} → {bw16:.1f} GB/s "
             f"aggregate) = **{hw_ceiling:.3f}**\n"
             f"- engine scaling efficiency normalized to the host ceiling = "
-            f"**{min(eff_norm, 1.0):.3f}** (north-rule target ≥ 0.8)\n\n"
+            f"**{eff_norm:.3f}** (north-rule target ≥ 0.8; unclamped — a "
+            f"value >1 would indicate probe noise)\n\n"
             "Methodology. local[4] vs local[16] stands in for N vs 4N\n"
             "executor clusters per the driver's two-parallelism-level\n"
             "instruction; input, code, and configs are identical (best of 2\n"
@@ -237,7 +248,7 @@ def scaling_run() -> None:
     print(json.dumps({
         "scaling_efficiency": round(eff, 3),
         "hw_bandwidth_ceiling": round(hw_ceiling, 3),
-        "scaling_efficiency_normalized": round(min(eff_norm, 1.0), 3),
+        "scaling_efficiency_normalized": round(eff_norm, 3),
         **{f"local{c}": r for c, r in results.items()},
     }))
 
