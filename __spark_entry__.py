@@ -516,6 +516,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["routed_tokens_digest"] = routed_tokens_digest
 
+    # --- §2.8 string scalar functions over corpus columns ---
+    def scalar_strings(spark, sf_dir):
+        from binlog_processer_spark.functions.strings import (
+            binlog_file_num,
+            hive_partition_path,
+            op_code,
+            parse_hive_partition,
+            split_key,
+            strip_tar,
+        )
+
+        c = _corpus(spark, sf_dir)
+        synth = F.concat(
+            F.lit("mysql-bin.00"), F.lpad((F.col("doc_num") % 997).cast("string"), 4, "0"),
+            F.lit(".tar"),
+        )
+        hp = hive_partition_path(F.col("commit_ts"))
+        return c.select(
+            "doc_id", "event_seq",
+            op_code(F.col("op")).alias("op_code"),
+            strip_tar(synth).alias("binlog_name"),
+            binlog_file_num(strip_tar(synth)).alias("binlog_num"),
+            hp.alias("hive_path"),
+            parse_hive_partition(hp).cast("timestamp").alias("hive_date"),
+            split_key(F.col("file_id"), 2, "-").alias("file_part"),
+        )
+
+    q["scalar_strings"] = scalar_strings
+
     # ------------------------------------------------------------------
     # training-data ops: dedup / similarity / text analysis (documents +
     # embeddings tables)
@@ -852,6 +881,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tree, doc_id, event_seq, op, n_tok AS img_n_tok,"
         f" {_duck_md5_arr('tokens')} AS tokens_md5 FROM routed",
         _X_ENRICHED,
+    )
+    _bname = "'mysql-bin.00' || lpad(cast(doc_num % 997 AS varchar), 4, '0')"
+    _hp = (
+        "'p_y=' || strftime(commit_ts, '%Y') || '/p_m=' ||"
+        " strftime(commit_ts, '%m') || '/p_d=' || strftime(commit_ts, '%d')"
+    )
+    o["scalar_strings"] = _oracle_full(
+        "SELECT doc_id, event_seq,"
+        " lower(substr(op, 1, 1)) AS op_code,"
+        f" {_bname} AS binlog_name,"
+        f" cast(regexp_extract({_bname}, '(mysql-bin\\.)(\\d+)', 2) AS bigint)"
+        " AS binlog_num,"
+        f" {_hp} AS hive_path,"
+        " date_trunc('day', commit_ts) AS hive_date,"
+        " split_part(file_id, '-', 2) AS file_part"
+        " FROM corpus"
     )
 
     # ------------------------------------------------------------------
