@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- J3/J4/J5 reconciliation with injected mutations ---
     def reconcile_findings(spark, sf_dir):
         fs = _final_state(spark, sf_dir).persist()
+        fs.count()
         return reconcile(None, _replica_from_fs(fs, mutated=True), fs=fs)
 
     q["reconcile_findings"] = reconcile_findings
@@ -406,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # once; recomputing final_state per stage was a 3x scan) ---
     def repair_roundtrip(spark, sf_dir):
         fs = _final_state(spark, sf_dir).persist()
+        fs.count()  # eager: populate the cache ONCE before the 6+ self-joins
         replica = _replica_from_fs(fs, mutated=True)
         findings = reconcile(None, replica, fs=fs)
         repaired = repair(None, replica, findings, fs=fs)

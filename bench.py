@@ -172,10 +172,24 @@ def scaling_run() -> None:
     # costs are noise, and the bench should reflect that regime
     n_docs = _bench_docs() * 4
     results: dict[int, dict] = {}
+
+    def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> None:
+        """Noisy-neighbor gate: the host's 1-min load can sit >8 with nothing
+        of ours running, which crushes the 16-way runs and the bandwidth
+        probe (measured 32.9 vs 78.3 GB/s across windows). Wait for a quiet
+        window before each measurement; proceed anyway after timeout so the
+        bench always completes."""
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            if os.getloadavg()[0] < max_load:
+                return
+            time.sleep(15)
+
     # the sandbox host has noisy neighbors (load >0 with nothing running);
-    # alternate levels and keep each level's best run so one noisy window
-    # can't skew the ratio
+    # alternate levels, gate each run on a quiet window, and keep each
+    # level's best run so one noisy window can't skew the ratio
     for cpus in (4, 16, 4, 16):
+        _wait_quiet()
         cmd = [
             sys.executable, __file__, "--pipeline-only", "--cpus", str(cpus),
             "--docs", str(n_docs),
@@ -192,6 +206,7 @@ def scaling_run() -> None:
     # pipeline perturb the probe; max ~= least-interfered measurement
     bw4 = bw16 = 0.0
     for _ in range(3):
+        _wait_quiet()
         bw4 = max(bw4, _bandwidth_probe(4))
         bw16 = max(bw16, _bandwidth_probe(16))
     # NOT clamped (per round-1 advice): a ceiling or normalized figure >1

@@ -43,28 +43,40 @@ def repair(
     if fs is None:
         fs = final_state(events)
     flagged = findings.select(*KEYS).distinct()
-    fs = fs.join(flagged, KEYS, "left_semi")
-
-    upserts = fs.filter(F.col("final_op") != "Delete").select(
+    src = fs.join(flagged, KEYS, "left_semi").select(
         *KEYS,
-        F.col("final_ts").alias("replica_ts"),
-        F.col("final_tokens").alias("replica_tokens"),
+        "final_op",
+        F.col("final_ts").alias("src_ts"),
+        F.col("final_tokens").alias("src_tokens"),
     )
-    deletes = fs.filter(F.col("final_op") == "Delete").select(*KEYS)
 
-    # WHEN MATCHED AND src newer THEN UPDATE / WHEN MATCHED (delete) THEN
-    # DELETE / WHEN NOT MATCHED THEN INSERT:
-    survivors = replica.join(deletes, KEYS, "left_anti")
-    lww = (
-        survivors.join(
-            upserts.select(*KEYS, F.col("replica_ts").alias("src_ts")),
-            KEYS,
-            "left",
+    # ONE full-outer join is the whole MERGE: WHEN MATCHED (delete) THEN
+    # DELETE / WHEN MATCHED AND src newer THEN UPDATE / WHEN NOT MATCHED
+    # THEN INSERT / unflagged replica rows pass through. Replaces the
+    # anti+left+anti join cascade (3 shuffles + union) with 1 join.
+    j = replica.join(src, KEYS, "full")
+    keep = (
+        # no repair source for this key → replica row passes through;
+        # LWW guard: an equal-or-newer replica row wins over the upsert
+        F.col("final_op").isNull()
+        | (
+            (F.col("final_op") != "Delete")
+            & F.col("replica_ts").isNotNull()
+            & (F.col("replica_ts") >= F.col("src_ts"))
         )
-        .filter(F.col("src_ts").isNull() | (F.col("replica_ts") >= F.col("src_ts")))
-        .drop("src_ts")
     )
-    inserted_or_updated = upserts.join(
-        lww.select(*KEYS), KEYS, "left_anti"
+    insert_or_update = (
+        (F.col("final_op").isNotNull()) & (F.col("final_op") != "Delete")
     )
-    return lww.unionByName(inserted_or_updated)
+    return (
+        j.filter(keep | insert_or_update)
+        .select(
+            *KEYS,
+            F.when(keep, F.col("replica_ts"))
+            .otherwise(F.col("src_ts"))
+            .alias("replica_ts"),
+            F.when(keep, F.col("replica_tokens"))
+            .otherwise(F.col("src_tokens"))
+            .alias("replica_tokens"),
+        )
+    )

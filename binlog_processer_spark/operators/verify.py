@@ -45,38 +45,38 @@ def reconcile(
         fs = final_state(events)
     keys = ["database_name", "table_name", "doc_id"]
 
-    creates = fs.filter(F.col("final_op") == "Create")
-    updates = fs.filter(F.col("final_op") == "Update")
-    deletes = fs.filter(F.col("final_op") == "Delete")
-
-    missing_create = creates.join(replica, keys, "left_anti").select(
-        *keys,
-        F.lit("missing_create").alias("finding"),
-        F.col("final_ts").alias("src_ts"),
+    # ONE left join carries all four probe classes (the reference's four
+    # Maps.difference/retainAll passes collapse into CASE logic over
+    # presence + staleness): anti ≡ left+null, semi ≡ left+not-null,
+    # theta ≡ left+predicate. Replica keys are unique (it models a keyed
+    # store), so the join fans out nothing. 1 shuffle instead of 4.
+    r = replica.select(
+        *keys, "replica_ts", F.lit(True).alias("__present")
     )
-    # Updates may land on ids the replica never saw (reference counts those as
-    # missing too: compareResult diff) — split equi-match into stale vs absent.
-    upd_absent = updates.join(replica, keys, "left_anti").select(
-        *keys,
-        F.lit("missing_update").alias("finding"),
-        F.col("final_ts").alias("src_ts"),
-    )
-    stale_update = (
-        updates.join(replica, keys, "inner")
-        .filter(F.col("final_ts") > F.col("replica_ts"))
-        .select(
-            *keys,
-            F.lit("stale_update").alias("finding"),
-            F.col("final_ts").alias("src_ts"),
+    joined = fs.join(r, keys, "left")
+    finding = (
+        F.when(
+            (F.col("final_op") == "Create") & F.col("__present").isNull(),
+            "missing_create",
+        )
+        # Updates may land on ids the replica never saw (reference counts
+        # those as missing too: compareResult diff)
+        .when(
+            (F.col("final_op") == "Update") & F.col("__present").isNull(),
+            "missing_update",
+        )
+        .when(
+            (F.col("final_op") == "Update")
+            & (F.col("final_ts") > F.col("replica_ts")),
+            "stale_update",
+        )
+        .when(
+            (F.col("final_op") == "Delete") & F.col("__present").isNotNull(),
+            "ghost_delete",
         )
     )
-    ghost_delete = deletes.join(replica, keys, "left_semi").select(
-        *keys,
-        F.lit("ghost_delete").alias("finding"),
-        F.col("final_ts").alias("src_ts"),
-    )
     return (
-        missing_create.unionByName(upd_absent)
-        .unionByName(stale_update)
-        .unionByName(ghost_delete)
+        joined.withColumn("finding", finding)
+        .filter(F.col("finding").isNotNull())
+        .select(*keys, "finding", F.col("final_ts").alias("src_ts"))
     )
