@@ -49,6 +49,46 @@ def test_routed_write_plan_single_fact_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_reconcile_is_single_join(spark):
+    """The four probe classes ride ONE join (operators/verify.py): a
+    regression back to per-class joins re-shuffles the final-state relation
+    4x at 10^12 rows."""
+    from binlog_processer_spark.operators.aggregate import final_state
+    from binlog_processer_spark.operators.verify import reconcile
+
+    ev = enrich_routing(_events(spark), routing_dim(spark))
+    fs = final_state(ev)
+    replica = fs.filter(F.col("final_op") != "Delete").select(
+        "database_name", "table_name", "doc_id",
+        F.col("final_ts").alias("replica_ts"),
+        F.col("final_tokens").alias("replica_tokens"),
+    )
+    plan = _plan(reconcile(None, replica, fs=fs))
+    # exactly one outer (probe) join; upstream dimension joins are broadcast
+    # inner joins and don't count
+    assert plan.count("LeftOuter") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_lsh_signature_is_codegen(spark):
+    """Sign-LSH signatures are pure expressions — no Python eval, no
+    shuffle before the band join."""
+    from binlog_processer_spark.operators.similarity import (
+        sign_signature_expr,
+    )
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i ->"
+            " cast(pmod(hash(id, i), 100) as float) / 100.0F)"
+        ).alias("embedding"),
+    )
+    plan = _plan(emb.withColumn("sig", sign_signature_expr(16, dim=8)))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_parquet_column_pruning(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     plan = _plan(df)
