@@ -666,6 +666,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_stateful_totals"] = streaming_stateful_totals
 
+    def streaming_windowed_histogram(spark, sf_dir):
+        """Event-time tumbling windows + watermark, append mode: only
+        windows CLOSED by the final watermark (max commit_ts − 2h) emit —
+        the oracle mirrors that cutoff exactly."""
+        from binlog_processer_spark.functions.parse import parse_raw as pr
+        from binlog_processer_spark.streaming.windowed import (
+            windowed_op_counts_stream,
+        )
+
+        d = _stream_raw_dir(spark, sf_dir)
+        raw = spark.readStream.schema("raw string").parquet(d + "/raw")
+        good = pr(raw).filter(F.col("status") == "OK")
+        out = windowed_op_counts_stream(good)
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("q_windowed_histogram")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table("q_windowed_histogram")
+
+    q["streaming_windowed_histogram"] = streaming_windowed_histogram
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -1124,6 +1149,18 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_running_totals"] = _oracle_full(
         "SELECT source, op, count(*) AS cnt, max(commit_ts) AS max_commit_ts"
         " FROM corpus GROUP BY 1, 2"
+    )
+    o["streaming_windowed_histogram"] = _oracle_full(
+        "SELECT source, date_trunc('day', commit_ts) AS win_start,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt,"
+        " max(commit_ts) AS win_watermark"
+        " FROM corpus GROUP BY 1, 2"
+        # append mode: a window emits only once the event-time watermark
+        # (global max commit_ts − 2h) passes its END
+        " HAVING date_trunc('day', commit_ts) + to_days(1) <="
+        " (SELECT max(commit_ts) - to_hours(2) FROM corpus)"
     )
     o["streaming_stateful_totals"] = _oracle_full(
         "SELECT source,"

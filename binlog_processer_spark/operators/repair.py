@@ -36,6 +36,8 @@ def repair(
     replica: (…KEYS, replica_ts, replica_tokens);
     findings: reconcile() output — only flagged ids are touched
     (BinlogDBHandler.java:15-48 id-list scoping).
+    Output shape is exactly (…KEYS, replica_ts, replica_tokens) — the
+    replica table's canonical schema; extra replica columns do not survive.
     ``fs``: optionally pass the same precomputed ``final_state`` used by
     ``reconcile`` so verify→repair replays the event log once, not thrice
     (the reference keeps one in-memory replay, AvroDataReader.java:95-135).

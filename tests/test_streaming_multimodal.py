@@ -135,3 +135,75 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(media, every_n=10).collect()
     assert len(frames) == 1
     assert len(frames[0].frames) >= 3
+
+
+def test_streaming_windowed_append_emits_closed_windows_once(spark, tmp_path):
+    """Append-mode event-time windows + watermark (streaming/windowed.py):
+    a window emits EXACTLY ONCE, when the watermark passes its end; windows
+    the final watermark has not closed are withheld. (Spark's late-data
+    drop is best-effort state cleanup, not a semantic guarantee — a late
+    row whose window still gets state IS aggregated, so the test asserts
+    the guaranteed contract, not drops.)"""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.streaming.windowed import (
+        windowed_op_counts_stream,
+    )
+
+    d = str(tmp_path / "wstream")
+    os.makedirs(d + "/raw")
+    ev = "source string, op string, commit_ts timestamp"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "source string, op string, commit_ts string"
+        ).select("source", "op", F.col("commit_ts").cast("timestamp"))
+
+    batches = [
+        [("s", "Create", "2024-01-05 10:00:00"),
+         ("s", "Update", "2024-01-05 11:00:00")],
+        [("s", "Create", "2024-01-01 00:00:00"),   # late (allowed to aggregate)
+         ("s", "Delete", "2024-01-05 12:00:00")],
+        [("s", "Create", "2024-01-10 00:00:00")],  # advances watermark past Jan-6
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        tmp = d + f"/tmp{i}"
+        mk(rows).coalesce(1).write.parquet(tmp)
+        dst = d + f"/raw/b{i}.parquet"
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        t = now - (len(batches) - 1 - i) * 120
+        os.utime(dst, (t, t))  # file source orders by mtime: b0 -> b1 -> b2
+
+    src = (
+        spark.readStream.schema(ev)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/raw")
+    )
+    out = windowed_op_counts_stream(src, window="1 day", watermark="2 hours")
+    sq = (
+        out.writeStream.format("memory")
+        .queryName("q_watermark_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    rows = {
+        str(r.win_start): r for r in spark.table("q_watermark_test").collect()
+    }
+    # each closed window emitted exactly once, with complete counts
+    assert len(rows) == len(spark.table("q_watermark_test").collect())
+    w5 = rows["2024-01-05 00:00:00"]
+    assert (w5.insert_cnt, w5.update_cnt, w5.delete_cnt) == (1, 1, 1)
+    # the Jan-10 window is still open at the final watermark (Jan-9 22:00)
+    # and must be withheld by append mode
+    assert "2024-01-10 00:00:00" not in rows
+    # watermark advanced across micro-batches (state actually bounded)
+    wm = sq.recentProgress[-1]["eventTime"].get("watermark", "")
+    assert wm.startswith("2024-01-09")
