@@ -575,6 +575,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), query_ids=list(range(10)), k=5
     )
 
+    def ann_ivf_topk(spark, sf_dir):
+        from binlog_processer_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(
+            _embs(spark, sf_dir), query_ids=list(range(10)), k=5,
+            n_centroids=16, n_probe=4,
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def dedup_embedding_cosine(spark, sf_dir):
         # embeddings are synthetic-random (no natural near-dups), so plant
         # deterministic perturbed clones (vec_id%10==0 → +100000, every
@@ -1068,6 +1078,42 @@ def oracle_sql() -> dict[str, str]:
         " scored AS (SELECT c.query_id, c.vec_id,"
         f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
         "  FROM cand c JOIN embeddings ON embeddings.vec_id = c.vec_id"
+        "  JOIN q ON q.query_id = c.query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 5"
+    )
+    _cos_vc = (
+        "list_dot_product(cast(embedding AS double[]), cast(c_emb AS double[]))"
+        " / nullif(sqrt(list_dot_product(cast(embedding AS double[]),"
+        " cast(embedding AS double[]))) * sqrt(list_dot_product("
+        " cast(c_emb AS double[]), cast(c_emb AS double[]))), 0.0)"
+    )
+    _cos_qc = _cos_vc.replace("embedding", "q_emb").replace("c_emb", "c_emb")
+    o["ann_ivf_topk"] = (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+        " cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e"
+        "  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16),"
+        " assign AS (SELECT vec_id, centroid_id FROM ("
+        "  SELECT v.vec_id, c.centroid_id, row_number() OVER ("
+        "   PARTITION BY v.vec_id ORDER BY"
+        f"   cast(round(({_cos_vc}) * 10000000) AS bigint) DESC,"
+        "   c.centroid_id) AS rn"
+        "  FROM e v CROSS JOIN cent c) WHERE rn = 1),"
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e"
+        "  WHERE vec_id < 10),"
+        " probes AS (SELECT query_id, centroid_id FROM ("
+        "  SELECT q.query_id, c.centroid_id, row_number() OVER ("
+        "   PARTITION BY q.query_id ORDER BY"
+        f"   cast(round(({_cos_qc}) * 10000000) AS bigint) DESC,"
+        "   c.centroid_id) AS rn"
+        "  FROM q CROSS JOIN cent c) WHERE rn <= 4),"
+        " cand AS (SELECT query_id, a.vec_id FROM probes"
+        "  JOIN assign a USING (centroid_id) WHERE a.vec_id <> query_id),"
+        " scored AS (SELECT c.query_id, c.vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM cand c JOIN e ON e.vec_id = c.vec_id"
         "  JOIN q ON q.query_id = c.query_id),"
         " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"

@@ -253,6 +253,101 @@ def near_dup_pairs(
     )
 
 
+def _sim_fp(a: str, b: str) -> F.Column:
+    """Cosine similarity in fixed-point (1e-7 resolution, bigint) — ranking
+    on the ROUNDED value keeps Spark/DuckDB argmax decisions identical even
+    when raw doubles differ in the last ulp."""
+    return F.round(cosine_expr(a, b) * 10_000_000).cast("bigint")
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic IVF 'training': the n vectors with the smallest
+    md5(vec_id) act as centroids — a uniform pseudo-random sample both
+    engines compute identically (a k-means refinement would drop in here;
+    the partition/probe dataflow is unchanged by centroid quality)."""
+    return (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine. One broadcast
+    cross join (n × k scores, k tiny) + a per-vector argmax window — the
+    window partitions by vec_id (unique key ⇒ perfectly even shuffle)."""
+    scored = embeddings.select("vec_id", "embedding").join(
+        F.broadcast(centroids)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        _sim_fp("embedding", "c_emb").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: exact search restricted to the ``n_probe`` closest centroid
+    partitions per query — candidates shrink to ~n·n_probe/n_centroids.
+    At scale the assignment is computed once and the candidate fetch is a
+    join on centroid_id (a balanced, low-cardinality key); only candidates
+    are scored exactly."""
+    emb = embeddings.select("vec_id", "embedding")
+    cent = ivf_centroids(emb, n_centroids)
+    assign = ivf_assignments(emb, cent)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _sim_fp("q_emb", "c_emb").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_bp",
+            F.round(cosine_expr("q_emb", "embedding") * 10000).cast("bigint"),
+        )
+        .select("query_id", "vec_id", "cosine_bp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_bp").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", "rank")
+    )
+
+
 def cosine_topk_np(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:

@@ -134,3 +134,39 @@ def test_bucket_count_scales_with_corpus(spark):
     assert large > small
     # expected docs per (band_id, band) bucket stays bounded
     assert 3200 * DEFAULT_BANDS / large < 32
+
+
+def test_ivf_topk_on_clustered_data(spark):
+    """IVF with enough probes finds exact neighbors inside tight clusters;
+    every vector gets exactly one centroid assignment."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    # 3 tight clusters of 10 around orthogonal axes (+ tiny deterministic jitter)
+    rows = []
+    for c, axis in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for i in range(10):
+            eps = (i + 1) / 1000.0
+            rows.append(
+                (c * 10 + i, [axis[0] + eps, axis[1] + eps / 2, axis[2]])
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    cent = ivf_centroids(emb, 6)
+    assign = ivf_assignments(emb, cent)
+    assert assign.count() == 30                       # one row per vector
+    assert assign.select("vec_id").distinct().count() == 30
+
+    got = ivf_topk(emb, query_ids=[0, 10, 20], k=3, n_centroids=6, n_probe=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    # nearest neighbors of a cluster member are cluster-mates
+    for qid in (0, 10, 20):
+        cluster = set(range((qid // 10) * 10, (qid // 10) * 10 + 10))
+        assert set(by_q[qid]) <= cluster - {qid}
