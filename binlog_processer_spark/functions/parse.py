@@ -11,6 +11,11 @@ Wire format (RAW_VERSION v1)::
 
     v1|<event_seq>|<unix_commit_s>|<unix_create_s>|<op>|<file_id>|<source>|<bucket>|<doc_id>|<sign-or-empty>|<n_tok>|<hex(int32-BE tokens)>
 
+Field bounds are part of the format contract: numeric int64 fields
+(event_seq, timestamps) carry at most 18 digits (< 10^18; binlog sequence
+surrogates and unix epochs never approach this), int32 fields (bucket,
+n_tok, sign) at most 9. Out-of-bound values quarantine as PARSE_ERROR.
+
 The token payload is hex-packed int32 (8 hex chars per token, the binlog-bytes
 analogue): the batch decode is ONE ``bytes.fromhex`` + ``np.frombuffer`` +
 ``np.split`` per Arrow batch — no per-token Python, unlike a delimited decimal
@@ -83,9 +88,22 @@ def serialize_expr() -> F.Column:
         F.col("doc_id"),
         F.coalesce(F.col("sign").cast("string"), F.lit("")),
         F.col("n_tok").cast("string"),
-        # hex-packed int32-BE payload, built entirely in codegen
+        # hex-packed int32-BE payload, built entirely in codegen. The
+        # & 0xFFFFFFFF mask is load-bearing: hex() of a NEGATIVE int
+        # renders 16 chars of 64-bit two's complement and lpad(…, 8)
+        # would keep the WRONG (high-order) half — masking to 32 bits
+        # first makes every token render as exactly its 8-char int32-BE
+        # image (property-tested over the full int32 range)
         F.array_join(
-            F.transform("tokens", lambda t: F.lpad(F.hex(t), 8, "0")), ""
+            F.transform(
+                "tokens",
+                lambda t: F.lpad(
+                    F.hex(t.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))),
+                    8,
+                    "0",
+                ),
+            ),
+            "",
         ),
     )
 

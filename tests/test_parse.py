@@ -83,3 +83,21 @@ def test_parse_is_arrow_batched(spark):
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_negative_tokens_roundtrip(spark):
+    """hex() of a negative int renders 64-bit two's complement; the
+    serializer must mask to 32 bits or lpad keeps the wrong half
+    (regression: -2 roundtripped as -1)."""
+    import datetime
+
+    rows = [(1, datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 1),
+             "Create", "f0", "s0", 0, "d0", None, 4,
+             [-1, -2, -2147483648, 2147483647])]
+    ev = ("event_seq bigint, commit_ts timestamp, create_ts timestamp,"
+          " op string, file_id string, source string, bucket int,"
+          " doc_id string, sign int, n_tok int, tokens array<int>")
+    df = spark.createDataFrame(rows, ev)
+    good, bad = split_quarantine(parse_raw(df.select(serialize_expr().alias("raw"))))
+    assert bad.count() == 0
+    assert list(good.collect()[0].tokens) == [-1, -2, -2147483648, 2147483647]
