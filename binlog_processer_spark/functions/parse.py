@@ -123,6 +123,7 @@ _ARROW_FIELDS = (
     "source string, bucket int, doc_id string, sign int, n_tok int, "
     "tokens array<int>, status string, raw string"
 )
+_ARROW_FIELDS_METRICS = _ARROW_FIELDS + ", parse_batch_us long"
 
 
 def _gather_field(flat, offsets, lens, i: int):
@@ -137,14 +138,20 @@ def _gather_field(flat, offsets, lens, i: int):
     return pc.if_else(pa.array(valid), f, pa.scalar(None, pa.string()))
 
 
-def _parse_arrow_batches(batches):
+def _parse_arrow_batches(batches, with_metrics: bool = False):
     """Pure-Arrow parse: split, validate, decode — no per-row Python objects.
 
     pandas str.split materializes N_FIELDS Python strings per row; Arrow's
     split_pattern + take keeps everything in contiguous buffers (~3x faster),
     and the token payload decodes as ONE fromhex + frombuffer per batch into
     a ListArray built directly from offsets (zero per-row array objects).
+
+    ``with_metrics``: append a per-batch ``parse_batch_us`` column (the
+    batch's wall parse time, repeated on each of its rows) so the driver can
+    aggregate parse-latency percentiles without a second pass.
     """
+    import time as _time
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -157,6 +164,7 @@ def _parse_arrow_batches(batches):
     digits32 = r"^\d{1,9}$"
     sign_re = r"^(-?\d{1,9})?$"
     for batch in batches:
+        t_batch = _time.perf_counter()
         raw = batch.column(0)
         if isinstance(raw, pa.ChunkedArray):
             raw = raw.combine_chunks()
@@ -232,46 +240,59 @@ def _parse_arrow_batches(batches):
                        masked(9)),
             pa.int32(),
         )
-        yield pa.RecordBatch.from_arrays(
-            [
-                as_int(1, pa.int64()),
-                as_int(2, pa.int64()),
-                as_int(3, pa.int64()),
-                masked(4),
-                masked(5),
-                masked(6),
-                as_int(7, pa.int32()),
-                masked(8),
-                sign,
-                as_int(10, pa.int32()),
-                tokens,
-                pc.if_else(ok, pa.scalar("OK"), pa.scalar("PARSE_ERROR")),
-                # raw kept only for quarantine forensics — nulled on OK rows
-                # so ~2KB/row of wire text never re-enters the pipeline
-                pc.if_else(ok, pa.scalar(None, pa.string()), raw),
-            ],
-            names=[
-                "event_seq", "commit_s", "create_s", "op", "file_id",
-                "source", "bucket", "doc_id", "sign", "n_tok", "tokens",
-                "status", "raw",
-            ],
-        )
+        arrays = [
+            as_int(1, pa.int64()),
+            as_int(2, pa.int64()),
+            as_int(3, pa.int64()),
+            masked(4),
+            masked(5),
+            masked(6),
+            as_int(7, pa.int32()),
+            masked(8),
+            sign,
+            as_int(10, pa.int32()),
+            tokens,
+            pc.if_else(ok, pa.scalar("OK"), pa.scalar("PARSE_ERROR")),
+            # raw kept only for quarantine forensics — nulled on OK rows
+            # so ~2KB/row of wire text never re-enters the pipeline
+            pc.if_else(ok, pa.scalar(None, pa.string()), raw),
+        ]
+        names = [
+            "event_seq", "commit_s", "create_s", "op", "file_id",
+            "source", "bucket", "doc_id", "sign", "n_tok", "tokens",
+            "status", "raw",
+        ]
+        if with_metrics:
+            us = int((_time.perf_counter() - t_batch) * 1_000_000)
+            arrays.append(
+                pa.array(np.full(len(raw), us, dtype=np.int64))
+            )
+            names.append("parse_batch_us")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def parse_raw(df: DataFrame) -> DataFrame:
+def parse_raw(df: DataFrame, with_metrics: bool = False) -> DataFrame:
     """raw-line DataFrame (column ``raw``) → typed change records.
 
     mapInArrow (vectorized, zero per-row Python); batch size governed by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``. The unix-seconds →
     timestamp finish runs JVM-side in whole-stage codegen.
+
+    ``with_metrics=True`` appends ``parse_batch_us`` (per-batch wall parse
+    time) for latency-percentile aggregation downstream.
     """
-    parsed = df.select("raw").mapInArrow(_parse_arrow_batches, _ARROW_FIELDS)
+    import functools
+
+    fields = _ARROW_FIELDS_METRICS if with_metrics else _ARROW_FIELDS
+    fn = functools.partial(_parse_arrow_batches, with_metrics=with_metrics)
+    parsed = df.select("raw").mapInArrow(fn, fields)
+    extra = ["parse_batch_us"] if with_metrics else []
     return parsed.select(
         "event_seq",
         F.timestamp_seconds("commit_s").alias("commit_ts"),
         F.timestamp_seconds("create_s").alias("create_ts"),
         "op", "file_id", "source", "bucket", "doc_id", "sign", "n_tok",
-        "tokens", "status", "raw",
+        "tokens", "status", "raw", *extra,
     )
 
 

@@ -49,9 +49,14 @@ def run_pipeline(
     already_done = manifest.load() if resume else set()
 
     # one physical parse pass feeds both the good path and the quarantine
-    # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale)
-    parsed = parse_raw(raw_df).persist(StorageLevel.MEMORY_AND_DISK)
+    # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale);
+    # with_metrics stamps each Arrow batch's wall parse time for the
+    # latency-percentile metrics without a second pass
+    parsed = parse_raw(raw_df, with_metrics=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     good, quarantine = split_quarantine(parsed)
+    good = good.drop("parse_batch_us")
     # the wire's (source, bucket) is the TABLE_MAP key (tableId analogue)
     good = good.withColumn(
         "table_key",
@@ -132,9 +137,19 @@ def run_pipeline(
             tables["lineage"].write(spark.createDataFrame(rows, lineage.schema))
             return rows
 
-        with ThreadPoolExecutor(max_workers=5) as ex:
+        def _parse_latency_pcts():
+            row = parsed.select(
+                F.expr(
+                    "percentile_approx(parse_batch_us,"
+                    " array(0.5D, 0.95D, 0.99D))"
+                ).alias("p")
+            ).collect()[0]
+            return row.p or [None, None, None]
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
             f_lineage = ex.submit(_publish_lineage)
             f_quar = ex.submit(quarantine.count)
+            f_lat = ex.submit(_parse_latency_pcts)
             f_pub = [
                 ex.submit(tables["sink_counts"].write, sink_counts.coalesce(1)),
                 ex.submit(tables["watermarks"].write, wm.coalesce(1)),
@@ -142,6 +157,7 @@ def run_pipeline(
             ]
             lineage_rows = f_lineage.result()
             n_quarantine = f_quar.result()
+            lat_p50, lat_p95, lat_p99 = f_lat.result()
             for f in f_pub:
                 f.result()
         rollup_base.unpersist()
@@ -162,6 +178,11 @@ def run_pipeline(
             "rows_routed": n_routed,
             "rows_failed": n_quarantine,
             "files_processed": len(new_files),
+            # per-Arrow-batch parse wall time percentiles (BASELINE metrics
+            # contract: rows parsed/routed/failed + parse-latency pcts)
+            "parse_batch_us_p50": lat_p50,
+            "parse_batch_us_p95": lat_p95,
+            "parse_batch_us_p99": lat_p99,
             "wall_sec": round(time.time() - t0, 3),
         }
         return PipelineResult(metrics=metrics, tables=tables)
