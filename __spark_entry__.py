@@ -1147,8 +1147,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _nw = f"CASE WHEN {nonempty} THEN len({DW}) ELSE 0 END"
+    _bpe = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
     o["text_token_counts"] = (
         f"SELECT doc_id, cast({_nw} AS int) AS ws_tokens,"
+        f" cast(len(regexp_extract_all(coalesce(text, ''), '{_bpe}')) AS int)"
+        " AS bpe_tokens,"
         " cast(ceil(length(coalesce(text, '')) / 4.0) AS int) AS subword_est,"
         " cast(length(coalesce(text, '')) AS int) AS n_chars FROM documents"
     )

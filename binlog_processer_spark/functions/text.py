@@ -15,14 +15,27 @@ WORDS = "split(trim(coalesce(text, '')), '\\\\s+')"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
 
+# GPT-2-shaped pre-tokenizer pattern, ASCII-restricted so Java regex (Spark)
+# and RE2-ish (DuckDB) agree: a token is an optionally-space-prefixed letter
+# run, digit run, or punctuation run
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count_cols(df: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (ceil(chars/4),
-    the common chars-per-token rule of thumb) — both pure expressions."""
+    """Token counting three ways, all pure expressions:
+    - ws_tokens: whitespace split count
+    - bpe_tokens: matches of the GPT-2-shaped pre-tokenizer regex
+      (``BPE_PATTERN``) — the 'BPE-ish regex' counter
+    - subword_est: ceil(chars/4), the chars-per-token rule of thumb
+    """
     return df.select(
         "doc_id",
         F.expr(
             f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
         ).cast("int").alias("ws_tokens"),
+        F.expr(
+            f"size(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}', 0))"
+        ).cast("int").alias("bpe_tokens"),
         F.expr("cast(ceil(length(coalesce(text, '')) / 4.0) as int)").alias("subword_est"),
         F.length(F.coalesce("text", F.lit(""))).cast("int").alias("n_chars"),
     )
