@@ -77,6 +77,12 @@ def run_pipeline(
     # the aggregates below re-read the committed parquet with the token
     # column pruned away (a few % of the written bytes).
     routed, ignored_counts = route(enriched, cluster_for_write=True)
+    # storage flattens the image: img.doc_id / img.n_tok always equal the
+    # top-level columns (with_envelope builds the image from the same row),
+    # so persisting the struct would carry a second doc_id STRING and n_tok
+    # through the shuffle, the cache, and the parquet encode — at 10^12 rows
+    # that duplication is real bytes. Readers reconstruct the envelope from
+    # (doc_id, n_tok, img_tokens).
     routed = routed.select(
         "tree",
         "db_instance",
@@ -91,7 +97,8 @@ def run_pipeline(
         "create_ts",
         "file_id",
         "source",
-        "img",
+        "n_tok",
+        F.col("img.tokens").alias("img_tokens"),
     )
     try:
         tables = {

@@ -46,7 +46,7 @@ def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
         "op",
         "event_seq",
         "commit_ts",
-        F.col("img.tokens").alias("tokens"),
+        F.col("img_tokens").alias("tokens"),
     )
 
 

@@ -39,7 +39,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
     )
     joined = routed.filter(F.col("tree") == "update").join(src, "event_seq")
     bad = joined.filter(
-        F.coalesce(F.col("img.tokens"), F.expr("cast(array() as array<int>)"))
+        F.coalesce(F.col("img_tokens"), F.expr("cast(array() as array<int>)"))
         != F.col("src_tokens")
     )
     assert bad.count() == 0
