@@ -981,19 +981,22 @@ def oracle_sql() -> dict[str, str]:
     )
 
     def _simbit(j: int) -> str:
+        # mirror dedup.simhash_word_hash: second md5 salt for bits >= 32
+        src = "md5(w)" if j < 32 else "md5(w || '~')"
         vote = (
             f"list_sum(list_transform({DW}, w -> CASE WHEN"
-            f" ascii(substr(md5(w), {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+            f" ascii(substr({src}, {(j % 32) + 1}, 1)) % 2 = 1"
+            " THEN 1 ELSE -1 END))"
         )
         return f"CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END"
 
-    _simhash = " || ".join(_simbit(j) for j in range(32))
+    _simhash = " || ".join(_simbit(j) for j in range(64))
     o["dedup_simhash_sigs"] = (
         f"SELECT doc_id, {_simhash} AS simhash FROM documents WHERE {nonempty}"
     )
     _blk_stack = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS blk_id,"
-        f" substr(simhash, {b * 8 + 1}, 8) AS blk FROM sigs"
+        f" substr(simhash, {b * 16 + 1}, 16) AS blk FROM sigs"
         for b in range(4)
     )
     o["dedup_simhash_pairs"] = (
@@ -1003,10 +1006,10 @@ def oracle_sql() -> dict[str, str]:
         "  l.simhash AS sh_a, r.simhash AS sh_b"
         "  FROM stacked l JOIN stacked r ON l.blk_id = r.blk_id"
         "  AND l.blk = r.blk AND l.doc_id < r.doc_id)"
-        " SELECT doc_a, doc_b, cast(list_sum(list_transform(range(1, 33),"
+        " SELECT doc_a, doc_b, cast(list_sum(list_transform(range(1, 65),"
         "  i -> CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)"
         "  THEN 1 ELSE 0 END)) AS int) AS hamming"
-        " FROM cand WHERE list_sum(list_transform(range(1, 33),"
+        " FROM cand WHERE list_sum(list_transform(range(1, 65),"
         "  i -> CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)"
         "  THEN 1 ELSE 0 END)) <= 3"
     )

@@ -37,6 +37,9 @@ HEADLINE = [
     "windowed_histogram",
     "reconcile_findings",
     "repair_roundtrip",
+    "dedup_minhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
 ]
 
 

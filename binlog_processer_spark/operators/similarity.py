@@ -144,7 +144,12 @@ def duck_sign_signature(
 
 
 def _banded(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
-    """(vec_id, band_id, band): unpivot the signature into per-band slices."""
+    """(vec_id, band_id, band): unpivot the signature into per-band slices.
+
+    persist(): the band relation is tiny (n × bands) but downstream
+    self-joins/broadcasts would otherwise duplicate the n_planes-wide dot
+    -product expression tree into every branch (driver codegen blowup —
+    same fix as dedup.minhash_lsh_pairs)."""
     r = n_planes // bands
     return sig_df.selectExpr(
         "vec_id",
@@ -154,7 +159,7 @@ def _banded(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
                 f"{b}, substring(sig, {b * r + 1}, {r})" for b in range(bands)
             ),
         ),
-    )
+    ).persist()
 
 
 def cosine_topk_lsh(
