@@ -269,7 +269,9 @@ def ngram_jaccard_pairs(
     stop-shingle recall trade, like DF-capped stop-words in IR). Pass
     ``max_df=None`` to disable.
     """
-    sh = shingles(docs, n)
+    # persist: the exploded shingle relation feeds four plan branches
+    # (sizes, both join sides, the DF cap) — uncached, each re-explodes
+    sh = shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = sh
     if max_df is not None:
