@@ -252,12 +252,25 @@ def scaling_report() -> None:
     eff, hw_ceiling, eff_norm = best["eff"], best["ceiling"], best["eff_norm"]
     bw4, bw16 = best["bw4"], best["bw16"]
     n_docs = best["n_docs"]
+    norm_lo = min(e["eff_norm"] for e in credible)
+    norm_hi = max(e["eff_norm"] for e in credible)
     variance_note = (
         f"\nMeasured across {len(history)} invocation(s); the table reports"
-        " the least-interfered window (highest probe bandwidth). All runs:"
+        " the credible pairing with the least-interfered pipeline. Across"
+        f" credible pairings the normalized efficiency ranged"
+        f" **{norm_lo:.3f}–{norm_hi:.3f}**"
+        + (
+            " — the ≥0.8 target is met in the best credible window"
+            if norm_hi >= 0.8
+            else ""
+        )
+        + "; probe absolute bandwidth varies ~6x between host windows, so"
+        " each run's pipeline/probe pairing carries that uncertainty."
+        " All runs:"
         + "".join(
             f"\n- eff {e['eff']}, ceiling {e['ceiling']}, normalized"
-            f" {e['eff_norm']} (probe {e['bw4']}→{e['bw16']} GB/s)"
+            f" {e['eff_norm']} (t4 {e['t4']}s, t16 {e['t16']}s, probe"
+            f" {e['bw4']}→{e['bw16']} GB/s)"
             for e in history
         )
         + "\n"
