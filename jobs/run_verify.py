@@ -37,8 +37,16 @@ from binlog_processer_spark.storage.table import SnapshotTable
 
 
 def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
-    """Update-tree routed rows as change records (one row per event)."""
+    """Update-tree routed rows as change records (one row per event).
+
+    Reads both storage generations: flattened ``img_tokens`` (current) and
+    the legacy ``img`` struct — the schema-evolution read path."""
     routed = SnapshotTable(os.path.join(warehouse, "routed")).read(spark)
+    tokens = (
+        F.col("img_tokens")
+        if "img_tokens" in routed.columns
+        else F.col("img.tokens")
+    )
     return routed.filter(F.col("tree") == "update").select(
         "database_name",
         "table_name",
@@ -46,7 +54,7 @@ def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
         "op",
         "event_seq",
         "commit_ts",
-        F.col("img_tokens").alias("tokens"),
+        tokens.alias("tokens"),
     )
 
 
@@ -97,7 +105,10 @@ def main() -> None:
 
     fs = final_state(events).persist()
     if args.replica:
-        replica = spark.read.parquet(args.replica)
+        if os.path.exists(os.path.join(args.replica, "_current")):
+            replica = SnapshotTable(args.replica).read(spark)
+        else:
+            replica = spark.read.parquet(args.replica)
     else:
         replica = derived_replica(events, args.mutate, fs=fs)
 
