@@ -285,18 +285,37 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
 def ivf_assignments(
     embeddings: DataFrame, centroids: DataFrame
 ) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid by cosine. One broadcast
-    cross join (n × k scores, k tiny) + a per-vector argmax window — the
-    window partitions by vec_id (unique key ⇒ perfectly even shuffle)."""
-    scored = embeddings.select("vec_id", "embedding").join(
-        F.broadcast(centroids)
+    """(vec_id, centroid_id): nearest centroid by cosine.
+
+    The centroid set is tiny and driver-known (``ivf_centroids`` LIMITs to
+    n_centroids), so the argmax is inlined as ONE codegen expression over
+    literal centroid arrays — the ``sign_signature_expr`` technique — instead
+    of the former broadcast ×k explode + per-vector window, which shuffled
+    n×k rows WITH their embedding payloads (16× the corpus through an
+    Exchange at 10^9 vectors). Zero Exchange in this subplan; arithmetic is
+    bit-identical to the former column version (same fold order, same
+    1e-7 fixed-point rounding), so argmax decisions — and the DuckDB oracle
+    match — are unchanged. Ties break to the lowest centroid_id via the
+    (sim, -centroid_id) struct max."""
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+        for r in centroids.collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        _sim_fp("embedding", "c_emb").desc(), F.col("centroid_id")
-    )
+    items = []
+    for cid, c in cents:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        dot = DOT.format(a="embedding", b=arr)
+        nc = NORM.format(a=arr)
+        sim = (
+            f"cast(round((({dot}) / nullif(__ne * ({nc}), 0.0))"
+            " * 10000000) as bigint)"
+        )
+        items.append(f"named_struct('s', {sim}, 'nc', {-cid}L)")
+    pick = F.expr(f"-(array_max(array({', '.join(items)})).nc)")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        embeddings.select("vec_id", "embedding")
+        .withColumn("__ne", F.expr(NORM.format(a="embedding")))
+        .withColumn("centroid_id", pick)
         .select("vec_id", "centroid_id")
     )
 

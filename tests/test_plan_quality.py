@@ -89,6 +89,28 @@ def test_lsh_signature_is_codegen(spark):
     assert "Exchange" not in plan
 
 
+def test_ivf_assignment_no_exchange(spark):
+    """IVF nearest-centroid assignment is a literal-centroid codegen argmax —
+    no broadcast ×k explode, no per-vector window: a regression re-shuffles
+    n×k embedding payloads at 10^9 vectors."""
+    from binlog_processer_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i ->"
+            " cast(pmod(hash(id, i), 100) as float) / 100.0F)"
+        ).alias("embedding"),
+    )
+    plan = _plan(ivf_assignments(emb, ivf_centroids(emb, 4)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_parquet_column_pruning(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     plan = _plan(df)
