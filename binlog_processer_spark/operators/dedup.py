@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import pin
+
 WORDS = "split(trim(coalesce(text, '')), '\\\\s+')"
 NORM_TEXT = "array_join(split(trim(coalesce(text, '')), '\\\\s+'), ' ')"
 
@@ -111,13 +113,16 @@ def minhash_lsh_pairs(
     # relation is tiny (#docs × bands), but self-joining the raw view would
     # duplicate the whole k-signature expression tree into BOTH join sides —
     # measured 47s of driver codegen/recompute at 5k docs vs ~4s cached.
-    stacked = banded.selectExpr(
-        "doc_id",
-        "stack({n}, {args}) as (band_id, band_hash)".format(
-            n=bands,
-            args=", ".join(f"{b}, band{b}" for b in range(bands)),
-        ),
-    ).persist()
+    # registered for caller-driven cleanup (_cache.unpin_all)
+    stacked = pin(
+        banded.selectExpr(
+            "doc_id",
+            "stack({n}, {args}) as (band_id, band_hash)".format(
+                n=bands,
+                args=", ".join(f"{b}, band{b}" for b in range(bands)),
+            ),
+        )
+    )
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -204,14 +209,16 @@ def simhash_block_pairs(
     )
     # persist: self-joining the raw view would expand the 64-bit vote
     # expression tree into both sides (see minhash_lsh_pairs)
-    stacked = blocked.selectExpr(
-        "doc_id",
-        "sig_hi",
-        "sig_lo",
-        "stack({n}, {args}) as (blk_id, blk)".format(
-            n=blocks, args=", ".join(f"{b}, blk{b}" for b in range(blocks))
-        ),
-    ).persist()
+    stacked = pin(
+        blocked.selectExpr(
+            "doc_id",
+            "sig_hi",
+            "sig_lo",
+            "stack({n}, {args}) as (blk_id, blk)".format(
+                n=blocks, args=", ".join(f"{b}, blk{b}" for b in range(blocks))
+            ),
+        )
+    )
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = (
         l.join(
@@ -271,7 +278,7 @@ def ngram_jaccard_pairs(
     """
     # persist: the exploded shingle relation feeds four plan branches
     # (sizes, both join sides, the DF cap) — uncached, each re-explodes
-    sh = shingles(docs, n).persist()
+    sh = pin(shingles(docs, n))  # registered: _cache.unpin_all releases it
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = sh
     if max_df is not None:

@@ -102,7 +102,9 @@ def _floor_flag_expr() -> F.Column:
     return F.expr("get(filter(__sign_tl, v -> v.event_seq <= event_seq), 0).sign")
 
 
-def soft_delete_flag(df: DataFrame) -> DataFrame:
+def soft_delete_flag(
+    df: DataFrame, timeline: DataFrame | None = None
+) -> DataFrame:
     """P3: running archive flag per sink; NULL sign rows don't change it.
 
     Broadcast floor-lookup against the sign timeline instead of a
@@ -110,19 +112,31 @@ def soft_delete_flag(df: DataFrame) -> DataFrame:
     the window would shuffle AND sort the whole fact by (db, table) just to
     propagate a handful of administrative flags. Same result, zero fact
     shuffle.
+
+    ``timeline``: precomputed ``_sign_timeline`` output. Default (None)
+    derives it from ``df`` — a second scan of the fact when the caller
+    hasn't persisted upstream; callers composing several soft-delete-aware
+    queries over the same events compute it once and pass it (same pattern
+    as ``reconcile``/``repair`` accepting ``fs``).
     """
     joined = df.join(
-        F.broadcast(_sign_timeline(df)),
+        F.broadcast(timeline if timeline is not None else _sign_timeline(df)),
         ["database_name", "table_name"],
         "left",
     )
     return joined.withColumn("archive_flag", _floor_flag_expr()).drop("__sign_tl")
 
 
-def apply_soft_delete(df: DataFrame) -> DataFrame:
-    """P3: drop Delete events while the archive flag is set."""
+def apply_soft_delete(
+    df: DataFrame, timeline: DataFrame | None = None
+) -> DataFrame:
+    """P3: drop Delete events while the archive flag is set.
+
+    ``timeline``: see ``soft_delete_flag`` — pass a precomputed sign
+    timeline to avoid re-deriving it from ``df``.
+    """
     joined = df.join(
-        F.broadcast(_sign_timeline(df)),
+        F.broadcast(timeline if timeline is not None else _sign_timeline(df)),
         ["database_name", "table_name"],
         "left",
     )
@@ -169,7 +183,9 @@ def fan_out_trees(df: DataFrame) -> DataFrame:
 
 
 def route(
-    enriched: DataFrame, cluster_for_write: bool = False
+    enriched: DataFrame,
+    cluster_for_write: bool = False,
+    sign_timeline: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full routing stage: filters → soft-delete → envelope → dual trees.
 
@@ -184,7 +200,7 @@ def route(
     """
     df = filter_system_schemas(enriched)
     kept, ignored_counts = split_ignored(df)
-    kept = apply_soft_delete(kept)
+    kept = apply_soft_delete(kept, timeline=sign_timeline)
     kept = with_envelope(kept)
     if cluster_for_write:
         # salt the cluster key: sink sizes are skewed (hot tables), and a

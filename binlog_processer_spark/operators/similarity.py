@@ -26,6 +26,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import pin
+
 if TYPE_CHECKING:
     import pandas as pd
 
@@ -151,15 +153,19 @@ def _banded(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
     -product expression tree into every branch (driver codegen blowup —
     same fix as dedup.minhash_lsh_pairs)."""
     r = n_planes // bands
-    return sig_df.selectExpr(
-        "vec_id",
-        "stack({n}, {args}) as (band_id, band)".format(
-            n=bands,
-            args=", ".join(
-                f"{b}, substring(sig, {b * r + 1}, {r})" for b in range(bands)
+    # plan-size persist, registered for caller-driven cleanup (_cache.unpin_all)
+    return pin(
+        sig_df.selectExpr(
+            "vec_id",
+            "stack({n}, {args}) as (band_id, band)".format(
+                n=bands,
+                args=", ".join(
+                    f"{b}, substring(sig, {b * r + 1}, {r})"
+                    for b in range(bands)
+                ),
             ),
-        ),
-    ).persist()
+        )
+    )
 
 
 def cosine_topk_lsh(

@@ -76,13 +76,31 @@ class SnapshotTable:
         if parent is not None:
             pm = self._manifest(parent)
             pfmt = pm.get("format", "parquet")
-            if pfmt != file_format:
-                if mode == "append":
-                    raise ValueError(
-                        f"cannot append {file_format} to a {pfmt} table"
-                    )
-                file_format = file_format  # overwrite may switch formats
+            if pfmt != file_format and mode == "append":
+                raise ValueError(
+                    f"cannot append {file_format} to a {pfmt} table"
+                )
             if mode == "append":
+                # appends must not fork the table's schema: Spark silently
+                # NULL-fills missing parquet columns on read, so a mixed
+                # table reads back wrong instead of failing. Schema changes
+                # require an explicit overwrite (migration rewrites data).
+                parent_schema = StructType.fromJson(json.loads(pm["schema"]))
+                # names + types only, order-insensitive: nullability varies
+                # with how a DataFrame was derived (parquet re-reads are
+                # all-nullable) and partitioned re-reads move the partition
+                # columns last — neither is a read-back hazard (reads apply
+                # the manifest schema by name)
+                def _shape(s: StructType) -> list:
+                    return sorted((f.name, f.dataType) for f in s.fields)
+
+                if _shape(df.schema) != _shape(parent_schema):
+                    raise ValueError(
+                        "append schema mismatch vs committed table schema "
+                        f"in {self.root}: appending {df.schema.simpleString()} "
+                        f"to {parent_schema.simpleString()}; overwrite (with "
+                        "a migration) to change a table's schema"
+                    )
                 excluded = pm.get("excluded_files", [])
         w = df.write.mode("errorifexists")
         if partition_by:

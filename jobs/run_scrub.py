@@ -50,10 +50,13 @@ def main() -> None:
     routed = SnapshotTable(os.path.join(args.warehouse, "routed"))
     lineage = SnapshotTable(os.path.join(args.warehouse, "lineage"))
 
-    scan = scan_corrupt_files(spark, routed, deep=args.deep)
-    corrupt = [r.path for r in scan.filter(~F.col("ok")).collect()]
-    n_files = scan.count()
-    out = {"files_scanned": n_files, "files_corrupt": len(corrupt)}
+    # one scan, one action: the rows are one per data FILE (bounded by file
+    # counts, never row counts), so collecting once and deriving both the
+    # corrupt list and the total avoids re-reading every footer (--deep:
+    # every file fully decoded) for a second count
+    rows = scan_corrupt_files(spark, routed, deep=args.deep).collect()
+    corrupt = [r.path for r in rows if not r.ok]
+    out = {"files_scanned": len(rows), "files_corrupt": len(corrupt)}
 
     if corrupt and not args.dry_run:
         out["quarantine_snapshot"] = quarantine_corrupt(routed, corrupt)

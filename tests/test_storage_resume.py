@@ -56,3 +56,26 @@ def test_resume_manifest_antijoin(spark, tmp_path):
     rem = remaining_events(ev, m.load())
     assert sorted(r.x for r in rem.collect()) == [2, 3]
     assert remaining_events(ev, set()).count() == 3
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    """Appends must not fork a table's schema: Spark NULL-fills missing
+    parquet columns on read, so a mixed table silently reads back wrong
+    (ADVICE r2). Column ORDER and nullability differences are fine."""
+    import pytest
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("s"))
+    tbl.write(df)
+    # reordered columns: legal append
+    tbl.write(df.select("s", "id"), mode="append")
+    # new column: must raise, not commit
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        tbl.write(df.withColumn("extra", F.lit(1)), mode="append")
+    # type change: must raise
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        tbl.write(
+            df.select(F.col("id").cast("int").alias("id"), "s"),
+            mode="append",
+        )
+    assert tbl.read(spark).count() == 6
