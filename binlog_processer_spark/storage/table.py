@@ -6,7 +6,15 @@ same contract is implemented on partitioned Parquet + JSON manifests:
 
 - every write lands in a fresh immutable snapshot directory
   ``<table>/snap-<n>/`` (no file is ever mutated);
-- a snapshot manifest records the data location + lineage of its parents;
+- a snapshot manifest records the data location + lineage of its parents,
+  AND the complete data-file inventory (Iceberg manifests do exactly this):
+  readers and ``data_files()`` consume the recorded list — no directory
+  walking on the read path, so planning cost is one manifest read however
+  many files the table has, and the same contract ports to HDFS/S3 where
+  listing is slow and non-atomic;
+- ``rewrite_files`` commits a snapshot that replaces a subset of files
+  (the partition/file-scoped alternative to a full-table overwrite — the
+  row-level-delete stand-in);
 - ``_current`` is flipped by an atomic rename — the temp→rename commit the
   reference does per Avro file (PartitionWriterManager.java:98-116,
   HdfsStorage.java:40-51), promoted to table level;
@@ -55,6 +63,37 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             json.dump({"snapshot": snap}, f)
         os.replace(tmp, self._current_path())
+
+    def _walk_rel(self, base: str, ext: str) -> list[str]:
+        """Root-relative data files under ``base`` — used ONCE per write, at
+        commit time, over the freshly written dir (the writer's own output);
+        never on the read path."""
+        out = []
+        for dirpath, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(ext):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, f), self.root)
+                    )
+        return sorted(out)
+
+    def _files_rel(self, m: dict) -> list[str]:
+        """Root-relative inventory of the data files a manifest reads.
+
+        Manifests written by this version carry the inventory (``files``);
+        legacy manifests fall back to a directory walk with exclusions."""
+        if "files" in m:
+            return m["files"]
+        ext = "." + ("orc" if m.get("format", "parquet") == "orc" else "parquet")
+        excluded = set(m.get("excluded_files", []))
+        out: list[str] = []
+        for d in m["data_dirs"]:
+            out.extend(
+                p
+                for p in self._walk_rel(os.path.join(self.root, d), ext)
+                if p not in excluded
+            )
+        return sorted(out)
 
     # -- write ---------------------------------------------------------------
     def write(
@@ -107,9 +146,12 @@ class SnapshotTable:
             w = w.partitionBy(*partition_by)
         w.format(file_format).save(data_dir)
 
+        ext = "." + ("orc" if file_format == "orc" else "parquet")
+        files = self._walk_rel(data_dir, ext)
         data_dirs = [os.path.relpath(data_dir, self.root)]
         if mode == "append" and parent is not None:
             data_dirs = self._manifest(parent)["data_dirs"] + data_dirs
+            files = sorted(self._files_rel(self._manifest(parent)) + files)
         manifest = {
             "snapshot": snap,
             "parent": parent,
@@ -118,6 +160,9 @@ class SnapshotTable:
             "partition_by": partition_by or [],
             "data_dirs": data_dirs,
             "format": file_format,
+            # complete file inventory, recorded at commit (Iceberg-style):
+            # the read path never lists directories again
+            "files": files,
             "excluded_files": excluded,
             # schema travels in metadata (Iceberg-style): readers never pay
             # inference, and empty snapshots stay readable
@@ -139,10 +184,7 @@ class SnapshotTable:
         if parent is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(parent)
-        rel = {
-            os.path.relpath(p, self.root) if os.path.isabs(p) else p
-            for p in files
-        }
+        rel = {self._rel(p) for p in files}
         snap = parent + 1
         snap_dir = os.path.join(self.root, f"snap-{snap}")
         os.makedirs(snap_dir, exist_ok=True)
@@ -152,7 +194,77 @@ class SnapshotTable:
             "parent": parent,
             "mode": "exclude",
             "created_ms": int(time.time() * 1000),
+            # the inventory IS the exclusion mechanism: a manifest diff
+            "files": sorted(set(self._files_rel(m)) - rel),
             "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
+        }
+        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._commit(snap)
+        return snap
+
+    def _rel(self, p: str) -> str:
+        """Normalize a file path (absolute, root-relative, or file: URI) to
+        root-relative form — ``input_file_name()`` returns URIs."""
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return os.path.relpath(p, self.root) if os.path.isabs(p) else p
+
+    def rewrite_files(
+        self, removed: list[str], replacement: DataFrame
+    ) -> int:
+        """Commit a snapshot that drops ``removed`` data files and adds the
+        ``replacement`` rows — the file-scoped overwrite (Iceberg's
+        copy-on-write row-level delete granularity). Untouched files are
+        carried by reference in the manifest: they are never read, moved, or
+        rewritten, so at 10^12 rows the cost scales with the affected files
+        only. Schema and format are pinned to the table's (same guard as
+        append)."""
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        pm = self._manifest(parent)
+        file_format = pm.get("format", "parquet")
+        parent_schema = StructType.fromJson(json.loads(pm["schema"]))
+
+        def _shape(s: StructType) -> list:
+            return sorted((f.name, f.dataType) for f in s.fields)
+
+        if _shape(replacement.schema) != _shape(parent_schema):
+            raise ValueError(
+                "rewrite_files schema mismatch vs committed table schema in "
+                f"{self.root}: {replacement.schema.simpleString()} vs "
+                f"{parent_schema.simpleString()}"
+            )
+        rel_removed = {self._rel(p) for p in removed}
+        inventory = set(self._files_rel(pm))
+        unknown = rel_removed - inventory
+        if unknown:
+            raise ValueError(
+                f"rewrite_files: not in the current snapshot: {sorted(unknown)[:5]}"
+            )
+        snap = parent + 1
+        snap_dir = os.path.join(self.root, f"snap-{snap}")
+        data_dir = os.path.join(snap_dir, "data")
+        w = replacement.write.mode("errorifexists")
+        partition_by = pm.get("partition_by") or []
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(file_format).save(data_dir)
+        ext = "." + ("orc" if file_format == "orc" else "parquet")
+        new_files = self._walk_rel(data_dir, ext)
+        manifest = {
+            "snapshot": snap,
+            "parent": parent,
+            "mode": "rewrite",
+            "created_ms": int(time.time() * 1000),
+            "partition_by": partition_by,
+            "data_dirs": pm["data_dirs"] + [os.path.relpath(data_dir, self.root)],
+            "format": file_format,
+            "files": sorted((inventory - rel_removed) | set(new_files)),
+            "excluded_files": [],
+            "schema": pm["schema"],
+            "properties": pm.get("properties", {}),
         }
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -161,58 +273,71 @@ class SnapshotTable:
 
     def data_files(self, snapshot: int | None = None) -> list[str]:
         """Absolute paths of the data files the given (default current)
-        snapshot reads, exclusions applied."""
+        snapshot reads — straight from the manifest inventory (one JSON
+        read, no directory listing)."""
         snap = self.current_snapshot() if snapshot is None else snapshot
         if snap is None:
             return []
-        m = self._manifest(snap)
-        ext = "." + ("orc" if m.get("format", "parquet") == "orc" else "parquet")
-        excluded = set(m.get("excluded_files", []))
-        out = []
-        for d in m["data_dirs"]:
-            base = os.path.join(self.root, d)
-            for dirpath, _, files in os.walk(base):
-                for f in files:
-                    if f.endswith(ext):
-                        p = os.path.join(dirpath, f)
-                        if os.path.relpath(p, self.root) not in excluded:
-                            out.append(p)
-        return sorted(out)
+        return [
+            os.path.join(self.root, p)
+            for p in self._files_rel(self._manifest(snap))
+        ]
 
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        """Scan exactly the manifest's file inventory (walk-free planning).
+
+        Files are grouped by their snapshot data dir so each group's
+        ``basePath`` resolves Hive-style partition values; partition-filter
+        pruning still applies within each group."""
         snap = self.current_snapshot() if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(snap)
+        return self._scan(spark, m, self._files_rel(m))
+
+    def read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Scan a SUBSET of the snapshot's files (absolute, root-relative, or
+        file: URIs — ``input_file_name()`` output is accepted). The planned
+        scan touches only these files; rows outside them are never read —
+        the building block for file-scoped rewrites."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(snap)
+        rel = sorted({self._rel(p) for p in files})
+        unknown = set(rel) - set(self._files_rel(m))
+        if unknown:
+            raise ValueError(
+                f"read_files: not in snap-{snap}: {sorted(unknown)[:5]}"
+            )
+        return self._scan(spark, m, rel)
+
+    def _scan(
+        self, spark: SparkSession, m: dict, rel_files: list[str]
+    ) -> DataFrame:
         fmt = m.get("format", "parquet")
-        ext = "." + ("orc" if fmt == "orc" else "parquet")
-        excluded = set(m.get("excluded_files", []))
         schema = StructType.fromJson(json.loads(m["schema"]))
+        by_dir: dict[str, list[str]] = {}
+        dirs = sorted(m["data_dirs"], key=len, reverse=True)
+        for rel in rel_files:
+            d = next((d for d in dirs if rel.startswith(d + os.sep)), None)
+            if d is None:  # file outside any known data dir: manifest bug
+                raise ValueError(f"{rel} not under any data_dir of the manifest")
+            by_dir.setdefault(d, []).append(os.path.join(self.root, rel))
 
-        def _files_under(p: str) -> list[str]:
-            out = []
-            for dirpath, _, files in os.walk(p):
-                for f in files:
-                    if f.endswith(ext):
-                        fp = os.path.join(dirpath, f)
-                        if os.path.relpath(fp, self.root) not in excluded:
-                            out.append(fp)
-            return out
-
-        def _scan(p: str, explicit: list[str] | None = None) -> DataFrame:
-            r = spark.read.schema(schema).option("basePath", p).format(fmt)
-            return r.load(explicit if explicit is not None else p)
-
-        paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
-        branches = []
-        for p in paths:
-            files = _files_under(p)
-            if not files:
-                continue
-            # with exclusions the scan must list files explicitly (partition
-            # values still resolve from each file's dir via basePath)
-            branches.append(_scan(p, files if excluded else None))
+        branches = [
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(self.root, d))
+            .format(fmt)
+            .load(files)
+            for d, files in sorted(by_dir.items())
+        ]
         if not branches:
             return spark.createDataFrame([], schema)
         out = branches[0]

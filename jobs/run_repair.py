@@ -72,12 +72,40 @@ def main() -> None:
 
     findings = reconcile(None, replica, fs=fs).persist()
     n_before = findings.count()
-    repaired = repair(None, replica, findings, fs=fs)
 
-    tbl = replica_tbl or SnapshotTable(
-        os.path.join(args.warehouse, "replica_repaired")
-    )
-    snap = tbl.write(repaired)
+    if replica_tbl is not None and n_before:
+        # file-scoped commit: repair only rewrites the replica files that
+        # contain a flagged key (plus one new file set for the inserts);
+        # untouched files are carried by reference in the new manifest
+        # (rewrite_files) — at 10^12 rows the write amplification of a full
+        # replica rewrite, not the MERGE join, is the dominant repair cost
+        from binlog_processer_spark.operators.repair import KEYS
+
+        flagged = findings.select(*KEYS).distinct()
+        hit_files = sorted(
+            r["__f"]
+            for r in replica.withColumn("__f", F.input_file_name())
+            .join(flagged, KEYS, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        # repair of ONLY the hit-file rows produces exactly the replacement:
+        # stale/ghost keys live in hit files by construction, and
+        # missing_create inserts surface through the full-outer MERGE join
+        # whatever the replica subset
+        replica_hit = replica_tbl.read_files(spark, hit_files)
+        repaired_scoped = repair(None, replica_hit, findings, fs=fs)
+        tbl = replica_tbl
+        snap = tbl.rewrite_files(hit_files, repaired_scoped)
+    elif replica_tbl is not None:
+        # zero findings on a snapshot-stored replica: nothing to repair,
+        # nothing to commit
+        tbl, snap = replica_tbl, replica_tbl.current_snapshot()
+    else:
+        repaired = repair(None, replica, findings, fs=fs)
+        tbl = SnapshotTable(os.path.join(args.warehouse, "replica_repaired"))
+        snap = tbl.write(repaired)
     # re-verify against the COMMITTED snapshot, not the in-flight DataFrame
     # (BinlogDBHandler.java:50-68 marks rows repaired only after commit)
     n_after = reconcile(None, tbl.read(spark, snapshot=snap), fs=fs).count()

@@ -48,3 +48,52 @@ def test_package_zip():
     assert "binlog_processer_spark/session.py" in names
     assert "binlog_processer_spark/plans/pipeline.py" in names
     os.remove(out)
+
+
+def test_repair_cli_file_scoped_commit(spark, tmp_path):
+    """run_repair on a snapshot-stored replica commits a file-scoped rewrite:
+    only replica files containing flagged keys are rewritten; untouched
+    files survive by manifest reference (same inode/mtime), and the
+    committed snapshot re-verifies clean."""
+    from binlog_processer_spark.plans.pipeline import run_pipeline
+    from binlog_processer_spark.functions.parse import serialize_expr
+    from binlog_processer_spark.sources.generator import (
+        generate_corpus,
+        routing_dim,
+    )
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from run_verify import derived_replica, routed_events
+
+    wh = str(tmp_path / "wh")
+    raw = generate_corpus(spark, 300, partitions=4).select(
+        serialize_expr().alias("raw")
+    )
+    run_pipeline(spark, raw, routing_dim(spark), wh)
+
+    # snapshot-stored replica with injected faults, spread over many files
+    # so most files contain no flagged key
+    tbl = SnapshotTable(str(tmp_path / "replica"))
+    tbl.write(
+        derived_replica(routed_events(spark, wh), mutate=True).repartition(16)
+    )
+    before = {
+        p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in tbl.data_files()
+    }
+
+    rep = _run(
+        ["jobs/run_repair.py", "--warehouse", wh, "--replica", tbl.root]
+    )
+    assert rep["findings_before"] > 0
+    assert rep["findings_after"] == 0
+    assert rep["snapshot"] == 1
+
+    after = set(tbl.data_files())
+    kept = after & set(before)
+    assert kept, "expected untouched replica files to stay referenced"
+    assert after - set(before), "expected a rewritten file set"
+    for p in kept:
+        st = os.stat(p)
+        assert (st.st_ino, st.st_mtime_ns) == before[p], p

@@ -100,3 +100,38 @@ def test_orc_table_roundtrip(spark, tmp_path):
         raise AssertionError("expected format-mix ValueError")
     except ValueError:
         pass
+
+
+def test_file_scoped_rewrite_carries_untouched_files_by_reference(
+    spark, tmp_path
+):
+    """drop_file_ids rewrites ONLY the physical files containing affected
+    rows; every other file survives by manifest reference — same path, same
+    inode, same mtime (never read, moved, or copied)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    # 4 files, file_id localized per file via repartition on it
+    df = spark.range(400).select(
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "file_id"
+        ),
+        F.col("id").alias("doc_id"),
+    )
+    tbl.write(df.repartition(4, "file_id"))
+    before = {p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+              for p in tbl.data_files()}
+
+    snap = drop_file_ids(spark, tbl, ["src2"])
+    assert snap == 1
+
+    after = set(tbl.data_files())
+    kept = after & set(before)
+    assert kept, "untouched files must stay referenced"
+    for p in kept:
+        st = os.stat(p)
+        assert (st.st_ino, st.st_mtime_ns) == before[p], p
+    # table content: all rows except src2, no duplicates
+    back = tbl.read(spark)
+    assert back.count() == 300
+    assert back.filter(F.col("file_id") == "src2").count() == 0
+    # no-op drop: nothing committed
+    assert drop_file_ids(spark, tbl, ["srcX"]) == snap
