@@ -278,6 +278,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["schema_asof"] = schema_asof
 
+    # --- §2.8 schema-evolution widening through the as-of lookup ---
+    def schema_evolution(spark, sf_dir):
+        """v2+ records route through widen_types (int→long, float→double,
+        SchemaConverter.java:14-74); v1 records are reader-upcast to the
+        evolved output schema — one table, one (widened) schema out."""
+        from binlog_processer_spark.functions.compat import widen_types
+
+        events = _corpus(spark, sf_dir).select(
+            "doc_id", "event_seq", "commit_ts", "table_key", "n_tok",
+            # exact small integers: float32→float64 widening is lossless,
+            # so Spark and DuckDB agree bit-for-bit
+            F.expr("cast((doc_num*13 + r) % 997 as float)").alias("score"),
+        )
+        schema_dim = corpus_spark_df(
+            spark, sf_dir,
+            "SELECT table_key, valid_from_ts, schema_fingerprint FROM schema_dim",
+        )
+        asof = enrich_schema_asof(events, schema_dim).select(
+            "doc_id", "event_seq", "schema_fingerprint", "n_tok", "score"
+        )
+        v2plus = widen_types(
+            asof.filter(F.col("schema_fingerprint") >= "fp_v2")
+        )
+        v1 = asof.filter(F.col("schema_fingerprint") < "fp_v2").select(
+            "doc_id",
+            "event_seq",
+            "schema_fingerprint",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("score").cast("double").alias("score"),
+        )
+        return v1.unionByName(v2plus)
+
+    q["schema_evolution"] = schema_evolution
+
     # --- P2 ignore filter side-output (A3) ---
     def ignored_counts(spark, sf_dir):
         _, ign = split_ignored(_enriched(spark, sf_dir))
@@ -744,6 +778,18 @@ def oracle_sql() -> dict[str, str]:
     o["schema_asof"] = _oracle_full(
         "SELECT doc_id, event_seq, table_key, schema_fingerprint FROM ("
         " SELECT c.doc_id, c.event_seq, c.table_key, s.schema_fingerprint,"
+        "  row_number() OVER (PARTITION BY c.table_key, c.event_seq"
+        "   ORDER BY s.valid_from_ts DESC) AS rn"
+        " FROM corpus c JOIN schema_dim s USING (table_key)"
+        " WHERE s.valid_from_ts <= c.commit_ts) WHERE rn = 1"
+    )
+    o["schema_evolution"] = _oracle_full(
+        "SELECT doc_id, event_seq, schema_fingerprint,"
+        " cast(n_tok AS bigint) AS n_tok,"
+        " cast(cast((doc_num*13 + r) % 997 AS float) AS double) AS score"
+        " FROM ("
+        " SELECT c.doc_id, c.event_seq, c.doc_num, c.r, c.n_tok,"
+        "  s.schema_fingerprint,"
         "  row_number() OVER (PARTITION BY c.table_key, c.event_seq"
         "   ORDER BY s.valid_from_ts DESC) AS rn"
         " FROM corpus c JOIN schema_dim s USING (table_key)"

@@ -26,6 +26,7 @@ FEATURE_SCHEMA = (
     "doc_id bigint, modality string, n_bytes int, checksum bigint, "
     "width int, height int, feat array<float>"
 )
+FEATURE_COLS = [c.split(" ")[0] for c in FEATURE_SCHEMA.split(", ")]
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -51,10 +52,50 @@ def _extract_batches(fake: bool):
         import pandas as pd
 
         if not fake:
-            raise NotImplementedError(
-                "real decode requires PIL/libav (not in this environment); "
-                "run with fake=True for deterministic byte-level features"
-            )
+            # probe at runtime instead of assuming: an env that ships PIL
+            # gets the real image path; otherwise fail with the actionable
+            # message (audio/video still need libav — not probed, no decoder
+            # here would use it yet)
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real decode requires PIL/libav (PIL import failed: "
+                    f"{e}); run with fake=True for deterministic "
+                    "byte-level features"
+                ) from e
+            import io
+
+            def _decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                rows = []
+                for _, r in pdf.iterrows():
+                    if r["modality"] != "image":
+                        raise NotImplementedError(
+                            f"real {r['modality']} decode requires libav"
+                        )
+                    img = Image.open(io.BytesIO(r["payload"])).convert("L")
+                    arr = np.asarray(img, dtype=np.float32)
+                    q = max(arr.shape[0] // 4, 1)
+                    feat = np.array(
+                        [arr[i * q : (i + 1) * q].mean() for i in range(4)],
+                        dtype=np.float32,
+                    )
+                    rows.append(
+                        (
+                            r["doc_id"],
+                            r["modality"],
+                            len(r["payload"]),
+                            int(arr.sum()),
+                            img.width,
+                            img.height,
+                            feat,
+                        )
+                    )
+                return pd.DataFrame(rows, columns=FEATURE_COLS)
+
+            for pdf in batches:
+                yield _decode(pdf)
+            return
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype("int32")
