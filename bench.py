@@ -58,7 +58,13 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def run_pipeline_bench(cpus: int, n_docs: int, keep_session: bool = False) -> dict:
+def run_pipeline_bench(
+    cpus: int,
+    n_docs: int,
+    keep_session: bool = False,
+    with_metrics: bool = True,
+    profile: bool = False,
+) -> dict:
     """Materialize raw input to parquet, then measure read→parse→enrich→
     route→write→aggregate wall time."""
     from pyspark.sql import functions as F
@@ -95,7 +101,13 @@ def run_pipeline_bench(cpus: int, n_docs: int, keep_session: bool = False) -> di
 
         t0 = time.time()
         res = run_pipeline(
-            spark, raw, routing_dim(spark), os.path.join(tmp, "out"), resume=False
+            spark,
+            raw,
+            routing_dim(spark),
+            os.path.join(tmp, "out"),
+            resume=False,
+            with_metrics=with_metrics,
+            profile=profile,
         )
         wall = time.time() - t0
         return {
@@ -105,6 +117,8 @@ def run_pipeline_bench(cpus: int, n_docs: int, keep_session: bool = False) -> di
             "rows_routed": res.metrics["rows_routed"],
             "pipeline_sec": round(wall, 3),
             "throughput_seq_per_sec": round(n_events / wall, 1),
+            "with_metrics": with_metrics,
+            "phase_sec": res.metrics.get("phase_sec", {}),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -341,6 +355,12 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument("--no-metrics", action="store_true",
+                    help="run the pipeline without per-batch parse-latency "
+                         "stamping (cost-of-metrics comparison)")
+    ap.add_argument("--profile", action="store_true",
+                    help="materialize the parse cache as its own action so "
+                         "phase_sec attributes parse separately")
     args = ap.parse_args()
 
     if args.scaling:
@@ -352,7 +372,10 @@ def main() -> None:
 
     n_docs = args.docs or _bench_docs()
     if args.pipeline_only:
-        print(json.dumps(run_pipeline_bench(args.cpus, n_docs)))
+        print(json.dumps(run_pipeline_bench(
+            args.cpus, n_docs,
+            with_metrics=not args.no_metrics, profile=args.profile,
+        )))
         return
 
     # each mapInPandas slot runs a JVM thread + a Python worker, so slots

@@ -39,12 +39,22 @@ def run_pipeline(
     routing_df: DataFrame,
     out_dir: str,
     resume: bool = True,
+    with_metrics: bool = True,
+    profile: bool = False,
 ) -> PipelineResult:
     """raw_df: one `raw` string column (the serialized event log).
     routing_df: broadcast dimension (table_key → sink attributes).
     Writes snapshot tables under out_dir; returns metrics + table handles.
+
+    ``with_metrics=False`` drops the per-batch parse-latency stamping (and
+    its percentiles from the result) — the latency column rides the persisted
+    relation through the whole job, so benchmarks measure both settings.
+    ``profile=True`` materializes the parse cache as its own action so
+    ``phase_sec`` attributes parse separately from the write (same total
+    work — the write then reads the cache — but one extra cache pass).
     """
     t0 = time.time()
+    phases: dict[str, float] = {}
     manifest = ProcessedManifest(os.path.join(out_dir, "_processed.json"))
     already_done = manifest.load() if resume else set()
 
@@ -52,11 +62,16 @@ def run_pipeline(
     # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale);
     # with_metrics stamps each Arrow batch's wall parse time for the
     # latency-percentile metrics without a second pass
-    parsed = parse_raw(raw_df, with_metrics=True).persist(
+    parsed = parse_raw(raw_df, with_metrics=with_metrics).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if profile:
+        t = time.time()
+        parsed.count()
+        phases["parse_persist"] = round(time.time() - t, 3)
     good, quarantine = split_quarantine(parsed)
-    good = good.drop("parse_batch_us")
+    if with_metrics:
+        good = good.drop("parse_batch_us")
     # the wire's (source, bucket) is the TABLE_MAP key (tableId analogue)
     good = good.withColumn(
         "table_key",
@@ -112,16 +127,19 @@ def run_pipeline(
                 "quarantine",
             )
         }
+        t = time.time()
         tables["routed"].write(
             routed,
             partition_by=PARTITION_COLS,
             mode="overwrite" if not resume else "append",
         )
+        phases["route_write"] = round(time.time() - t, 3)
         # aggregates reflect the committed table (not just the increment) so
         # a resumed run republishes complete counts — the reference
         # re-derives counts from t_binlog_process_log the same way
         # (BaseDataCompare.java:38-67). One column-pruned scan feeds all four
         # outputs via a shared super-key rollup.
+        t = time.time()
         committed = tables["routed"].read(spark)
         sink_counts, wm, hist, lineage, rollup_base = agg.single_pass_rollups(committed)
 
@@ -129,6 +147,7 @@ def run_pipeline(
         # otherwise the concurrent jobs below race to compute the same cached
         # partitions
         rollup_base.count()
+        phases["rollup"] = round(time.time() - t, 3)
 
         # the four aggregate outputs are tiny (per-sink cardinality, one file
         # each) but each publish is its own Spark job whose submit + commit
@@ -145,6 +164,8 @@ def run_pipeline(
             return rows
 
         def _parse_latency_pcts():
+            if not with_metrics:
+                return [None, None, None]
             row = parsed.select(
                 F.expr(
                     "percentile_approx(parse_batch_us,"
@@ -153,6 +174,7 @@ def run_pipeline(
             ).collect()[0]
             return row.p or [None, None, None]
 
+        t = time.time()
         with ThreadPoolExecutor(max_workers=6) as ex:
             f_lineage = ex.submit(_publish_lineage)
             f_quar = ex.submit(quarantine.count)
@@ -168,6 +190,7 @@ def run_pipeline(
             for f in f_pub:
                 f.result()
         rollup_base.unpersist()
+        phases["publish"] = round(time.time() - t, 3)
 
         if n_quarantine:
             tables["quarantine"].write(quarantine)
@@ -191,6 +214,7 @@ def run_pipeline(
             "parse_batch_us_p95": lat_p95,
             "parse_batch_us_p99": lat_p99,
             "wall_sec": round(time.time() - t0, 3),
+            "phase_sec": phases,
         }
         return PipelineResult(metrics=metrics, tables=tables)
     finally:
