@@ -619,6 +619,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_blas_topk(spark, sf_dir):
+        # gated on the RANK SET (query_id, vec_id, rank) — the float-origin
+        # score column is dropped: numpy matmul and the SQL fold sum in
+        # different orders, so last-bit score differences are possible, but
+        # the basis-point-rounded ORDERING (tie-broken by vec_id on both
+        # sides, including inside each batch's partial top-k) is identical
+        from binlog_processer_spark.operators.similarity import cosine_topk_np
+
+        return cosine_topk_np(
+            _embs(spark, sf_dir), query_ids=list(range(10)), k=10
+        ).select("query_id", "vec_id", "rank")
+
+    q["ann_blas_topk"] = ann_blas_topk
+
     def dedup_embedding_cosine(spark, sf_dir):
         # embeddings are synthetic-random (no natural near-dups), so plant
         # deterministic perturbed clones (vec_id%10==0 → +100000, every
@@ -1098,6 +1112,19 @@ def oracle_sql() -> dict[str, str]:
         " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 10"
+    )
+    # BLAS matmul path: same ranking, scores omitted (rank-set gate — see
+    # queries()['ann_blas_topk'] for why the float column is excluded)
+    o["ann_blas_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb"
+        " FROM embeddings WHERE vec_id < 10),"
+        " scored AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 10"
     )
     # banded sign-LSH twin expressions (identical Rademacher plane constants

@@ -4,11 +4,14 @@ Default mode: runs the end-to-end parse→route→aggregate pipeline on a
 deterministic generated corpus (BASELINE.json metric: sequences/sec) plus the
 headline sf-dir queries, and prints ONE JSON line.
 
-Scaling mode (--scaling): re-runs the pipeline at two parallelism levels
-(local[8] vs local[32], the sandbox stand-in for N vs 4N executor clusters —
-driver instruction) in fresh subprocesses on IDENTICAL input and writes
-BENCH/BASELINE.md with throughput at both levels + scaling efficiency
-eff = (T_8 / T_32) / 4 (≥0.8 target per north rule).
+Scaling mode (--scaling): an INTERLEAVED PAIR campaign — alternating
+local[4]/local[16] runs (the sandbox stand-in for N vs 4N executor clusters —
+driver instruction) in fresh subprocesses on IDENTICAL input, each pair
+bracketed by its own memory-bandwidth probe so pipeline and host ceiling are
+measured in the same window. Writes BENCH/BASELINE.md with MEDIAN (not best)
+raw efficiency eff = (T_4 / T_16) / 4 and median host-normalized efficiency,
+plus a per-stage attribution table from a profiled pair (≥0.8 target per
+north rule).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_DOCS (corpus size).
@@ -64,9 +67,17 @@ def run_pipeline_bench(
     keep_session: bool = False,
     with_metrics: bool = True,
     profile: bool = False,
+    warmup: bool = True,
 ) -> dict:
     """Materialize raw input to parquet, then measure read→parse→enrich→
-    route→write→aggregate wall time."""
+    route→write→aggregate wall time.
+
+    warmup runs a tiny end-to-end pipeline to a throwaway dir BEFORE the
+    timer: JIT + whole-stage-codegen compilation, parquet writer classes, and
+    the per-slot Python worker spawn (pandas import) are one-time
+    session-lifetime costs, and a real cluster's executors are long-lived —
+    measuring them inside the window would charge the 16-way level ~4x the
+    fixed cost of the 4-way level and misread warm-cluster scaling."""
     from pyspark.sql import functions as F
 
     from binlog_processer_spark.functions.parse import serialize_expr
@@ -84,7 +95,17 @@ def run_pipeline_bench(
         f"bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
-        extra_conf={"spark.local.dir": os.path.join(tmp, "spark_local")},
+        extra_conf={
+            "spark.local.dir": os.path.join(tmp, "spark_local"),
+            # the bench corpus is small (hundreds of MB); the default 128MB
+            # split packing collapses its 64 files into ~7 read splits, which
+            # caps the parse stage below 16-way parallelism and leaves a
+            # ragged last wave. 8MB splits keep ≥32 balanced splits at every
+            # level — identical at both levels, and a non-issue at real scale
+            # (100TB yields ~10^6 default-sized splits).
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
     )
     try:
         raw_path = os.path.join(tmp, "raw")
@@ -99,6 +120,32 @@ def run_pipeline_bench(
         raw = spark.read.parquet(raw_path)
         n_events = raw.count()
 
+        if warmup:
+            warm_raw = (
+                generate_corpus(spark, 10_000, partitions=cpus)
+                .select(serialize_expr().alias("raw"))
+            )
+            run_pipeline(
+                spark,
+                warm_raw,
+                routing_dim(spark),
+                os.path.join(tmp, "warm_out"),
+                resume=False,
+                with_metrics=with_metrics,
+            )
+            shutil.rmtree(os.path.join(tmp, "warm_out"), ignore_errors=True)
+
+        def _gc_ms() -> int:
+            # total JVM GC time — local mode runs everything in one JVM, so
+            # this is the whole job's collector cost (scaling diagnosis:
+            # heap pressure shows up as GC growing faster than core count)
+            beans = (
+                spark.sparkContext._jvm.java.lang.management
+                .ManagementFactory.getGarbageCollectorMXBeans()
+            )
+            return sum(b.getCollectionTime() for b in beans)
+
+        gc0 = _gc_ms()
         t0 = time.time()
         res = run_pipeline(
             spark,
@@ -110,7 +157,9 @@ def run_pipeline_bench(
             profile=profile,
         )
         wall = time.time() - t0
+        gc_sec = round((_gc_ms() - gc0) / 1000, 3)
         return {
+            "gc_sec": gc_sec,
             "cpus": cpus,
             "n_docs": n_docs,
             "n_events": n_events,
@@ -173,8 +222,40 @@ def _bandwidth_probe(procs: int, mb: int = 200, reps: int = 5) -> float:
         return sum(pool.map(_copy_bw_worker, [(mb, reps)] * procs))
 
 
-def scaling_run() -> None:
-    """N vs 4N cores on identical input → BENCH/BASELINE.md.
+def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> None:
+    """Noisy-neighbor gate: the host's 1-min load can sit >8 with nothing
+    of ours running, which crushes the 16-way runs and the bandwidth
+    probe (measured 32.9 vs 78.3 GB/s across windows). Wait for a quiet
+    window before each measurement; proceed anyway after timeout so the
+    bench always completes."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if os.getloadavg()[0] < max_load:
+            return
+        time.sleep(15)
+
+
+def _pipeline_subprocess(cpus: int, n_docs: int, profile: bool = False) -> dict:
+    cmd = [
+        sys.executable, __file__, "--pipeline-only", "--cpus", str(cpus),
+        "--docs", str(n_docs),
+    ]
+    if profile:
+        cmd.append("--profile")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def scaling_run(pairs: int = 5) -> None:
+    """Interleaved-pair campaign: N vs 4N cores on identical input
+    → BENCH/BASELINE.md with MEDIAN efficiencies, not best-window selection.
 
     Levels are local[4] vs local[16] (not 8/32): mapInPandas stages run one
     JVM task thread PLUS one Python worker process per slot, so local[32] on
@@ -182,116 +263,104 @@ def scaling_run() -> None:
     measures the sandbox's core count, not the engine's scaling. 4/16 keeps
     both levels (slots + Python workers <= 32) inside the box, mirroring a
     real cluster where executors are never co-scheduled 2-per-core.
+
+    Each pair runs back-to-back (probe4 → T4 → probe16 → T16) inside one
+    host window, so the pipeline ratio and the host-bandwidth ceiling it is
+    normalized against are measured under the same interference. The host's
+    noisy-neighbor load varies by HOURS (probe aggregate 2→25 GB/s across
+    round-2 windows), so the campaign's medians — not any single window —
+    are the reported figures. The final pair runs --profile for the
+    per-stage attribution table.
     """
     # 4x the query-bench corpus: scaling is measured on a job large enough
     # that the parallel fraction dominates per-job fixed costs (driver
     # scheduling, commit, listing) at BOTH levels — at 10^12 rows those fixed
     # costs are noise, and the bench should reflect that regime
     n_docs = _bench_docs() * 4
-    results: dict[int, dict] = {}
-
-    def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> None:
-        """Noisy-neighbor gate: the host's 1-min load can sit >8 with nothing
-        of ours running, which crushes the 16-way runs and the bandwidth
-        probe (measured 32.9 vs 78.3 GB/s across windows). Wait for a quiet
-        window before each measurement; proceed anyway after timeout so the
-        bench always completes."""
-        t0 = time.time()
-        while time.time() - t0 < timeout_s:
-            if os.getloadavg()[0] < max_load:
-                return
-            time.sleep(15)
-
-    # the sandbox host has noisy neighbors (load >0 with nothing running);
-    # alternate levels, gate each run on a quiet window, and keep each
-    # level's best run so one noisy window can't skew the ratio
-    for cpus in (4, 16, 4, 16):
-        _wait_quiet()
-        cmd = [
-            sys.executable, __file__, "--pipeline-only", "--cpus", str(cpus),
-            "--docs", str(n_docs),
-        ]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        if cpus not in results or r["pipeline_sec"] < results[cpus]["pipeline_sec"]:
-            results[cpus] = r
-    tn, t4n = results[4]["pipeline_sec"], results[16]["pipeline_sec"]
-    eff = (tn / t4n) / 4
-    # host ceiling: how the VM's shared memory bus itself scales 4 -> 16.
-    # best-of-3 interleaved: the same noisy neighbors that perturb the
-    # pipeline perturb the probe; max ~= least-interfered measurement
-    bw4 = bw16 = 0.0
-    for _ in range(3):
-        _wait_quiet()
-        bw4 = max(bw4, _bandwidth_probe(4))
-        bw16 = max(bw16, _bandwidth_probe(16))
-    # NOT clamped (per round-1 advice): a ceiling or normalized figure >1
-    # would signal probe noise and must be visible, not silently capped
-    hw_ceiling = (bw16 / bw4) / 4
-    eff_norm = eff / hw_ceiling if hw_ceiling else float("nan")
+    campaign = int(time.time())
     os.makedirs("BENCH", exist_ok=True)
-
-    # the host's noisy-neighbor load varies by HOURS, not seconds (measured
-    # stream-copy aggregate 13→78 GB/s across windows); one invocation can
-    # land entirely in a bad window despite the per-run gate. Persist every
-    # invocation and report the best-quiet one (max bw16 ≈ least-interfered
-    # window) alongside the latest, so a single degraded window can't
-    # misrepresent the engine.
-    hist_path = "BENCH/scaling_history.jsonl"
-    entry = {
-        "t4": tn, "t16": t4n, "eff": round(eff, 3),
-        "bw4": round(bw4, 1), "bw16": round(bw16, 1),
-        "ceiling": round(hw_ceiling, 3), "eff_norm": round(eff_norm, 3),
-        "n_docs": n_docs, "n_events": results[16]["n_events"],
-    }
-    with open(hist_path, "a") as f:
-        f.write(json.dumps(entry) + "\n")
+    hist_path = "BENCH/scaling_pairs.jsonl"
+    for i in range(pairs + 1):
+        profiled = i == pairs  # last pair: stage attribution, excluded from medians
+        _wait_quiet()
+        bw4 = _bandwidth_probe(4)
+        r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
+        bw16 = _bandwidth_probe(16)
+        r16 = _pipeline_subprocess(16, n_docs, profile=profiled)
+        eff = (r4["pipeline_sec"] / r16["pipeline_sec"]) / 4
+        # NOT clamped (per round-1 advice): a ceiling or normalized figure >1
+        # would signal probe noise and must be visible, not silently capped
+        ceiling = (bw16 / bw4) / 4 if bw4 else float("nan")
+        entry = {
+            "campaign": campaign,
+            "pair": i,
+            "profiled": profiled,
+            "t4": r4["pipeline_sec"],
+            "t16": r16["pipeline_sec"],
+            "eff": round(eff, 3),
+            "bw4": round(bw4, 1),
+            "bw16": round(bw16, 1),
+            "ceiling": round(ceiling, 3),
+            "eff_norm": round(eff / ceiling, 3) if ceiling else None,
+            "gc4": r4.get("gc_sec"),
+            "gc16": r16.get("gc_sec"),
+            "phases4": r4.get("phase_sec", {}),
+            "phases16": r16.get("phase_sec", {}),
+            "n_docs": n_docs,
+            "n_events": r16["n_events"],
+        }
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
     scaling_report()
 
 
 def scaling_report() -> None:
-    """Rebuild BENCH/BASELINE.md from the persisted scaling history."""
-    with open("BENCH/scaling_history.jsonl") as f:
-        history = [json.loads(l) for l in f if l.strip()]
-    # headline = the credible run with the least-interfered PIPELINE.
-    # Pairing pipeline+probe within one invocation is what makes the
-    # normalization meaningful (same host window), so runs are never mixed;
-    # normalized > 1 marks a non-credible pairing (probe caught a worse
-    # window than the pipeline) and is excluded; among credible runs the
-    # fastest 16-way pipeline is the cleanest measurement of the engine.
-    credible = [e for e in history if e["eff_norm"] <= 1.0] or history
-    best = min(credible, key=lambda e: e["t16"])
-    tn, t4n = best["t4"], best["t16"]
-    eff, hw_ceiling, eff_norm = best["eff"], best["ceiling"], best["eff_norm"]
-    bw4, bw16 = best["bw4"], best["bw16"]
-    n_docs = best["n_docs"]
-    norm_lo = min(e["eff_norm"] for e in credible)
-    norm_hi = max(e["eff_norm"] for e in credible)
-    variance_note = (
-        f"\nMeasured across {len(history)} invocation(s); the table reports"
-        " the credible pairing with the least-interfered pipeline. Across"
-        f" credible pairings the normalized efficiency ranged"
-        f" **{norm_lo:.3f}–{norm_hi:.3f}**"
-        + (
-            " — the ≥0.8 target is met in the best credible window"
-            if norm_hi >= 0.8
-            else ""
-        )
-        + "; probe absolute bandwidth varies ~6x between host windows, so"
-        " each run's pipeline/probe pairing carries that uncertainty."
-        " All runs:"
-        + "".join(
-            f"\n- eff {e['eff']}, ceiling {e['ceiling']}, normalized"
-            f" {e['eff_norm']} (t4 {e['t4']}s, t16 {e['t16']}s, probe"
-            f" {e['bw4']}→{e['bw16']} GB/s)"
-            for e in history
-        )
-        + "\n"
+    """Rebuild BENCH/BASELINE.md from the latest pair campaign."""
+    with open("BENCH/scaling_pairs.jsonl") as f:
+        all_pairs = [json.loads(l) for l in f if l.strip()]
+    campaign = max(e["campaign"] for e in all_pairs)
+    run = [e for e in all_pairs if e["campaign"] == campaign]
+    timed = [e for e in run if not e["profiled"]]
+    prof = [e for e in run if e["profiled"]]
+
+    med_eff = _median([e["eff"] for e in timed])
+    med_norm = _median([e["eff_norm"] for e in timed if e["eff_norm"]])
+    med_t4 = _median([e["t4"] for e in timed])
+    med_t16 = _median([e["t16"] for e in timed])
+    med_ceiling = _median([e["ceiling"] for e in timed])
+    n_ev = run[0]["n_events"]
+    n_docs = run[0]["n_docs"]
+
+    pair_rows = "".join(
+        f"| {e['pair']} | {e['t4']} | {e['t16']} | {e['eff']} |"
+        f" {e['bw4']}→{e['bw16']} | {e['ceiling']} | {e['eff_norm']} |"
+        f" {e['gc4']}/{e['gc16']} |\n"
+        for e in timed
     )
-    n_ev = best["n_events"]
-    thr4 = round(n_ev / tn, 1)
-    thr16 = round(n_ev / t4n, 1)
+
+    stage_table = ""
+    if prof:
+        p = prof[-1]
+        names = [k for k in p["phases4"] if k in p["phases16"]]
+        stage_table = (
+            "\n## Per-stage attribution (profiled pair, same campaign)\n\n"
+            "Phases: `parse_persist` = vectorized mapInPandas parse into the\n"
+            "shared cache; `route_write` = route codegen + the one fact\n"
+            "shuffle + partitioned parquet write + snapshot commit;\n"
+            "`rollup` = column-pruned re-read + shared super-key rollup;\n"
+            "`publish` = concurrent tiny-output publishes + lineage collect.\n\n"
+            "| phase | T4 (s) | T16 (s) | speedup | phase eff |\n"
+            "|---|---|---|---|---|\n"
+            + "".join(
+                f"| {k} | {p['phases4'][k]} | {p['phases16'][k]} |"
+                f" {p['phases4'][k] / p['phases16'][k]:.2f}x |"
+                f" {(p['phases4'][k] / p['phases16'][k]) / 4:.3f} |\n"
+                for k in names
+            )
+            + f"\n(pair window ceiling {p['ceiling']}, probe"
+            f" {p['bw4']}→{p['bw16']} GB/s, GC {p['gc4']}/{p['gc16']} s.)\n"
+        )
+
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured pipeline throughput & scaling\n\n"
@@ -300,50 +369,51 @@ def scaling_report() -> None:
             "Job: read raw parquet → vectorized parse (mapInPandas) → broadcast\n"
             "enrich → route (filters, broadcast soft-delete, dual trees) →\n"
             "partitioned snapshot write → single-pass per-sink rollups + lineage.\n\n"
-            "| parallelism | wall (s) | throughput (seq/s) |\n|---|---|---|\n"
-            f"| local[4] (N) | {tn} | {thr4} |\n"
-            f"| local[16] (4N) | {t4n} | {thr16} |\n\n"
-            f"- raw scaling efficiency (T_N/T_4N)/4 = **{eff:.3f}**"
-            + (
-                " — below the ≥0.8 north-rule target ON THIS SINGLE-VM HOST"
-                " (see methodology: the raw figure includes the host's"
-                " shared-memory-bus ceiling, which a real multi-node cluster"
-                " does not have)\n"
-                if eff < 0.8
-                else " (≥ 0.8 north-rule target met raw)\n"
-            )
-            + f"- host memory-bandwidth ceiling for the same 4→16 step "
-            f"(numpy stream-copy probe, {bw4:.1f} → {bw16:.1f} GB/s "
-            f"aggregate) = **{hw_ceiling:.3f}**\n"
-            f"- engine scaling efficiency normalized to the host ceiling = "
-            f"**{eff_norm:.3f}** (north-rule target ≥ 0.8; unclamped — a "
-            f"value >1 would indicate probe noise)\n\n"
-            "Methodology. local[4] vs local[16] stands in for N vs 4N\n"
+            f"Campaign: {len(timed)} interleaved local[4]/local[16] pairs, each\n"
+            "pair back-to-back inside one host window with its own bandwidth\n"
+            "probe; all figures below are MEDIANS across pairs (no window\n"
+            "selection), plus full per-pair disclosure.\n\n"
+            "| metric | median |\n|---|---|\n"
+            f"| T local[4] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
+            f"| T local[16] (4N) | {med_t16:.1f} s ({n_ev / med_t16:,.0f} seq/s) |\n"
+            f"| raw scaling efficiency (T_N/T_4N)/4 | **{med_eff:.3f}** |\n"
+            f"| host bandwidth ceiling (probe, same windows) | {med_ceiling:.3f} |\n"
+            f"| normalized efficiency (raw / ceiling) | **{med_norm:.3f}** |\n\n"
+            "## Per-pair disclosure\n\n"
+            "| pair | T4 (s) | T16 (s) | raw eff | probe GB/s | ceiling |"
+            " normalized | GC4/GC16 (s) |\n|---|---|---|---|---|---|---|---|\n"
+            + pair_rows
+            + stage_table
+            + "\nMethodology. local[4] vs local[16] stands in for N vs 4N\n"
             "executor clusters per the driver's two-parallelism-level\n"
-            "instruction; input, code, and configs are identical (best of 2\n"
-            "alternating runs — the host has noisy neighbors). 4/16 rather\n"
-            "than 8/32 because each mapInPandas slot runs a JVM task thread\n"
-            "plus a Python worker process; 32 slots would oversubscribe the\n"
-            "32-core box. The sandbox is ONE VM: every core shares one\n"
-            "memory bus, and the stream-copy probe shows aggregate bandwidth\n"
-            "grows only ~2x from 4 to 16 workers — a hard ceiling on any\n"
-            "data-movement-bound job's strong scaling HERE, and precisely\n"
-            "the resource a real cluster scales per-node (each executor\n"
-            "brings its own memory controllers, disks, and NICs). The\n"
-            "normalized figure therefore isolates what the engine adds on\n"
-            "top of hardware: plan-level serial points (driver-side commits,\n"
-            "job scheduling, unbalanced stages). The plan itself has one\n"
-            "fact shuffle (pre-explode write clustering), broadcast-only\n"
-            "joins, and map-side partial aggregation — nothing that grows\n"
-            "with cluster size — so per-node-bandwidth-constant cluster\n"
-            "scaling is the expected behavior at N→4N executors.\n"
-            + variance_note
+            "instruction; input, code, and configs are identical at both\n"
+            "levels. 4/16 rather than 8/32 because each mapInPandas slot\n"
+            "runs a JVM task thread plus a Python worker process; 32 slots\n"
+            "would oversubscribe the 32-core box. Each measured run is\n"
+            "warmed (tiny end-to-end pipeline first: JIT, codegen compile,\n"
+            "Python worker spawn — session-lifetime costs a long-lived\n"
+            "cluster amortizes). The sandbox is ONE VM: every core shares\n"
+            "one memory bus, and the stream-copy probe shows aggregate\n"
+            "bandwidth grows only ~2-2.5x from 4 to 16 workers — a hard\n"
+            "ceiling on any data-movement-bound job's strong scaling HERE,\n"
+            "and precisely the resource a real cluster scales per-node\n"
+            "(each executor brings its own memory controllers, disks, and\n"
+            "NICs). The normalized figure isolates what the engine adds on\n"
+            "top of hardware: plan-level serial points (driver-side\n"
+            "commits, job scheduling, unbalanced stages). The plan itself\n"
+            "has one fact shuffle (pre-explode write clustering),\n"
+            "broadcast-only joins, and map-side partial aggregation —\n"
+            "nothing that grows with cluster size — so\n"
+            "per-node-bandwidth-constant cluster scaling is the expected\n"
+            "behavior at N→4N executors. Round-2 history (best-window\n"
+            "methodology, superseded) is preserved in\n"
+            "BENCH/scaling_history.jsonl.\n"
         )
     print(json.dumps({
-        "scaling_efficiency": round(eff, 3),
-        "hw_bandwidth_ceiling": round(hw_ceiling, 3),
-        "scaling_efficiency_normalized": round(eff_norm, 3),
-        "runs_recorded": len(history),
+        "scaling_efficiency_median": round(med_eff, 3),
+        "hw_bandwidth_ceiling_median": round(med_ceiling, 3),
+        "scaling_efficiency_normalized_median": round(med_norm, 3),
+        "pairs": len(timed),
     }))
 
 
@@ -361,10 +431,16 @@ def main() -> None:
     ap.add_argument("--profile", action="store_true",
                     help="materialize the parse cache as its own action so "
                          "phase_sec attributes parse separately")
+    ap.add_argument("--pairs", type=int, default=5,
+                    help="interleaved A/B pairs for --scaling (plus one "
+                         "profiled pair for the stage table)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the pre-timer warmup pipeline (cold-start "
+                         "measurement)")
     args = ap.parse_args()
 
     if args.scaling:
-        scaling_run()
+        scaling_run(pairs=args.pairs)
         return
     if args.report_only:
         scaling_report()
@@ -375,6 +451,7 @@ def main() -> None:
         print(json.dumps(run_pipeline_bench(
             args.cpus, n_docs,
             with_metrics=not args.no_metrics, profile=args.profile,
+            warmup=not args.no_warmup,
         )))
         return
 

@@ -302,22 +302,39 @@ def ivf_assignments(
     bit-identical to the former column version (same fold order, same
     1e-7 fixed-point rounding), so argmax decisions — and the DuckDB oracle
     match — are unchanged. Ties break to the lowest centroid_id via the
-    (sim, -centroid_id) struct max."""
+    (sim, -centroid_id) struct max.
+
+    Plan-size note: the centroid matrix enters the plan as ONE literal
+    array-of-arrays walked by ``transform`` over an index ``sequence`` —
+    k inlined per-centroid fold trees made the expression tree O(k·d) nodes,
+    and every downstream re-optimization (top-k window, AQE stages)
+    re-canonicalized it: measured 52 s of driver time to plan a 50-row
+    window at k=16, d=64. Constant-size tree ⇒ constant plan cost at any
+    k·d. Centroid norms are precomputed driver-side with the same
+    sequential double fold as the NORM SQL template (bit-identical IEEE
+    op order), so argmax decisions — and the DuckDB oracle match — are
+    unchanged."""
+    import math
+
     cents = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
         for r in centroids.collect()
     )
-    items = []
-    for cid, c in cents:
-        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
-        dot = DOT.format(a="embedding", b=arr)
-        nc = NORM.format(a=arr)
-        sim = (
-            f"cast(round((({dot}) / nullif(__ne * ({nc}), 0.0))"
-            " * 10000000) as bigint)"
-        )
-        items.append(f"named_struct('s', {sim}, 'nc', {-cid}L)")
-    pick = F.expr(f"-(array_max(array({', '.join(items)})).nc)")
+    k = len(cents)
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for _, c in cents
+    ) + ")"
+    ids = "array(" + ", ".join(f"{cid}L" for cid, _ in cents) + ")"
+    norms = "array(" + ", ".join(
+        f"{math.sqrt(sum(x * x for x in c))!r}D" for _, c in cents
+    ) + ")"
+    dot = DOT.format(a="embedding", b=f"element_at({mat}, i)")
+    pick = F.expr(
+        f"-(array_max(transform(sequence(1, {k}), i -> named_struct("
+        f"'s', cast(round((({dot}) / nullif(__ne * element_at({norms}, i),"
+        " 0.0)) * 10000000) as bigint),"
+        f" 'nc', -element_at({ids}, i)))).nc)"
+    )
     return (
         embeddings.select("vec_id", "embedding")
         .withColumn("__ne", F.expr(NORM.format(a="embedding")))
@@ -338,9 +355,18 @@ def ivf_topk(
     At scale the assignment is computed once and the candidate fetch is a
     join on centroid_id (a balanced, low-cardinality key); only candidates
     are scored exactly."""
+    from ._cache import pin
+
     emb = embeddings.select("vec_id", "embedding")
     cent = ivf_centroids(emb, n_centroids)
-    assign = ivf_assignments(emb, cent)
+    # pin = the INDEX BUILD: materializing the assignment ends the literal
+    # centroid expression's lineage here, so the query side composes against
+    # a short InMemoryRelation. Without it, every downstream operator that
+    # re-optimizes the plan (the top-k window, AQE stages) re-canonicalizes
+    # the k×d-literal tree — measured 52s of driver time for a 50-row window
+    # at sf0.1 vs 4s pinned. A production IVF stores the assignment as a
+    # table for the same reason: build once, probe many.
+    assign = pin(ivf_assignments(emb, cent))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -408,7 +434,12 @@ def cosine_topk_np(
             for qi, qid in enumerate(q_ids):
                 s = sims[qi]
                 mask = c_ids != qid
-                idx = np.argsort(-s[mask])[:k]
+                # tie-break equal scores by vec_id ASC (lexsort: last key is
+                # primary) — the per-batch partial top-k then selects under
+                # EXACTLY the final window's ordering, so batch-partial +
+                # global reduce equals the global top-k even when a tie
+                # straddles a batch's k-cut (and matches the SQL oracle)
+                idx = np.lexsort((c_ids[mask], -s[mask]))[:k]
                 sel_ids = c_ids[mask][idx]
                 yield pd.DataFrame(
                     {

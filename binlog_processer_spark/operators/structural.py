@@ -38,6 +38,23 @@ if TYPE_CHECKING:
 
 SCAN_SCHEMA = "path string, ok boolean, error string"
 
+# driver-side file-id/path lists are bounded by FILE counts, never rows —
+# but a pathological layout (tiny-file explosion, runaway replay loop) could
+# still make "bounded" mean millions. Same posture as route.MAX_SIGN_TIMELINE:
+# fail with a diagnosable message instead of an opaque driver OOM.
+MAX_DRIVER_FILE_LIST = 1_000_000
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    rows = df.limit(MAX_DRIVER_FILE_LIST + 1).collect()
+    if len(rows) > MAX_DRIVER_FILE_LIST:
+        raise RuntimeError(
+            f"{what} exceeds {MAX_DRIVER_FILE_LIST} entries — the "
+            "files-are-few assumption does not hold on this table; compact "
+            "small files (or raise MAX_DRIVER_FILE_LIST) before repairing"
+        )
+    return rows
+
 
 def _check_batches(fmt: str, deep: bool):
     def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -112,7 +129,12 @@ def affected_file_ids(
         F.col("actual_cnt").isNull()
         | (F.col("actual_cnt") < F.col("expected_cnt"))
     )
-    return sorted(r.file_id for r in diff.select("file_id").collect())
+    return sorted(
+        r.file_id
+        for r in _bounded_collect(
+            diff.select("file_id"), "affected source-file-id list"
+        )
+    )
 
 
 def drop_file_ids(
@@ -132,10 +154,12 @@ def drop_file_ids(
     # is bounded by file counts, never rows
     hit_files = sorted(
         r["__f"]
-        for r in df.filter(F.col("file_id").isin(*file_ids))
-        .select("__f")
-        .distinct()
-        .collect()
+        for r in _bounded_collect(
+            df.filter(F.col("file_id").isin(*file_ids))
+            .select("__f")
+            .distinct(),
+            "affected data-file list",
+        )
     )
     if not hit_files:
         return table.current_snapshot()

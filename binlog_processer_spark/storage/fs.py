@@ -1,0 +1,163 @@
+"""Filesystem shim for snapshot-table metadata I/O.
+
+The DATA path (parquet/orc read+write) already goes through Spark, which
+speaks every Hadoop-supported scheme. This module gives the METADATA path
+(manifests, ``_current`` pointer, commit-time inventory listing) the same
+reach: plain paths use ``os``/``open``; ``scheme://`` paths route through the
+JVM's ``org.apache.hadoop.fs.FileSystem`` — the exact FS layer Spark itself
+writes through, so any scheme the data can reach, the manifests can too
+(HdfsStorage.java:40-104 is the reference's native habitat; its temp→rename
+commit at 98-116 is the same protocol ``write_text_atomic`` uses here).
+
+Atomicity note: ``rename`` is atomic on local and HDFS; object stores
+(S3A) emulate it as copy+delete, so concurrent committers there need a
+catalog/lock service above this layer — identical to Iceberg's
+HadoopCatalog caveat, documented rather than hidden.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Protocol
+
+_SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://")
+
+
+def is_uri(path: str) -> bool:
+    return bool(_SCHEME_RE.match(path))
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that never mangles URI schemes (os.path.normpath would
+    collapse ``hdfs://`` to ``hdfs:/``)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def _uri_parts(p: str) -> tuple[str, str, str]:
+    """(scheme, authority, path) — normalizes ``file:/x`` vs ``file:///x``
+    (Hadoop renders authority-less URIs with a single slash)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    return (u.scheme, u.netloc, u.path.rstrip("/"))
+
+
+def rel_to(path: str, base: str) -> str:
+    """Root-relative form of ``path`` under ``base`` (URI-safe relpath)."""
+    if is_uri(path) or is_uri(base):
+        ps, pa, pp = _uri_parts(path)
+        bs, ba, bp = _uri_parts(base)
+        if (ps, pa) == (bs, ba) and pp.startswith(bp + "/"):
+            return pp[len(bp) + 1:]
+        raise ValueError(f"{path} is not under {base}")
+    return os.path.relpath(path, base)
+
+
+class FS(Protocol):
+    def read_text(self, path: str) -> str: ...
+    def write_text_atomic(self, path: str, text: str) -> None: ...
+    def mkdirs(self, path: str) -> None: ...
+    def list_files(self, base: str, ext: str) -> list[str]: ...
+
+
+class LocalFS:
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def list_files(self, base: str, ext: str) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(ext):
+                    out.append(os.path.join(dirpath, f))
+        return sorted(out)
+
+
+class HadoopFS:
+    """Hadoop FileSystem bridge (py4j). Needs an active SparkSession — the
+    same requirement as every data read/write on a remote table."""
+
+    def __init__(self, uri: str):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"remote table {uri}: metadata I/O needs an active "
+                "SparkSession (its Hadoop configuration selects the "
+                "filesystem implementation and credentials)"
+            )
+        jvm = spark.sparkContext._jvm
+        self._jvm = jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(uri), hconf
+        )
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def read_text(self, path: str) -> str:
+        fs = self._fs
+        p = self._path(path)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        # copy server-side: py4j passes byte[] arguments BY VALUE, so a
+        # Python-side read(buf) loop would see an unmodified buffer — only
+        # byte[] RETURN values cross the bridge correctly
+        sink = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, sink, 65536, True
+        )
+        return bytes(sink.toByteArray()).decode("utf-8")
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = self._path(path + f".tmp-{os.getpid()}")
+        stream = self._fs.create(tmp, True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        dst = self._path(path)
+        # HDFS rename won't clobber; the pointer flip must, so remove first —
+        # the one-committer-at-a-time caveat from the module docstring
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise OSError(f"rename {tmp} -> {path} failed")
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._path(path))
+
+    def list_files(self, base: str, ext: str) -> list[str]:
+        fs = self._fs
+        p = self._path(base)
+        if not fs.exists(p):
+            return []
+        it = fs.listFiles(p, True)  # recursive
+        out = []
+        while it.hasNext():
+            st = it.next()
+            uri = st.getPath().toString()
+            if uri.endswith(ext):
+                out.append(uri)
+        return sorted(out)
+
+
+def fs_for(root: str) -> FS:
+    return HadoopFS(root) if is_uri(root) else LocalFS()

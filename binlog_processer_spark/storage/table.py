@@ -37,45 +37,67 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from . import fs as fsmod
+
 
 class SnapshotTable:
+    """Root may be a plain path or any Hadoop-supported URI (``hdfs://``,
+    ``s3a://``, ``file://``): metadata I/O routes through storage/fs.py, the
+    data I/O through Spark itself (see fs.py for the commit-atomicity
+    caveats per scheme)."""
+
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fsimpl: fsmod.FS | None = None
+        if not fsmod.is_uri(root):
+            os.makedirs(root, exist_ok=True)
+
+    @property
+    def _fs(self) -> fsmod.FS:
+        # lazy: a HadoopFS binds to the active SparkSession, which may not
+        # exist yet when the table handle is constructed
+        if self._fsimpl is None:
+            self._fsimpl = fsmod.fs_for(self.root)
+        return self._fsimpl
+
+    def _join(self, *parts: str) -> str:
+        return fsmod.join(self.root, *parts)
 
     # -- manifest plumbing ---------------------------------------------------
     def _current_path(self) -> str:
-        return os.path.join(self.root, "_current")
+        return self._join("_current")
 
     def current_snapshot(self) -> int | None:
         try:
-            with open(self._current_path()) as f:
-                return json.load(f)["snapshot"]
+            return json.loads(self._fs.read_text(self._current_path()))[
+                "snapshot"
+            ]
         except FileNotFoundError:
             return None
 
     def _manifest(self, snap: int) -> dict:
-        with open(os.path.join(self.root, f"snap-{snap}", "manifest.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self._fs.read_text(self._join(f"snap-{snap}", "manifest.json"))
+        )
 
     def _commit(self, snap: int) -> None:
-        tmp = self._current_path() + f".tmp-{snap}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot": snap}, f)
-        os.replace(tmp, self._current_path())
+        self._fs.write_text_atomic(
+            self._current_path(), json.dumps({"snapshot": snap})
+        )
+
+    def _write_manifest(self, snap_dir: str, manifest: dict) -> None:
+        self._fs.write_text_atomic(
+            fsmod.join(snap_dir, "manifest.json"), json.dumps(manifest, indent=1)
+        )
 
     def _walk_rel(self, base: str, ext: str) -> list[str]:
         """Root-relative data files under ``base`` — used ONCE per write, at
         commit time, over the freshly written dir (the writer's own output);
         never on the read path."""
-        out = []
-        for dirpath, _, files in os.walk(base):
-            for f in files:
-                if f.endswith(ext):
-                    out.append(
-                        os.path.relpath(os.path.join(dirpath, f), self.root)
-                    )
-        return sorted(out)
+        return sorted(
+            fsmod.rel_to(p, self.root)
+            for p in self._fs.list_files(base, ext)
+        )
 
     def _files_rel(self, m: dict) -> list[str]:
         """Root-relative inventory of the data files a manifest reads.
@@ -90,7 +112,7 @@ class SnapshotTable:
         for d in m["data_dirs"]:
             out.extend(
                 p
-                for p in self._walk_rel(os.path.join(self.root, d), ext)
+                for p in self._walk_rel(self._join(d), ext)
                 if p not in excluded
             )
         return sorted(out)
@@ -109,8 +131,8 @@ class SnapshotTable:
         table keeps one format for its whole lineage."""
         parent = self.current_snapshot()
         snap = (parent + 1) if parent is not None else 0
-        snap_dir = os.path.join(self.root, f"snap-{snap}")
-        data_dir = os.path.join(snap_dir, "data")
+        snap_dir = self._join(f"snap-{snap}")
+        data_dir = fsmod.join(snap_dir, "data")
         excluded: list[str] = []
         if parent is not None:
             pm = self._manifest(parent)
@@ -148,7 +170,7 @@ class SnapshotTable:
 
         ext = "." + ("orc" if file_format == "orc" else "parquet")
         files = self._walk_rel(data_dir, ext)
-        data_dirs = [os.path.relpath(data_dir, self.root)]
+        data_dirs = [fsmod.rel_to(data_dir, self.root)]
         if mode == "append" and parent is not None:
             data_dirs = self._manifest(parent)["data_dirs"] + data_dirs
             files = sorted(self._files_rel(self._manifest(parent)) + files)
@@ -169,8 +191,7 @@ class SnapshotTable:
             "schema": df.schema.json(),
             "properties": properties or {},
         }
-        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
 
@@ -186,8 +207,8 @@ class SnapshotTable:
         m = self._manifest(parent)
         rel = {self._rel(p) for p in files}
         snap = parent + 1
-        snap_dir = os.path.join(self.root, f"snap-{snap}")
-        os.makedirs(snap_dir, exist_ok=True)
+        snap_dir = self._join(f"snap-{snap}")
+        self._fs.mkdirs(snap_dir)
         manifest = {
             **m,
             "snapshot": snap,
@@ -198,14 +219,18 @@ class SnapshotTable:
             "files": sorted(set(self._files_rel(m)) - rel),
             "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
         }
-        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
 
     def _rel(self, p: str) -> str:
-        """Normalize a file path (absolute, root-relative, or file: URI) to
+        """Normalize a file path (absolute, root-relative, scheme URI) to
         root-relative form — ``input_file_name()`` returns URIs."""
+        if fsmod.is_uri(self.root):
+            try:
+                return fsmod.rel_to(p, self.root)
+            except ValueError:
+                return p  # already root-relative
         if p.startswith("file:"):
             p = "/" + p[5:].lstrip("/")
         return os.path.relpath(p, self.root) if os.path.isabs(p) else p
@@ -244,8 +269,8 @@ class SnapshotTable:
                 f"rewrite_files: not in the current snapshot: {sorted(unknown)[:5]}"
             )
         snap = parent + 1
-        snap_dir = os.path.join(self.root, f"snap-{snap}")
-        data_dir = os.path.join(snap_dir, "data")
+        snap_dir = self._join(f"snap-{snap}")
+        data_dir = fsmod.join(snap_dir, "data")
         w = replacement.write.mode("errorifexists")
         partition_by = pm.get("partition_by") or []
         if partition_by:
@@ -259,15 +284,14 @@ class SnapshotTable:
             "mode": "rewrite",
             "created_ms": int(time.time() * 1000),
             "partition_by": partition_by,
-            "data_dirs": pm["data_dirs"] + [os.path.relpath(data_dir, self.root)],
+            "data_dirs": pm["data_dirs"] + [fsmod.rel_to(data_dir, self.root)],
             "format": file_format,
             "files": sorted((inventory - rel_removed) | set(new_files)),
             "excluded_files": [],
             "schema": pm["schema"],
             "properties": pm.get("properties", {}),
         }
-        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
 
@@ -279,8 +303,7 @@ class SnapshotTable:
         if snap is None:
             return []
         return [
-            os.path.join(self.root, p)
-            for p in self._files_rel(self._manifest(snap))
+            self._join(p) for p in self._files_rel(self._manifest(snap))
         ]
 
     # -- read ----------------------------------------------------------------
@@ -326,14 +349,14 @@ class SnapshotTable:
         by_dir: dict[str, list[str]] = {}
         dirs = sorted(m["data_dirs"], key=len, reverse=True)
         for rel in rel_files:
-            d = next((d for d in dirs if rel.startswith(d + os.sep)), None)
+            d = next((d for d in dirs if rel.startswith(d + "/")), None)
             if d is None:  # file outside any known data dir: manifest bug
                 raise ValueError(f"{rel} not under any data_dir of the manifest")
-            by_dir.setdefault(d, []).append(os.path.join(self.root, rel))
+            by_dir.setdefault(d, []).append(self._join(rel))
 
         branches = [
             spark.read.schema(schema)
-            .option("basePath", os.path.join(self.root, d))
+            .option("basePath", self._join(d))
             .format(fmt)
             .load(files)
             for d, files in sorted(by_dir.items())

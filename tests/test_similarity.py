@@ -170,3 +170,16 @@ def test_ivf_topk_on_clustered_data(spark):
     for qid in (0, 10, 20):
         cluster = set(range((qid // 10) * 10, (qid // 10) * 10 + 10))
         assert set(by_q[qid]) <= cluster - {qid}
+
+
+def test_numpy_path_tiebreak_by_vec_id(spark):
+    # four identical candidates (equal cosine to the query) spread across
+    # partitions: each batch's partial top-k sees a different subset, and the
+    # global reduce must keep the LOWEST vec_ids (score DESC, vec_id ASC) —
+    # the rank-set contract the ann_blas_topk oracle checks
+    rows = [(0, [1.0, 0.0, 0.0])] + [(i, [0.5, 0.5, 0.0]) for i in (7, 3, 9, 5)]
+    emb = spark.createDataFrame(rows, SCHEMA).repartition(4, "vec_id")
+    got = sorted(
+        (r.rank, r.vec_id) for r in cosine_topk_np(emb, [0], k=2).collect()
+    )
+    assert got == [(1, 3), (2, 5)]

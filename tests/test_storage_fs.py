@@ -1,0 +1,67 @@
+"""Remote-filesystem metadata path: SnapshotTable over a ``file://`` URI.
+
+A URI root routes every metadata operation (manifest read/write, ``_current``
+pointer flip, commit-time inventory listing) through the JVM's Hadoop
+FileSystem — the same code path an ``hdfs://`` or ``s3a://`` table takes
+(HdfsStorage.java:40-104 is the reference's native habitat). ``file://`` is
+the one Hadoop scheme available in this sandbox, so these tests exercise the
+real HadoopFS branch end-to-end, not a mock.
+"""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.storage import fs as fsmod
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def test_uri_path_algebra():
+    assert fsmod.is_uri("hdfs://nn:8020/warehouse")
+    assert fsmod.is_uri("file:///tmp/x")
+    assert not fsmod.is_uri("/tmp/x")
+    assert (
+        fsmod.join("hdfs://nn/warehouse/", "snap-0", "manifest.json")
+        == "hdfs://nn/warehouse/snap-0/manifest.json"
+    )
+    assert (
+        fsmod.rel_to("hdfs://nn/w/snap-0/data/a.parquet", "hdfs://nn/w")
+        == "snap-0/data/a.parquet"
+    )
+
+
+def test_snapshot_table_over_file_uri(spark, tmp_path):
+    root = f"file://{tmp_path}/uri_tbl"
+    t = SnapshotTable(root)
+    df1 = spark.range(5).withColumn("v", F.lit("a"))
+    s0 = t.write(df1)
+    assert t.read(spark).count() == 5
+    # manifest inventory recorded and resolvable (absolute URIs)
+    files = t.data_files()
+    assert files and all(f.startswith("file://") for f in files)
+
+    df2 = spark.range(3).withColumn("v", F.lit("b"))
+    s1 = t.write(df2, mode="append")
+    assert t.read(spark).count() == 8
+    assert t.read(spark, snapshot=s0).count() == 5  # time travel
+
+    t.rollback(s0)
+    assert t.read(spark).count() == 5
+    t.rollback(s1)
+
+    # metadata-only exclusion via manifest diff
+    drop = [files[0]]
+    t.exclude_files(drop)
+    assert len(t.data_files()) == len(t._files_rel(t._manifest(s1))) - 1
+
+
+def test_file_scoped_rewrite_over_file_uri(spark, tmp_path):
+    root = f"file://{tmp_path}/uri_rw"
+    t = SnapshotTable(root)
+    df = spark.range(10).withColumn("k", (F.col("id") % 2).cast("int"))
+    t.write(df.repartition(2, "k"))
+    victim = t.data_files()[0]
+    victim_rows = t.read_files(spark, [victim])
+    had_zero = victim_rows.filter(F.col("id") == 0).count()
+    survivors = victim_rows.filter(F.col("id") != 0)
+    t.rewrite_files([victim], survivors)
+    assert t.read(spark).count() == 10 - had_zero
+    assert victim not in t.data_files()
