@@ -207,6 +207,29 @@ def _copy_bw_worker(args) -> float:
     return reps * (2 * mb / 1000) / (_t.time() - t0)
 
 
+def _cpu_work(n: int) -> float:
+    import hashlib
+    import time as _t
+
+    t0 = _t.time()
+    x = b"x" * 64
+    for _ in range(n):
+        x = hashlib.md5(x).digest()
+    return n / (_t.time() - t0)
+
+
+def _cpu_probe(procs: int, n: int = 300_000) -> float:
+    """Aggregate cache-resident compute throughput (Mhash/s) at ``procs``
+    concurrent workers. Complements the bandwidth probe: noisy neighbors
+    that STEAL CORES crush this probe while barely moving the stream-copy
+    one, and vice versa — reporting both ceilings names which resource the
+    host actually withheld during a pair."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        return sum(pool.map(_cpu_work, [n] * procs)) / 1e6
+
+
 def _bandwidth_probe(procs: int, mb: int = 200, reps: int = 5) -> float:
     """Aggregate host memory bandwidth (GB/s) at `procs` concurrent workers.
 
@@ -284,13 +307,18 @@ def scaling_run(pairs: int = 5) -> None:
         profiled = i == pairs  # last pair: stage attribution, excluded from medians
         _wait_quiet()
         bw4 = _bandwidth_probe(4)
+        cpu4 = _cpu_probe(4)
         r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
         bw16 = _bandwidth_probe(16)
+        cpu16 = _cpu_probe(16)
         r16 = _pipeline_subprocess(16, n_docs, profile=profiled)
         eff = (r4["pipeline_sec"] / r16["pipeline_sec"]) / 4
         # NOT clamped (per round-1 advice): a ceiling or normalized figure >1
         # would signal probe noise and must be visible, not silently capped
-        ceiling = (bw16 / bw4) / 4 if bw4 else float("nan")
+        bw_ceiling = (bw16 / bw4) / 4 if bw4 else float("nan")
+        cpu_ceiling = (cpu16 / cpu4) / 4 if cpu4 else float("nan")
+        # the job cannot scale past EITHER withheld resource
+        ceiling = min(bw_ceiling, cpu_ceiling)
         entry = {
             "campaign": campaign,
             "pair": i,
@@ -300,6 +328,10 @@ def scaling_run(pairs: int = 5) -> None:
             "eff": round(eff, 3),
             "bw4": round(bw4, 1),
             "bw16": round(bw16, 1),
+            "cpu4": round(cpu4, 1),
+            "cpu16": round(cpu16, 1),
+            "bw_ceiling": round(bw_ceiling, 3),
+            "cpu_ceiling": round(cpu_ceiling, 3),
             "ceiling": round(ceiling, 3),
             "eff_norm": round(eff / ceiling, 3) if ceiling else None,
             "gc4": r4.get("gc_sec"),
@@ -331,10 +363,16 @@ def scaling_report() -> None:
     n_ev = run[0]["n_events"]
     n_docs = run[0]["n_docs"]
 
+    def _ceils(e: dict) -> str:
+        # older campaigns predate the split bw/cpu ceilings
+        if "bw_ceiling" not in e:
+            return f"{e['ceiling']} | — "
+        return f"{e['bw_ceiling']} | {e['cpu_ceiling']} "
+
     pair_rows = "".join(
         f"| {e['pair']} | {e['t4']} | {e['t16']} | {e['eff']} |"
-        f" {e['bw4']}→{e['bw16']} | {e['ceiling']} | {e['eff_norm']} |"
-        f" {e['gc4']}/{e['gc16']} |\n"
+        f" {e['bw4']}→{e['bw16']} | {_ceils(e)}| {e['ceiling']} |"
+        f" {e['eff_norm']} | {e['gc4']}/{e['gc16']} |\n"
         for e in timed
     )
 
@@ -377,11 +415,17 @@ def scaling_report() -> None:
             f"| T local[4] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
             f"| T local[16] (4N) | {med_t16:.1f} s ({n_ev / med_t16:,.0f} seq/s) |\n"
             f"| raw scaling efficiency (T_N/T_4N)/4 | **{med_eff:.3f}** |\n"
-            f"| host bandwidth ceiling (probe, same windows) | {med_ceiling:.3f} |\n"
+            f"| host ceiling (min of bw/cpu probes, same windows) | {med_ceiling:.3f} |\n"
             f"| normalized efficiency (raw / ceiling) | **{med_norm:.3f}** |\n\n"
             "## Per-pair disclosure\n\n"
-            "| pair | T4 (s) | T16 (s) | raw eff | probe GB/s | ceiling |"
-            " normalized | GC4/GC16 (s) |\n|---|---|---|---|---|---|---|---|\n"
+            "Two per-window host probes: stream-copy bandwidth (GB/s) and\n"
+            "cache-resident md5 compute (core availability). Each yields a\n"
+            "4→16 scaling ceiling; the effective ceiling is their MIN — the\n"
+            "job cannot scale past whichever resource the host withheld in\n"
+            "that window.\n\n"
+            "| pair | T4 (s) | T16 (s) | raw eff | probe GB/s | bw ceil |"
+            " cpu ceil | eff. ceiling | normalized | GC4/GC16 (s) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
             + pair_rows
             + stage_table
             + "\nMethodology. local[4] vs local[16] stands in for N vs 4N\n"

@@ -45,15 +45,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        # zstd + dictionary OFF: the hot written columns (token arrays,
-        # doc ids) are high-cardinality, so parquet's dictionary encoder
-        # builds a per-chunk hash map only to abandon it — measured 75% of
-        # the partitioned-write CPU at 7.4M rows (39.1s → 10.7s dict-off,
-        # 7.6s dict-off+zstd at local[16]); zstd then out-compresses
-        # snappy-on-plain, which also cuts bytes over the bus/network —
-        # the scarcer resource at every scale
-        .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.hadoop.parquet.enable.dictionary", "false")
+        # snappy + dictionary ON. A zstd/dict-off variant was tried and
+        # REVERTED: re-measured A/B on a quiet host at 7.4M routed rows,
+        # local[16], the write-heavy pipeline ran 30.1s with snappy+dict vs
+        # 50.0s zstd+dict, 35.3s snappy+nodict, 91.4s zstd+nodict — zstd's
+        # compressor CPU dominates on token-array payloads, and turning the
+        # dictionary off inflates the plain-encoded bytes zstd must chew.
+        # On an IO-constrained real cluster the tradeoff may flip; it's one
+        # conf key, and the default stays the measured CPU-side winner.
+        .config("spark.sql.parquet.compression.codec", "snappy")
         # parity with DuckDB oracle: no legacy rebase surprises on timestamps
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.ui.enabled", "false")
@@ -65,10 +65,11 @@ def get_spark(
         # (storage/table.py), so a failed job leaves only an uncommitted dir.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # local mode runs every task thread in the driver JVM: 8g across 16
-        # slots left ~0.5g/slot and measured ~100s of GC per pipeline run
-        # (vs ~17s at 24g, route_write 54s → 34s). A real cluster gives each
-        # executor its own heap — size the one local JVM like the sum of a
-        # small executor group, not like a driver.
+        # slots leaves ~0.5g/slot — quiet-host A/B at 7.4M routed rows,
+        # local[16]: 48.2s at 8g vs 30.1s at 24g (memory-pressure spills,
+        # not GC time, carry the cost). A real cluster gives each executor
+        # its own heap — size the one local JVM like the sum of a small
+        # executor group, not like a driver.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
