@@ -175,6 +175,61 @@ def run_pipeline_bench(
             spark.stop()
 
 
+def run_nulljob_bench(cpus: int, n_docs: int) -> dict:
+    """Control job for the scaling campaign: the same corpus bytes through
+    read → one repartition shuffle → parquet write, with NONE of the engine's
+    operators (no parse, no joins, no routing, no commit protocol).
+
+    Purpose: name the scaling residual. If this null job's 4→16 efficiency
+    matches the pipeline's in the same host window, the loss is the host's
+    shared memory bus moving bytes (read+shuffle+encode+write), not anything
+    the engine adds — the strongest attribution available on a one-VM sandbox.
+    """
+    from binlog_processer_spark.functions.parse import serialize_expr
+    from binlog_processer_spark.session import get_spark
+    from binlog_processer_spark.sources.generator import generate_corpus
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="blp_null_", dir=shm)
+    spark = get_spark(
+        f"null-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={
+            "spark.local.dir": os.path.join(tmp, "spark_local"),
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
+    try:
+        raw_path = os.path.join(tmp, "raw")
+        (
+            generate_corpus(spark, n_docs, partitions=64)
+            .select(serialize_expr().alias("raw"))
+            .write.mode("overwrite")
+            .parquet(raw_path)
+        )
+        raw = spark.read.parquet(raw_path)
+        n_events = raw.count()
+        # warm: JIT + codegen + writer classes, matching the pipeline bench
+        raw.limit(10_000).repartition(cpus * 2).write.mode("overwrite").parquet(
+            os.path.join(tmp, "warm")
+        )
+        t0 = time.time()
+        raw.repartition(cpus * 2).write.mode("overwrite").parquet(
+            os.path.join(tmp, "out")
+        )
+        wall = time.time() - t0
+        return {
+            "cpus": cpus,
+            "n_events": n_events,
+            "null_sec": round(wall, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def run_query_bench(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
     from binlog_processer_spark.session import get_spark
@@ -218,7 +273,7 @@ def _cpu_work(n: int) -> float:
     return n / (_t.time() - t0)
 
 
-def _cpu_probe(procs: int, n: int = 300_000) -> float:
+def _cpu_probe(procs: int, n: int = 1_000_000) -> float:
     """Aggregate cache-resident compute throughput (Mhash/s) at ``procs``
     concurrent workers. Complements the bandwidth probe: noisy neighbors
     that STEAL CORES crush this probe while barely moving the stream-copy
@@ -265,6 +320,16 @@ def _pipeline_subprocess(cpus: int, n_docs: int, profile: bool = False) -> dict:
     ]
     if profile:
         cmd.append("--profile")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _nulljob_subprocess(cpus: int, n_docs: int) -> dict:
+    cmd = [
+        sys.executable, __file__, "--null-only", "--cpus", str(cpus),
+        "--docs", str(n_docs),
+    ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -343,6 +408,33 @@ def scaling_run(pairs: int = 5) -> None:
         }
         with open(hist_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+
+    # control pair: the parse-less null job (read → shuffle → write of the
+    # same corpus bytes) at both levels in one window. If its efficiency
+    # matches the pipeline's, the scaling residual is the host moving bytes,
+    # not the engine's operators.
+    _wait_quiet()
+    nbw4 = _bandwidth_probe(4)
+    ncpu4 = _cpu_probe(4)
+    nj4 = _nulljob_subprocess(4, n_docs)
+    nbw16 = _bandwidth_probe(16)
+    ncpu16 = _cpu_probe(16)
+    nj16 = _nulljob_subprocess(16, n_docs)
+    n_eff = (nj4["null_sec"] / nj16["null_sec"]) / 4
+    n_ceiling = min(
+        (nbw16 / nbw4) / 4 if nbw4 else float("nan"),
+        (ncpu16 / ncpu4) / 4 if ncpu4 else float("nan"),
+    )
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "campaign": campaign, "pair": "control", "profiled": False,
+            "control": True, "t4": nj4["null_sec"], "t16": nj16["null_sec"],
+            "eff": round(n_eff, 3), "bw4": round(nbw4, 1),
+            "bw16": round(nbw16, 1), "cpu4": round(ncpu4, 1),
+            "cpu16": round(ncpu16, 1), "ceiling": round(n_ceiling, 3),
+            "eff_norm": round(n_eff / n_ceiling, 3) if n_ceiling else None,
+            "n_docs": n_docs, "n_events": nj16["n_events"],
+        }) + "\n")
     scaling_report()
 
 
@@ -352,8 +444,9 @@ def scaling_report() -> None:
         all_pairs = [json.loads(l) for l in f if l.strip()]
     campaign = max(e["campaign"] for e in all_pairs)
     run = [e for e in all_pairs if e["campaign"] == campaign]
-    timed = [e for e in run if not e["profiled"]]
+    timed = [e for e in run if not e["profiled"] and not e.get("control")]
     prof = [e for e in run if e["profiled"]]
+    controls = [e for e in run if e.get("control")]
 
     med_eff = _median([e["eff"] for e in timed])
     med_norm = _median([e["eff_norm"] for e in timed if e["eff_norm"]])
@@ -375,6 +468,25 @@ def scaling_report() -> None:
         f" {e['eff_norm']} | {e['gc4']}/{e['gc16']} |\n"
         for e in timed
     )
+
+    control_table = ""
+    if controls:
+        c = controls[-1]
+        control_table = (
+            "\n## Control: parse-less null job (same window, same corpus)\n\n"
+            "The null job is read → one repartition shuffle → parquet write\n"
+            "of the SAME corpus bytes with none of the engine's operators\n"
+            "(no parse, no joins, no routing, no snapshot commit). Its 4→16\n"
+            "efficiency is the host's byte-moving ceiling as experienced by\n"
+            "an empty Spark job; pipeline efficiency at or above it means\n"
+            "the engine's plan adds no scaling loss of its own.\n\n"
+            "| job | T4 (s) | T16 (s) | raw eff | window ceiling | normalized |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| null control | {c['t4']} | {c['t16']} | {c['eff']} |"
+            f" {c['ceiling']} | {c['eff_norm']} |\n"
+            f"| pipeline (campaign median) | {med_t4:.1f} | {med_t16:.1f} |"
+            f" {med_eff:.3f} | {med_ceiling:.3f} | {med_norm:.3f} |\n"
+        )
 
     stage_table = ""
     if prof:
@@ -427,6 +539,7 @@ def scaling_report() -> None:
             " cpu ceil | eff. ceiling | normalized | GC4/GC16 (s) |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
             + pair_rows
+            + control_table
             + stage_table
             + "\nMethodology. local[4] vs local[16] stands in for N vs 4N\n"
             "executor clusters per the driver's two-parallelism-level\n"
@@ -467,6 +580,8 @@ def main() -> None:
     ap.add_argument("--report-only", action="store_true",
                     help="rebuild BENCH/BASELINE.md from scaling history")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--null-only", action="store_true",
+                    help="run the parse-less control job (read→shuffle→write)")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--no-metrics", action="store_true",
@@ -491,6 +606,9 @@ def main() -> None:
         return
 
     n_docs = args.docs or _bench_docs()
+    if args.null_only:
+        print(json.dumps(run_nulljob_bench(args.cpus, n_docs)))
+        return
     if args.pipeline_only:
         print(json.dumps(run_pipeline_bench(
             args.cpus, n_docs,

@@ -9,8 +9,14 @@ DuckDB-oracle twin where used by the contract.
   (SchemaData.java:60-68) — replaying its output without the shift lands
   every date one day late for the 8h window.
 - epoch s↔ms heuristic: mixed feeds carry unix seconds OR millis in the same
-  column; the reference disambiguates by digit count — ≥13 digits ⇒ millis
-  (TiDBCompareByFile.java:252,279; DataBaseHandler.java:44-52).
+  column; the reference disambiguates by string length — exactly 10 digits ⇒
+  seconds (×1000), anything else ⇒ already millis (DataBaseHandler.java:43-50;
+  TiDBCompareByFile.java:252,279). This port deliberately deviates: it uses a
+  magnitude threshold (< 10^10 ⇒ seconds) instead, which also classifies 1-9
+  digit values as seconds where the reference would read them as millis — a
+  divergence window covering only pre-2001-09-09 epoch-second values, which
+  the reference's own rule mis-renders anyway (a 9-digit count of seconds IS
+  seconds; reading it as millis puts it in January 1970).
 - identifier normalization (P5): lowercase + backtick strip before schema
   lookup (AvroDataBuilder.java:223,237-247; SchemaProviders.java:106-107).
 - id-list truncation: probe id lists cap at 1000 ids per batch
