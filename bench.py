@@ -368,16 +368,45 @@ def scaling_run(pairs: int = 5) -> None:
     campaign = int(time.time())
     os.makedirs("BENCH", exist_ok=True)
     hist_path = "BENCH/scaling_pairs.jsonl"
-    for i in range(pairs + 1):
-        profiled = i == pairs  # last pair: stage attribution, excluded from medians
-        _wait_quiet()
-        bw4 = _bandwidth_probe(4)
-        cpu4 = _cpu_probe(4)
-        r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
+
+    def _measure_pair(idx, kind: str, profiled: bool = False) -> bool:
+        """One probed A/B pair with window-stability validation.
+
+        Probes run BEFORE the 4-way leg and AFTER the 16-way leg (both at
+        4 workers, comparable), plus a mid probe at 16 workers for the
+        ceiling. If the host's availability shifted >±45% across the pair
+        (noisy neighbors arriving/leaving MID-measurement), the pair is
+        recorded as discarded=true and does not enter the medians — the
+        round-2 campaign showed single pre-probes can't catch mid-pair
+        arrivals. Returns True when the pair was stable (counts toward the
+        requested total)."""
+        _wait_quiet(max_load=1.5, timeout=3600)
+        load0 = round(os.getloadavg()[0], 2)
+        bw4a = _bandwidth_probe(4)
+        cpu4a = _cpu_probe(4)
+        if kind == "control":
+            r4 = _nulljob_subprocess(4, n_docs)
+            t4_key = "null_sec"
+        else:
+            r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
+            t4_key = "pipeline_sec"
         bw16 = _bandwidth_probe(16)
         cpu16 = _cpu_probe(16)
-        r16 = _pipeline_subprocess(16, n_docs, profile=profiled)
-        eff = (r4["pipeline_sec"] / r16["pipeline_sec"]) / 4
+        if kind == "control":
+            r16 = _nulljob_subprocess(16, n_docs)
+        else:
+            r16 = _pipeline_subprocess(16, n_docs, profile=profiled)
+        bw4b = _bandwidth_probe(4)
+        cpu4b = _cpu_probe(4)
+        load1 = round(os.getloadavg()[0], 2)
+
+        bw4 = (bw4a + bw4b) / 2
+        cpu4 = (cpu4a + cpu4b) / 2
+        stable = (
+            0.55 <= (bw4b / bw4a if bw4a else 0) <= 1.8
+            and 0.55 <= (cpu4b / cpu4a if cpu4a else 0) <= 1.8
+        )
+        eff = (r4[t4_key] / r16[t4_key]) / 4
         # NOT clamped (per round-1 advice): a ceiling or normalized figure >1
         # would signal probe noise and must be visible, not silently capped
         bw_ceiling = (bw16 / bw4) / 4 if bw4 else float("nan")
@@ -386,21 +415,27 @@ def scaling_run(pairs: int = 5) -> None:
         ceiling = min(bw_ceiling, cpu_ceiling)
         entry = {
             "campaign": campaign,
-            "pair": i,
+            "pair": idx,
             "profiled": profiled,
-            "t4": r4["pipeline_sec"],
-            "t16": r16["pipeline_sec"],
+            "control": kind == "control",
+            "discarded": not stable,
+            "t4": r4[t4_key],
+            "t16": r16[t4_key],
             "eff": round(eff, 3),
             "bw4": round(bw4, 1),
             "bw16": round(bw16, 1),
+            "bw4_post": round(bw4b, 1),
             "cpu4": round(cpu4, 1),
             "cpu16": round(cpu16, 1),
+            "cpu4_post": round(cpu4b, 1),
             "bw_ceiling": round(bw_ceiling, 3),
             "cpu_ceiling": round(cpu_ceiling, 3),
             "ceiling": round(ceiling, 3),
             "eff_norm": round(eff / ceiling, 3) if ceiling else None,
             "gc4": r4.get("gc_sec"),
             "gc16": r16.get("gc_sec"),
+            "load_pre": load0,
+            "load_post": load1,
             "phases4": r4.get("phase_sec", {}),
             "phases16": r16.get("phase_sec", {}),
             "n_docs": n_docs,
@@ -408,33 +443,24 @@ def scaling_run(pairs: int = 5) -> None:
         }
         with open(hist_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+        return stable
 
+    clean, attempts = 0, 0
+    while clean < pairs and attempts < pairs * 4:
+        if _measure_pair(attempts, "pipeline"):
+            clean += 1
+        attempts += 1
     # control pair: the parse-less null job (read → shuffle → write of the
     # same corpus bytes) at both levels in one window. If its efficiency
     # matches the pipeline's, the scaling residual is the host moving bytes,
     # not the engine's operators.
-    _wait_quiet()
-    nbw4 = _bandwidth_probe(4)
-    ncpu4 = _cpu_probe(4)
-    nj4 = _nulljob_subprocess(4, n_docs)
-    nbw16 = _bandwidth_probe(16)
-    ncpu16 = _cpu_probe(16)
-    nj16 = _nulljob_subprocess(16, n_docs)
-    n_eff = (nj4["null_sec"] / nj16["null_sec"]) / 4
-    n_ceiling = min(
-        (nbw16 / nbw4) / 4 if nbw4 else float("nan"),
-        (ncpu16 / ncpu4) / 4 if ncpu4 else float("nan"),
-    )
-    with open(hist_path, "a") as f:
-        f.write(json.dumps({
-            "campaign": campaign, "pair": "control", "profiled": False,
-            "control": True, "t4": nj4["null_sec"], "t16": nj16["null_sec"],
-            "eff": round(n_eff, 3), "bw4": round(nbw4, 1),
-            "bw16": round(nbw16, 1), "cpu4": round(ncpu4, 1),
-            "cpu16": round(ncpu16, 1), "ceiling": round(n_ceiling, 3),
-            "eff_norm": round(n_eff / n_ceiling, 3) if n_ceiling else None,
-            "n_docs": n_docs, "n_events": nj16["n_events"],
-        }) + "\n")
+    for a in range(3):
+        if _measure_pair(f"control-{a}", "control"):
+            break
+    # profiled pair last (stage attribution; never in medians)
+    for a in range(3):
+        if _measure_pair(f"profiled-{a}", "pipeline", profiled=True):
+            break
     scaling_report()
 
 
@@ -444,9 +470,16 @@ def scaling_report() -> None:
         all_pairs = [json.loads(l) for l in f if l.strip()]
     campaign = max(e["campaign"] for e in all_pairs)
     run = [e for e in all_pairs if e["campaign"] == campaign]
-    timed = [e for e in run if not e["profiled"] and not e.get("control")]
-    prof = [e for e in run if e["profiled"]]
-    controls = [e for e in run if e.get("control")]
+    live = [e for e in run if not e.get("discarded")]
+    n_discarded = len(run) - len(live)
+    timed = [e for e in live if not e["profiled"] and not e.get("control")]
+    prof = [e for e in live if e["profiled"]]
+    controls = [e for e in live if e.get("control")]
+
+    if not timed:
+        print(json.dumps({"error": "no stable pairs in latest campaign",
+                          "campaign": campaign, "entries": len(run)}))
+        return
 
     med_eff = _median([e["eff"] for e in timed])
     med_norm = _median([e["eff_norm"] for e in timed if e["eff_norm"]])
@@ -508,7 +541,13 @@ def scaling_report() -> None:
                 for k in names
             )
             + f"\n(pair window ceiling {p['ceiling']}, probe"
-            f" {p['bw4']}→{p['bw16']} GB/s, GC {p['gc4']}/{p['gc16']} s.)\n"
+            f" {p['bw4']}→{p['bw16']} GB/s, GC {p['gc4']}/{p['gc16']} s.)\n\n"
+            "Caveat: profiling materializes the parse cache as its own\n"
+            "action, so the parse stage here pays a full cache write the\n"
+            "fused production path does not — profiled totals exceed the\n"
+            "unprofiled pairs above, and the parse row reflects\n"
+            "cache-materialization bandwidth, not fused parse cost. The\n"
+            "profiled pair is excluded from all medians.\n"
         )
 
     with open("BENCH/BASELINE.md", "w") as f:
@@ -519,10 +558,15 @@ def scaling_report() -> None:
             "Job: read raw parquet → vectorized parse (mapInPandas) → broadcast\n"
             "enrich → route (filters, broadcast soft-delete, dual trees) →\n"
             "partitioned snapshot write → single-pass per-sink rollups + lineage.\n\n"
-            f"Campaign: {len(timed)} interleaved local[4]/local[16] pairs, each\n"
-            "pair back-to-back inside one host window with its own bandwidth\n"
-            "probe; all figures below are MEDIANS across pairs (no window\n"
-            "selection), plus full per-pair disclosure.\n\n"
+            f"Campaign: {len(timed)} stable interleaved local[4]/local[16]\n"
+            "pairs, each pair back-to-back inside one host window bracketed\n"
+            "by bandwidth + cpu probes on BOTH sides; a pair whose host\n"
+            "availability shifted >±45% across the measurement (noisy\n"
+            "neighbors arriving mid-pair) is auto-discarded and retried —\n"
+            f"{n_discarded} discarded this campaign, all preserved in\n"
+            "BENCH/scaling_pairs.jsonl. All figures below are MEDIANS across\n"
+            "stable pairs (no window selection), plus full per-pair\n"
+            "disclosure.\n\n"
             "| metric | median |\n|---|---|\n"
             f"| T local[4] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
             f"| T local[16] (4N) | {med_t16:.1f} s ({n_ev / med_t16:,.0f} seq/s) |\n"
