@@ -380,7 +380,7 @@ def scaling_run(pairs: int = 5) -> None:
         round-2 campaign showed single pre-probes can't catch mid-pair
         arrivals. Returns True when the pair was stable (counts toward the
         requested total)."""
-        _wait_quiet(max_load=1.5, timeout=3600)
+        _wait_quiet(max_load=1.5, timeout_s=3600)
         load0 = round(os.getloadavg()[0], 2)
         bw4a = _bandwidth_probe(4)
         cpu4a = _cpu_probe(4)
