@@ -16,7 +16,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parse import parse_raw, split_quarantine
@@ -58,18 +58,34 @@ def run_pipeline(
     manifest = ProcessedManifest(os.path.join(out_dir, "_processed.json"))
     already_done = manifest.load() if resume else set()
 
-    # one physical parse pass feeds both the good path and the quarantine
-    # side-output (MEMORY_AND_DISK: spills instead of re-parsing at scale);
-    # with_metrics stamps each Arrow batch's wall parse time for the
-    # latency-percentile metrics without a second pass
-    parsed = parse_raw(raw_df, with_metrics=with_metrics).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ONE physical parse pass, ZERO extra materializations: the quarantine
+    # count and the parse-latency percentiles ride the write action as an
+    # `observe()` (CollectMetrics) node on the parsed stream — no persist of
+    # the parsed relation. An earlier design cached parsed (7M+ rows of
+    # token arrays) just to serve those two scalars; on a shared memory bus
+    # that cache write was a second copy of the whole fact table, and at
+    # 10^12 rows it would be a second copy of the corpus. The quarantine
+    # ROWS (not just the count) are re-derived by a second parse only when
+    # the observed count is nonzero — the cold repair path, never the hot one.
+    parsed = parse_raw(raw_df, with_metrics=with_metrics)
+    obs = Observation("parse_metrics")
+    obs_exprs = [
+        F.sum((F.col("status") != "OK").cast("long")).alias("n_quarantine"),
+    ]
+    if with_metrics:
+        obs_exprs.append(
+            F.percentile_approx("parse_batch_us", [0.5, 0.95, 0.99])
+            .alias("lat_pcts")
+        )
+    parsed = parsed.observe(obs, *obs_exprs)
     if profile:
+        # profile mode: materialize the parse separately so phase_sec can
+        # attribute it (costs the cache pass the production path no longer has)
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
         t = time.time()
         parsed.count()
         phases["parse_persist"] = round(time.time() - t, 3)
-    good, quarantine = split_quarantine(parsed)
+    good, _ = split_quarantine(parsed)
     if with_metrics:
         good = good.drop("parse_batch_us")
     # the wire's (source, bucket) is the TABLE_MAP key (tableId analogue)
@@ -163,37 +179,46 @@ def run_pipeline(
             tables["lineage"].write(spark.createDataFrame(rows, lineage.schema))
             return rows
 
-        def _parse_latency_pcts():
-            if not with_metrics:
-                return [None, None, None]
-            row = parsed.select(
-                F.expr(
-                    "percentile_approx(parse_batch_us,"
-                    " array(0.5D, 0.95D, 0.99D))"
-                ).alias("p")
+        # observed during the routed write — no extra pass over parsed
+        try:
+            observed = obs.get
+        except Exception:
+            # AQE's runtime empty-relation propagation can replace the whole
+            # map subtree (including the CollectMetrics node) with an empty
+            # LocalTableScan when the write increment turns out empty — e.g.
+            # a fully-resumed rerun — and the observation then surfaces as a
+            # schema-less row that fails to deserialize. Recompute the two
+            # scalars with an explicit aggregate; this rare path re-parses,
+            # but only on runs that wrote nothing.
+            row = parse_raw(raw_df, with_metrics=with_metrics).agg(
+                *obs_exprs
             ).collect()[0]
-            return row.p or [None, None, None]
+            observed = row.asDict()
+        n_quarantine = int(observed["n_quarantine"] or 0)
+        lat = observed.get("lat_pcts") if with_metrics else None
+        lat_p50, lat_p95, lat_p99 = lat if lat else (None, None, None)
 
         t = time.time()
         with ThreadPoolExecutor(max_workers=6) as ex:
             f_lineage = ex.submit(_publish_lineage)
-            f_quar = ex.submit(quarantine.count)
-            f_lat = ex.submit(_parse_latency_pcts)
             f_pub = [
                 ex.submit(tables["sink_counts"].write, sink_counts.coalesce(1)),
                 ex.submit(tables["watermarks"].write, wm.coalesce(1)),
                 ex.submit(tables["histograms"].write, hist.coalesce(1)),
             ]
             lineage_rows = f_lineage.result()
-            n_quarantine = f_quar.result()
-            lat_p50, lat_p95, lat_p99 = f_lat.result()
             for f in f_pub:
                 f.result()
         rollup_base.unpersist()
         phases["publish"] = round(time.time() - t, 3)
 
         if n_quarantine:
-            tables["quarantine"].write(quarantine)
+            # cold path: re-parse to recover the quarantine ROWS (the hot
+            # path only ever needs the count, which the observation carried)
+            _, bad_rows = split_quarantine(
+                parse_raw(raw_df, with_metrics=False)
+            )
+            tables["quarantine"].write(bad_rows)
 
         # lineage spans the whole committed table; metrics report THIS run's
         # increment (the reference's per-run t_binlog_process_log semantics)
@@ -218,4 +243,5 @@ def run_pipeline(
         }
         return PipelineResult(metrics=metrics, tables=tables)
     finally:
-        parsed.unpersist()
+        if profile:
+            parsed.unpersist()
