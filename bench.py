@@ -253,11 +253,17 @@ def _copy_bw_worker(args) -> float:
 
     import numpy as np
 
+    # steady-state stream copy between two PREALLOCATED, pre-faulted
+    # buffers: the earlier a.copy()-per-rep version re-entered the
+    # allocator every rep, so under memory pressure it timed mmap/page
+    # faults/reclaim instead of bandwidth (observed 0.8-24 GB/s swings in
+    # back-to-back probes; the compute probe was steady the whole time)
     a = np.zeros(mb * 1_000_000 // 8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # warm: fault both buffers in
     t0 = _t.time()
     for _ in range(reps):
-        b = a.copy()
-        del b
+        np.copyto(b, a)
     # each copy streams mb read + mb write
     return reps * (2 * mb / 1000) / (_t.time() - t0)
 
@@ -285,7 +291,7 @@ def _cpu_probe(procs: int, n: int = 1_000_000) -> float:
         return sum(pool.map(_cpu_work, [n] * procs)) / 1e6
 
 
-def _bandwidth_probe(procs: int, mb: int = 200, reps: int = 5) -> float:
+def _bandwidth_probe(procs: int, mb: int = 200, reps: int = 8) -> float:
     """Aggregate host memory bandwidth (GB/s) at `procs` concurrent workers.
 
     The sandbox is one VM: all cores share one memory bus, so a data
