@@ -482,6 +482,24 @@ def scaling_report() -> None:
     prof = [e for e in live if e["profiled"]]
     controls = [e for e in live if e.get("control")]
 
+    # second rejection layer, applied at report time: noisy-neighbor bursts
+    # that live entirely INSIDE one measured leg slip past the bracketing
+    # probes (observed: a clean-probed pair with a 55s 16-way leg against a
+    # 31s quiet-host baseline). Contamination can only SLOW a leg, so the
+    # campaign minimum per leg is the cleanest observation; any pair with a
+    # leg >35% above that minimum is rejected as an outlier. Both rejection
+    # classes are disclosed.
+    n_outliers = 0
+    if len(timed) >= 2:
+        min_t4 = min(e["t4"] for e in timed)
+        min_t16 = min(e["t16"] for e in timed)
+        kept = [
+            e for e in timed
+            if e["t4"] <= 1.35 * min_t4 and e["t16"] <= 1.35 * min_t16
+        ]
+        n_outliers = len(timed) - len(kept)
+        timed = kept
+
     if not timed:
         print(json.dumps({"error": "no stable pairs in latest campaign",
                           "campaign": campaign, "entries": len(run)}))
@@ -570,8 +588,13 @@ def scaling_report() -> None:
             "availability shifted >±45% across the measurement (noisy\n"
             "neighbors arriving mid-pair) is auto-discarded and retried —\n"
             f"{n_discarded} discarded this campaign, all preserved in\n"
-            "BENCH/scaling_pairs.jsonl. All figures below are MEDIANS across\n"
-            "stable pairs (no window selection), plus full per-pair\n"
+            "BENCH/scaling_pairs.jsonl. A burst living entirely inside one\n"
+            "leg slips the probes, so pairs with a leg >35% above the\n"
+            "campaign's fastest observation of that leg are rejected as\n"
+            f"outliers at report time ({n_outliers} rejected; contamination\n"
+            "only ever slows a leg, so the minimum is the cleanest\n"
+            "observation). All figures below are MEDIANS across the\n"
+            "surviving pairs (no window selection), plus full per-pair\n"
             "disclosure.\n\n"
             "| metric | median |\n|---|---|\n"
             f"| T local[4] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
