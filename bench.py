@@ -306,17 +306,18 @@ def _bandwidth_probe(procs: int, mb: int = 200, reps: int = 8) -> float:
         return sum(pool.map(_copy_bw_worker, [(mb, reps)] * procs))
 
 
-def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> None:
+def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> bool:
     """Noisy-neighbor gate: the host's 1-min load can sit >8 with nothing
     of ours running, which crushes the 16-way runs and the bandwidth
     probe (measured 32.9 vs 78.3 GB/s across windows). Wait for a quiet
-    window before each measurement; proceed anyway after timeout so the
-    bench always completes."""
+    window before each measurement; returns False on timeout (callers
+    decide whether to proceed or abort)."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         if os.getloadavg()[0] < max_load:
-            return
+            return True
         time.sleep(15)
+    return False
 
 
 def _pipeline_subprocess(cpus: int, n_docs: int, profile: bool = False) -> dict:
@@ -396,6 +397,20 @@ def scaling_run(pairs: int = 5) -> None:
         else:
             r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
             t4_key = "pipeline_sec"
+        # gate the 16-way leg separately: a burst that arrived during the
+        # 4-way leg would otherwise contaminate the 16-way one. Threshold
+        # 2.5 with a 4-min grace absorbs our own 4-way load still decaying
+        # out of the 1-min average; on timeout the pair aborts cheaply.
+        if not _wait_quiet(max_load=2.5, timeout_s=240):
+            with open(hist_path, "a") as f:
+                f.write(json.dumps({
+                    "campaign": campaign, "pair": idx, "profiled": profiled,
+                    "control": kind == "control", "discarded": True,
+                    "aborted": "load before 16-way leg",
+                    "t4": r4[t4_key], "load_now": round(os.getloadavg()[0], 2),
+                    "n_docs": n_docs,
+                }) + "\n")
+            return False
         bw16 = _bandwidth_probe(16)
         cpu16 = _cpu_probe(16)
         if kind == "control":
@@ -452,7 +467,7 @@ def scaling_run(pairs: int = 5) -> None:
         return stable
 
     clean, attempts = 0, 0
-    while clean < pairs and attempts < pairs * 4:
+    while clean < pairs and attempts < pairs * 6:
         if _measure_pair(attempts, "pipeline"):
             clean += 1
         attempts += 1
@@ -490,9 +505,17 @@ def scaling_report() -> None:
     # leg >35% above that minimum is rejected as an outlier. Both rejection
     # classes are disclosed.
     n_outliers = 0
-    if len(timed) >= 2:
-        min_t4 = min(e["t4"] for e in timed)
-        min_t16 = min(e["t16"] for e in timed)
+    # minima over ALL completed pairs of the campaign (probe-discarded ones
+    # included): a discarded pair's individual legs are still valid LOWER
+    # bounds — noise can only slow a leg, never speed it
+    all_done = [
+        e for e in run
+        if not e.get("control") and not e["profiled"]
+        and e.get("t4") and e.get("t16")
+    ]
+    if timed and len(all_done) >= 2:
+        min_t4 = min(e["t4"] for e in all_done)
+        min_t16 = min(e["t16"] for e in all_done)
         kept = [
             e for e in timed
             if e["t4"] <= 1.35 * min_t4 and e["t16"] <= 1.35 * min_t16
