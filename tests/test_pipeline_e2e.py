@@ -70,3 +70,29 @@ def test_pipeline_resume_no_duplicates(spark, tmp_path):
     assert dups.count() == 0
     # complete: rerun total equals the single-shot reference run
     assert routed.count() == full.tables["routed"].read(spark).count()
+
+
+def test_pipeline_fully_resumed_rerun_metrics_survive_empty_increment(
+    spark, tmp_path
+):
+    """A rerun whose every input file is already in the manifest writes an
+    EMPTY increment; AQE's empty-relation propagation then eliminates the
+    CollectMetrics (observe) node from the write plan, and the pipeline must
+    fall back to its explicit-aggregate path for the parse metrics instead
+    of surfacing a schema-less observation row (pipeline.py observe()
+    fallback)."""
+    out = str(tmp_path / "out3")
+    r1 = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    assert r1.metrics["files_processed"] > 0
+
+    r2 = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    assert r2.metrics["files_processed"] == 0
+    assert r2.metrics["rows_routed"] == 0
+    assert r2.metrics["rows_failed"] == 0
+    # latency percentiles still come back (via the fallback aggregate)
+    assert r2.metrics["parse_batch_us_p50"] is not None
+    # and the committed table still reads complete
+    assert (
+        r2.tables["routed"].read(spark).count()
+        == r1.tables["routed"].read(spark).count()
+    )
