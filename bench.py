@@ -780,8 +780,13 @@ def main() -> None:
     # local[16] 72k seq/s vs local[32] 52k on 32 cores); bench the pipeline
     # at the faster setting and record the choice
     pipe_cpus = min(args.cpus, max(1, (os.cpu_count() or args.cpus) // 2))
+    # the host's noisy neighbors swing load 0.1→12 on ~hour cycles; a short
+    # quiet-gate keeps the recorded headline from charging the engine for a
+    # burst (bounded wait — the bench always completes)
+    _wait_quiet(max_load=2.5, timeout_s=300)
     pipe = run_pipeline_bench(pipe_cpus, n_docs)
 
+    _wait_quiet(max_load=2.5, timeout_s=120)
     queries = run_query_bench(SF_DIR, args.cpus)
     result = {
         "metric": "end-to-end parse→route→aggregate throughput (sequences/sec)",
