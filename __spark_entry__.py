@@ -364,6 +364,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sink_counts_salted"] = sink_counts_salted
 
+    # --- small-file compaction (Iceberg rewriteDataFiles analogue) ---
+    # fragment the routed output across three append snapshots (the
+    # reference sink's file-per-run pattern, PartitionWriterManager.java:
+    # 60-96), bin-pack it back with operators.compact, and prove the merged
+    # table still answers THE primary aggregate bit-for-bit
+    def compact_roundtrip(spark, sf_dir):
+        import os
+        import tempfile
+
+        from binlog_processer_spark.operators.compact import compact
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        tbl = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_compact_"), "routed")
+        )
+        routed = _routed(spark, sf_dir).select(
+            "tree", "db_instance", "database_name", "table_name",
+            "part_date", "op", "event_seq",
+        )
+        for i in range(3):
+            tbl.write(
+                routed.filter(F.col("event_seq") % 3 == i),
+                partition_by=["tree", "part_date"],
+                mode="overwrite" if i == 0 else "append",
+            )
+        res = compact(spark, tbl)
+        assert res.groups, "fragmented table must yield a compaction plan"
+        return _ts_part_date(agg.sink_counts(tbl.read(spark)))
+
+    q["compact_roundtrip"] = compact_roundtrip
+
     # --- A2 per-file counters ---
     def file_event_counts(spark, sf_dir):
         return agg.file_event_counts(_corpus(spark, sf_dir))
@@ -837,6 +868,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sink_counts"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
     o["sink_counts_salted"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
+    # compaction must be row-invariant: the post-compaction table answers
+    # the exact same primary aggregate
+    o["compact_roundtrip"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
     o["file_event_counts"] = _oracle_full(
         "SELECT file_id, count(*) AS total_cnt,"
         " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"

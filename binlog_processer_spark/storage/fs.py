@@ -62,6 +62,8 @@ class FS(Protocol):
     def write_text_atomic(self, path: str, text: str) -> None: ...
     def mkdirs(self, path: str) -> None: ...
     def list_files(self, base: str, ext: str) -> list[str]: ...
+    def list_sizes(self, base: str, ext: str) -> dict[str, int]: ...
+    def size(self, path: str) -> int: ...
 
 
 class LocalFS:
@@ -85,6 +87,12 @@ class LocalFS:
                 if f.endswith(ext):
                     out.append(os.path.join(dirpath, f))
         return sorted(out)
+
+    def list_sizes(self, base: str, ext: str) -> dict[str, int]:
+        return {p: os.path.getsize(p) for p in self.list_files(base, ext)}
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
 
 class HadoopFS:
@@ -145,18 +153,26 @@ class HadoopFS:
         self._fs.mkdirs(self._path(path))
 
     def list_files(self, base: str, ext: str) -> list[str]:
+        return sorted(self.list_sizes(base, ext))
+
+    def list_sizes(self, base: str, ext: str) -> dict[str, int]:
+        # one recursive listing RPC: the returned statuses already carry
+        # lengths, so sizes cost nothing extra over list_files
         fs = self._fs
         p = self._path(base)
         if not fs.exists(p):
-            return []
+            return {}
         it = fs.listFiles(p, True)  # recursive
-        out = []
+        out: dict[str, int] = {}
         while it.hasNext():
             st = it.next()
             uri = st.getPath().toString()
             if uri.endswith(ext):
-                out.append(uri)
-        return sorted(out)
+                out[uri] = st.getLen()
+        return out
+
+    def size(self, path: str) -> int:
+        return self._fs.getFileStatus(self._path(path)).getLen()
 
 
 def fs_for(root: str) -> FS:

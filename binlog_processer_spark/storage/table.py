@@ -99,6 +99,17 @@ class SnapshotTable:
             for p in self._fs.list_files(base, ext)
         )
 
+    def _sizes_rel(self, base: str, ext: str) -> dict[str, int]:
+        """Root-relative {file: bytes} under ``base`` — same single listing
+        as ``_walk_rel`` (Hadoop statuses carry lengths), used at commit time
+        to record the inventory's sizes in the manifest (Iceberg manifests
+        record per-file sizes for exactly this reason: planners — e.g.
+        compaction — never stat data files)."""
+        return {
+            fsmod.rel_to(p, self.root): s
+            for p, s in self._fs.list_sizes(base, ext).items()
+        }
+
     def _files_rel(self, m: dict) -> list[str]:
         """Root-relative inventory of the data files a manifest reads.
 
@@ -169,11 +180,14 @@ class SnapshotTable:
         w.format(file_format).save(data_dir)
 
         ext = "." + ("orc" if file_format == "orc" else "parquet")
-        files = self._walk_rel(data_dir, ext)
+        sizes = self._sizes_rel(data_dir, ext)
+        files = sorted(sizes)
         data_dirs = [fsmod.rel_to(data_dir, self.root)]
         if mode == "append" and parent is not None:
-            data_dirs = self._manifest(parent)["data_dirs"] + data_dirs
-            files = sorted(self._files_rel(self._manifest(parent)) + files)
+            pm = self._manifest(parent)
+            data_dirs = pm["data_dirs"] + data_dirs
+            files = sorted(self._files_rel(pm) + files)
+            sizes.update(pm.get("file_bytes", {}))
         manifest = {
             "snapshot": snap,
             "parent": parent,
@@ -185,6 +199,11 @@ class SnapshotTable:
             # complete file inventory, recorded at commit (Iceberg-style):
             # the read path never lists directories again
             "files": files,
+            # per-file sizes from the same commit-time listing; planners
+            # (compaction) read them here instead of statting data files.
+            # Files inherited from a pre-sizes manifest may be absent —
+            # consumers stat those lazily (file_sizes()).
+            "file_bytes": sizes,
             "excluded_files": excluded,
             # schema travels in metadata (Iceberg-style): readers never pay
             # inference, and empty snapshots stay readable
@@ -217,6 +236,11 @@ class SnapshotTable:
             "created_ms": int(time.time() * 1000),
             # the inventory IS the exclusion mechanism: a manifest diff
             "files": sorted(set(self._files_rel(m)) - rel),
+            "file_bytes": {
+                p: s
+                for p, s in m.get("file_bytes", {}).items()
+                if p not in rel
+            },
             "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
         }
         self._write_manifest(snap_dir, manifest)
@@ -277,7 +301,12 @@ class SnapshotTable:
             w = w.partitionBy(*partition_by)
         w.format(file_format).save(data_dir)
         ext = "." + ("orc" if file_format == "orc" else "parquet")
-        new_files = self._walk_rel(data_dir, ext)
+        new_sizes = self._sizes_rel(data_dir, ext)
+        kept_sizes = {
+            p: s
+            for p, s in pm.get("file_bytes", {}).items()
+            if p not in rel_removed
+        }
         manifest = {
             "snapshot": snap,
             "parent": parent,
@@ -286,7 +315,8 @@ class SnapshotTable:
             "partition_by": partition_by,
             "data_dirs": pm["data_dirs"] + [fsmod.rel_to(data_dir, self.root)],
             "format": file_format,
-            "files": sorted((inventory - rel_removed) | set(new_files)),
+            "files": sorted((inventory - rel_removed) | set(new_sizes)),
+            "file_bytes": {**kept_sizes, **new_sizes},
             "excluded_files": [],
             "schema": pm["schema"],
             "properties": pm.get("properties", {}),
@@ -294,6 +324,21 @@ class SnapshotTable:
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
+
+    def file_sizes(self, snapshot: int | None = None) -> dict[str, int]:
+        """Root-relative {data file: bytes} for the given (default current)
+        snapshot. Served from the manifest's commit-time record; files
+        inherited from pre-``file_bytes`` manifests are statted once here
+        (the legacy fallback — new commits always record sizes)."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            return {}
+        m = self._manifest(snap)
+        recorded = m.get("file_bytes", {})
+        return {
+            p: recorded[p] if p in recorded else self._fs.size(self._join(p))
+            for p in self._files_rel(m)
+        }
 
     def data_files(self, snapshot: int | None = None) -> list[str]:
         """Absolute paths of the data files the given (default current)

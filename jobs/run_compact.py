@@ -1,0 +1,73 @@
+"""spark-submit entry point for small-file compaction of a snapshot table.
+
+Bin-packs each partition's accumulated small files (one per pipeline run —
+the reference's per-binlog-file Avro sink, PartitionWriterManager.java:60-96,
+fragments exactly this way) toward a target file size and commits the
+rewrite as a new snapshot. Planning is metadata-only (manifest file
+inventory + recorded sizes); only the affected bytes are read or written;
+untouched files are carried by reference. Rollback-able like any snapshot.
+
+Usage::
+
+    spark-submit --py-files dist/engine.zip jobs/run_compact.py \
+        --warehouse /path/to/wh [--table routed] \
+        [--target-mb 128] [--min-files 2] [--dry-run]
+
+Prints one JSON line: the plan (groups, files, bytes) and, unless
+--dry-run, the committed snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binlog_processer_spark.operators.compact import (
+    compact,
+    compaction_plan,
+)
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--table", default="routed",
+                    help="table name under the warehouse root")
+    ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--min-files", type=int, default=2)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the plan without rewriting anything")
+    args = ap.parse_args()
+
+    tbl = SnapshotTable(os.path.join(args.warehouse, args.table))
+    target = args.target_mb * 1024 * 1024
+
+    if args.dry_run:
+        groups = compaction_plan(tbl, target, args.min_files)
+        out = {"snapshot": tbl.current_snapshot(), "committed": False}
+    else:
+        spark = get_spark("binlog-compact")
+        res = compact(spark, tbl, target, args.min_files)
+        groups = res.groups
+        out = {"snapshot": res.snapshot, "committed": bool(groups)}
+
+    out.update(
+        {
+            "groups": len(groups),
+            "files_merged": sum(len(g.files) for g in groups),
+            "files_target": sum(g.target_files for g in groups),
+            "bytes": sum(g.bytes for g in groups),
+            "partitions": [g.partition for g in groups[:20]],
+        }
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,32 @@ def test_repair_cli_file_scoped_commit(spark, tmp_path):
     for p in kept:
         st = os.stat(p)
         assert (st.st_ino, st.st_mtime_ns) == before[p], p
+
+
+def test_compact_cli_dry_run_then_commit(spark, tmp_path):
+    """run_compact plans from metadata alone (--dry-run needs no Spark
+    session), then commits a bin-packing rewrite that converges."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    tbl = SnapshotTable(os.path.join(wh, "routed"))
+    for i in range(3):
+        df = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("k")
+        ).coalesce(1)
+        tbl.write(df, partition_by=["k"],
+                  mode="overwrite" if i == 0 else "append")
+
+    plan = _run(["jobs/run_compact.py", "--warehouse", wh, "--dry-run"])
+    assert plan["committed"] is False
+    assert plan["groups"] == 4 and plan["files_merged"] == 12
+
+    res = _run(["jobs/run_compact.py", "--warehouse", wh])
+    assert res["committed"] is True and res["files_merged"] == 12
+    assert res["snapshot"] == plan["snapshot"] + 1
+    assert len(tbl.file_sizes()) == 4  # one file per partition now
+
+    again = _run(["jobs/run_compact.py", "--warehouse", wh, "--dry-run"])
+    assert again["groups"] == 0
