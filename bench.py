@@ -348,7 +348,7 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def scaling_run(pairs: int = 5) -> None:
+def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
     """Interleaved-pair campaign: N vs 4N cores on identical input
     → BENCH/BASELINE.md with MEDIAN efficiencies, not best-window selection.
 
@@ -372,7 +372,11 @@ def scaling_run(pairs: int = 5) -> None:
     # scheduling, commit, listing) at BOTH levels — at 10^12 rows those fixed
     # costs are noise, and the bench should reflect that regime
     n_docs = _bench_docs() * 4
-    campaign = int(time.time())
+    # --campaign-id extends an existing campaign's pair pool instead of
+    # opening a new one: medians then cover every stable pair measured
+    # under the protocol, not just the latest invocation's — the opposite
+    # of window selection
+    campaign = campaign_id if campaign_id is not None else int(time.time())
     os.makedirs("BENCH", exist_ok=True)
     hist_path = "BENCH/scaling_pairs.jsonl"
 
@@ -751,13 +755,16 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=5,
                     help="interleaved A/B pairs for --scaling (plus one "
                          "profiled pair for the stage table)")
+    ap.add_argument("--campaign-id", type=int, default=None,
+                    help="append pairs to an existing campaign instead of "
+                         "starting a new one (grows the median pool)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-timer warmup pipeline (cold-start "
                          "measurement)")
     args = ap.parse_args()
 
     if args.scaling:
-        scaling_run(pairs=args.pairs)
+        scaling_run(pairs=args.pairs, campaign_id=args.campaign_id)
         return
     if args.report_only:
         scaling_report()

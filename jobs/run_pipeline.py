@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="warehouse output dir")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the processed-file manifest")
+    ap.add_argument("--compact", action="store_true",
+                    help="bin-pack the routed table's small files after the "
+                         "run commits (resume-mode appends fragment one file "
+                         "per partition per run; see jobs/run_compact.py for "
+                         "the standalone/offline form)")
+    ap.add_argument("--compact-target-mb", type=int, default=128)
     args = ap.parse_args()
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
@@ -53,7 +59,19 @@ def main() -> None:
     res = run_pipeline(
         spark, raw, routing_dim(spark), args.output, resume=not args.no_resume
     )
-    print(json.dumps(res.metrics))
+    metrics = dict(res.metrics)
+    if args.compact:
+        from binlog_processer_spark.operators.compact import compact
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        cres = compact(
+            spark,
+            SnapshotTable(os.path.join(args.output, "routed")),
+            target_bytes=args.compact_target_mb * 1024 * 1024,
+        )
+        metrics["compact_groups"] = len(cres.groups)
+        metrics["compact_files_merged"] = cres.files_removed
+    print(json.dumps(metrics))
     spark.stop()
 
 

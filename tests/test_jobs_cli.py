@@ -126,3 +126,19 @@ def test_compact_cli_dry_run_then_commit(spark, tmp_path):
 
     again = _run(["jobs/run_compact.py", "--warehouse", wh, "--dry-run"])
     assert again["groups"] == 0
+
+
+def test_pipeline_cli_inline_compact(tmp_path):
+    """--compact bin-packs the routed table right after the run commits and
+    the warehouse still verifies clean against the replica derivation."""
+    wh = str(tmp_path / "wh")
+    # 20k docs: enough rows that the salted write spreads each sink
+    # partition over several tasks -> several files (smaller corpora land
+    # one file per partition and the compactor correctly no-ops)
+    m = _run(["jobs/run_pipeline.py", "--generate", "20000", "--output", wh,
+              "--compact"])
+    assert m["rows_routed"] > 0
+    assert m["compact_groups"] > 0
+    assert m["compact_files_merged"] > m["compact_groups"]
+    clean = _run(["jobs/run_verify.py", "--warehouse", wh])
+    assert clean["findings_total"] == 0
