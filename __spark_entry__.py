@@ -312,6 +312,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["schema_evolution"] = schema_evolution
 
+    # --- storage-level schema migration (metadata-only widening) ---
+    def schema_migration(spark, sf_dir):
+        """v1 generation written as (int, float); the table's schema is then
+        widened METADATA-ONLY (storage.table.migrate_schema — no data file
+        touched) and a v2 generation appended with an extra column. One
+        read serves both generations under the evolved schema: v1 rows
+        scan-time-widened and null-filled (SchemaConverter.java:14-74
+        promotions, done by the reader instead of a rewrite)."""
+        import os
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        t = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_migrate_"), "t")
+        )
+        base = _corpus(spark, sf_dir).select(
+            "doc_id", "event_seq",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            # exact small integers: float32→float64 widening is lossless
+            F.expr("cast((doc_num*13 + r) % 997 as float)").alias("score"),
+        )
+        t.write(base.filter(F.col("event_seq") % 2 == 0))
+        target = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("event_seq", T.LongType()),
+                T.StructField("n_tok", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("note", T.StringType(), nullable=True),
+            ]
+        )
+        t.migrate_schema(target)
+        v2 = base.filter(F.col("event_seq") % 2 == 1).select(
+            "doc_id", "event_seq",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("score").cast("double").alias("score"),
+            F.concat(F.lit("v2-"), F.col("doc_id")).alias("note"),
+        )
+        t.write(v2, mode="append")
+        return t.read(spark)
+
+    q["schema_migration"] = schema_migration
+
     # --- P2 ignore filter side-output (A3) ---
     def ignored_counts(spark, sf_dir):
         _, ign = split_ignored(_enriched(spark, sf_dir))
@@ -827,6 +873,14 @@ def oracle_sql() -> dict[str, str]:
         "   ORDER BY s.valid_from_ts DESC) AS rn"
         " FROM corpus c JOIN schema_dim s USING (table_key)"
         " WHERE s.valid_from_ts <= c.commit_ts) WHERE rn = 1"
+    )
+    # both generations re-derived relationally: v1 rows widened + null note,
+    # v2 rows as appended — what the migrated table must read back as
+    o["schema_migration"] = _oracle_full(
+        "SELECT doc_id, event_seq, cast(n_tok AS bigint) AS n_tok,"
+        " cast(cast((doc_num*13 + r) % 997 AS float) AS double) AS score,"
+        " CASE WHEN event_seq % 2 = 1 THEN 'v2-' || doc_id END AS note"
+        " FROM corpus"
     )
     o["schema_evolution"] = _oracle_full(
         "SELECT doc_id, event_seq, schema_fingerprint,"

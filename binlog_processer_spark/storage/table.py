@@ -35,9 +35,44 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from . import fs as fsmod
+
+# widening promotions the Spark 4 parquet reader applies at SCAN time (so a
+# migrated schema serves old files unrewritten) — deliberately the same set
+# the reference's SchemaConverter.java:14-74 promotes between schema
+# versions, mirrored engine-side by functions/compat.widen_types
+_WIDEN_PAIRS = {
+    ("integer", "long"),
+    ("float", "double"),
+    ("binary", "string"),
+}
+
+
+def _widens(old: DataType, new: DataType) -> bool:
+    """True when parquet files written as ``old`` read correctly under
+    ``new`` without a rewrite (equality, a widening promotion, or the same
+    recursively inside arrays/maps/structs; nested structs may also gain
+    fields — the reader null-fills them)."""
+    if old == new:
+        return True
+    if (old.typeName(), new.typeName()) in _WIDEN_PAIRS:
+        return True
+    if isinstance(old, ArrayType) and isinstance(new, ArrayType):
+        return _widens(old.elementType, new.elementType)
+    if isinstance(old, MapType) and isinstance(new, MapType):
+        return _widens(old.keyType, new.keyType) and _widens(
+            old.valueType, new.valueType
+        )
+    if isinstance(old, StructType) and isinstance(new, StructType):
+        newf = {f.name: f for f in new.fields}
+        if {f.name for f in old.fields} - set(newf):
+            return False  # dropping a nested field loses data silently
+        return all(
+            _widens(f.dataType, newf[f.name].dataType) for f in old.fields
+        )
+    return False
 
 
 class SnapshotTable:
@@ -242,6 +277,71 @@ class SnapshotTable:
                 if p not in rel
             },
             "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
+        }
+        self._write_manifest(snap_dir, manifest)
+        self._commit(snap)
+        return snap
+
+    def migrate_schema(self, new_schema: StructType) -> int:
+        """Metadata-only schema evolution (Iceberg-style): widen column
+        types (int→long, float→double, binary→string — the reference's
+        SchemaConverter.java:14-74 promotion set) and/or add nullable
+        columns, WITHOUT touching a single data file. Spark's parquet
+        reader applies widening promotions at scan time and null-fills
+        absent columns, so every existing file serves the new schema as-is;
+        subsequent appends are checked against (and must match) the new
+        schema. Narrowing, drops, and renames are rejected — each would
+        silently corrupt reads. At 10^12 rows this turns a full-table
+        rewrite into one JSON commit."""
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(parent)
+        if m.get("format", "parquet") != "parquet":
+            raise ValueError(
+                "migrate_schema is parquet-only: Spark's ORC reader does "
+                "not apply widening promotions at scan time"
+            )
+        old = StructType.fromJson(json.loads(m["schema"]))
+        newf = {f.name: f for f in new_schema.fields}
+        dropped = [f.name for f in old.fields if f.name not in newf]
+        if dropped:
+            raise ValueError(
+                f"migrate_schema cannot drop columns {dropped}: dropped "
+                "data reads back silently missing; use an explicit "
+                "overwrite migration"
+            )
+        bad = [
+            f.name
+            for f in old.fields
+            if not _widens(f.dataType, newf[f.name].dataType)
+        ]
+        if bad:
+            raise ValueError(
+                f"migrate_schema: non-widening change on {bad} (allowed: "
+                "int->long, float->double, binary->string, nullable adds)"
+            )
+        old_names = {f.name for f in old.fields}
+        narrow_adds = [
+            f.name
+            for f in new_schema.fields
+            if f.name not in old_names and not f.nullable
+        ]
+        if narrow_adds:
+            raise ValueError(
+                f"migrate_schema: added columns {narrow_adds} must be "
+                "nullable (existing rows have no value for them)"
+            )
+        snap = parent + 1
+        snap_dir = self._join(f"snap-{snap}")
+        self._fs.mkdirs(snap_dir)
+        manifest = {
+            **m,
+            "snapshot": snap,
+            "parent": parent,
+            "mode": "migrate",
+            "created_ms": int(time.time() * 1000),
+            "schema": new_schema.json(),
         }
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
