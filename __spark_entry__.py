@@ -441,6 +441,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compact_roundtrip"] = compact_roundtrip
 
+    # --- incremental (delta) scan: the downstream-refresh path ---
+    def incremental_scan(spark, sf_dir):
+        """Two append generations; the consumer reads ONLY the second via
+        the manifest-set diff (added_files) — no full-table scan, the
+        nightly-delta pattern at 100 TB."""
+        import os
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        t = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_incr_"), "t")
+        )
+        ev = _corpus(spark, sf_dir).select(
+            "doc_id", "event_seq", "op", "commit_ts"
+        )
+        t.write(ev.filter(F.col("event_seq") % 2 == 0))
+        t.write(ev.filter(F.col("event_seq") % 2 == 1), mode="append")
+        return t.read_incremental(spark, since=0)
+
+    q["incremental_scan"] = incremental_scan
+
     # --- A2 per-file counters ---
     def file_event_counts(spark, sf_dir):
         return agg.file_event_counts(_corpus(spark, sf_dir))
@@ -925,6 +947,11 @@ def oracle_sql() -> dict[str, str]:
     # compaction must be row-invariant: the post-compaction table answers
     # the exact same primary aggregate
     o["compact_roundtrip"] = _oracle_full(sink_counts_sql, _X_ENRICHED)
+    # the delta read returns exactly the second generation's rows
+    o["incremental_scan"] = _oracle_full(
+        "SELECT doc_id, event_seq, op, commit_ts FROM corpus"
+        " WHERE event_seq % 2 = 1"
+    )
     o["file_event_counts"] = _oracle_full(
         "SELECT file_id, count(*) AS total_cnt,"
         " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint) AS insert_cnt,"

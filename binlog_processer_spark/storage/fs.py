@@ -64,6 +64,9 @@ class FS(Protocol):
     def list_files(self, base: str, ext: str) -> list[str]: ...
     def list_sizes(self, base: str, ext: str) -> dict[str, int]: ...
     def size(self, path: str) -> int: ...
+    def delete_file(self, path: str) -> None: ...
+    def delete_dir(self, path: str) -> None: ...
+    def list_dirs(self, base: str) -> list[str]: ...
 
 
 class LocalFS:
@@ -93,6 +96,22 @@ class LocalFS:
 
     def size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def delete_file(self, path: str) -> None:
+        os.remove(path)
+
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def list_dirs(self, base: str) -> list[str]:
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))
+        )
 
 
 class HadoopFS:
@@ -173,6 +192,22 @@ class HadoopFS:
 
     def size(self, path: str) -> int:
         return self._fs.getFileStatus(self._path(path)).getLen()
+
+    def delete_file(self, path: str) -> None:
+        self._fs.delete(self._path(path), False)
+
+    def delete_dir(self, path: str) -> None:
+        self._fs.delete(self._path(path), True)
+
+    def list_dirs(self, base: str) -> list[str]:
+        p = self._path(base)
+        if not self._fs.exists(p):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(p)
+            if st.isDirectory()
+        )
 
 
 def fs_for(root: str) -> FS:

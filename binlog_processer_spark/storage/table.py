@@ -513,14 +513,120 @@ class SnapshotTable:
             out = out.unionByName(d)
         return out
 
+    def added_files(self, since: int, snapshot: int | None = None) -> list[str]:
+        """Root-relative data files present in ``snapshot`` (default
+        current) but not in ``since`` — a pure manifest-set diff, the
+        planning step of an incremental scan.
+
+        File-level semantics (same caveat as Iceberg's incremental scan):
+        on an append-only history the diff is exactly the new rows; a
+        rewrite (compaction, repair) surfaces its rewritten files, because
+        row-level change tracking needs delete files this format doesn't
+        keep."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        base = set(self._files_rel(self._manifest(since)))
+        return sorted(
+            f
+            for f in self._files_rel(self._manifest(snap))
+            if f not in base
+        )
+
+    def read_incremental(
+        self, spark: SparkSession, since: int, snapshot: int | None = None
+    ) -> DataFrame:
+        """Scan ONLY the data added between ``since`` and ``snapshot``
+        (default current) — the downstream-consumer refresh path: a nightly
+        training-data job reads the day's delta, never the 100 TB table.
+        Empty delta → empty DataFrame with the table schema."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        m = self._manifest(snap)
+        return self._scan(spark, m, self.added_files(since, snap))
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expireSnapshots``: drop history older than the last
+        ``keep_last`` snapshots of the current lineage and physically
+        delete every file no kept snapshot references — rewritten-away and
+        excluded data files, expired manifests, and orphan branches left
+        behind by ``rollback`` (snapshots no longer on the current chain).
+        Time travel / rollback remain possible within the kept window only.
+
+        Metadata-driven throughout: referenced files come from kept
+        manifests, candidates from expired manifests plus a snap-dir
+        listing — never a data-tree walk. Returns a summary dict."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        current = self.current_snapshot()
+        if current is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        chain = [m["snapshot"] for m in self.history()]  # current → root
+        kept = set(chain[:keep_last])
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(self._files_rel(self._manifest(s)))
+
+        removed_snaps, removed_files, freed = [], 0, 0
+        for name in self._fs.list_dirs(self.root):
+            if not name.startswith("snap-"):
+                continue
+            s = int(name.split("-", 1)[1])
+            if s in kept:
+                continue
+            removed_snaps.append(s)
+            # expired snapshot's files that no kept snapshot still reads
+            try:
+                m = self._manifest(s)
+                candidates = set(self._files_rel(m)) | set(
+                    m.get("excluded_files", [])
+                )
+            except FileNotFoundError:
+                candidates = set()
+            for rel in sorted(candidates - referenced):
+                p = self._join(rel)
+                try:
+                    freed += self._fs.size(p)
+                    self._fs.delete_file(p)
+                    removed_files += 1
+                except (FileNotFoundError, OSError):
+                    pass  # already gone (shared dir cleaned by another pass)
+            snap_dir = self._join(name)
+            # the snapshot's own data dir (if any) and manifest go with it —
+            # unless a kept snapshot still references files inside it, in
+            # which case only the manifest is dropped
+            keeps_data = any(
+                r.startswith(f"{name}/") for r in referenced
+            )
+            if keeps_data:
+                try:
+                    self._fs.delete_file(
+                        fsmod.join(snap_dir, "manifest.json")
+                    )
+                except (FileNotFoundError, OSError):
+                    pass
+            else:
+                self._fs.delete_dir(snap_dir)
+        return {
+            "kept": sorted(kept),
+            "snapshots_removed": sorted(removed_snaps),
+            "files_deleted": removed_files,
+            "bytes_freed": freed,
+        }
+
     def rollback(self, snapshot: int) -> None:
         self._manifest(snapshot)  # existence check
         self._commit(snapshot)
 
     def history(self) -> list[dict]:
+        """Current snapshot's lineage, newest first. Stops at the expiry
+        horizon: ``expire_snapshots`` removes ancestors' manifests, so a
+        missing parent ends the (still-valid) chain rather than erroring."""
         out, snap = [], self.current_snapshot()
         while snap is not None:
-            m = self._manifest(snap)
+            try:
+                m = self._manifest(snap)
+            except FileNotFoundError:
+                break
             out.append(m)
             snap = m["parent"]
         return out

@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--min-files", type=int, default=2)
     ap.add_argument("--dry-run", action="store_true",
                     help="print the plan without rewriting anything")
+    ap.add_argument("--expire-keep", type=int, default=None, metavar="N",
+                    help="after compacting, expire snapshots keeping the "
+                         "last N (physically vacuums superseded files; "
+                         "keeps an N-deep rollback window)")
     args = ap.parse_args()
 
     tbl = SnapshotTable(os.path.join(args.warehouse, args.table))
@@ -66,6 +70,11 @@ def main() -> None:
             "partitions": [g.partition for g in groups[:20]],
         }
     )
+    if args.expire_keep is not None and not args.dry_run:
+        exp = tbl.expire_snapshots(keep_last=args.expire_keep)
+        out["snapshots_expired"] = len(exp["snapshots_removed"])
+        out["files_vacuumed"] = exp["files_deleted"]
+        out["bytes_freed"] = exp["bytes_freed"]
     print(json.dumps(out))
 
 

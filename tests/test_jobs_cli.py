@@ -142,3 +142,26 @@ def test_pipeline_cli_inline_compact(tmp_path):
     assert m["compact_files_merged"] > m["compact_groups"]
     clean = _run(["jobs/run_verify.py", "--warehouse", wh])
     assert clean["findings_total"] == 0
+
+
+def test_compact_cli_with_expiry_vacuum(spark, tmp_path):
+    """--expire-keep after compaction physically frees the superseded
+    generation while the table keeps answering identically."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    tbl = SnapshotTable(os.path.join(wh, "routed"))
+    for i in range(3):
+        df = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("k")
+        ).coalesce(1)
+        tbl.write(df, partition_by=["k"],
+                  mode="overwrite" if i == 0 else "append")
+
+    res = _run(["jobs/run_compact.py", "--warehouse", wh,
+                "--expire-keep", "1"])
+    assert res["committed"] and res["snapshots_expired"] == 3
+    assert res["files_vacuumed"] == 12 and res["bytes_freed"] > 0
+    assert len(tbl.file_sizes()) == 4

@@ -1,0 +1,100 @@
+"""Snapshot-table maintenance: incremental (delta) scans and snapshot
+expiry/vacuum — manifest-set operations, no data-tree walks (Iceberg's
+incrementalScan + expireSnapshots over the JSON-manifest stand-in)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.operators.compact import compact
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def _t(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 100).select(
+            "id", (F.col("id") % 4).cast("string").alias("k")
+        ),
+        partition_by=["k"],
+    )
+    return t
+
+
+def _append(spark, t, lo, hi):
+    t.write(
+        spark.range(lo, hi).select(
+            "id", (F.col("id") % 4).cast("string").alias("k")
+        ),
+        partition_by=["k"],
+        mode="append",
+    )
+
+
+def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 150)
+    assert t.added_files(0)  # manifest diff is non-empty
+    delta = sorted(r.id for r in t.read_incremental(spark, since=0).collect())
+    assert delta == list(range(100, 150))
+    # no change since current snapshot -> empty delta, schema preserved
+    empty = t.read_incremental(spark, since=t.current_snapshot())
+    assert empty.count() == 0 and set(empty.columns) == {"id", "k"}
+
+
+def test_expire_vacuums_rewritten_files_after_compaction(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 150)
+    _append(spark, t, 150, 200)
+    old_files = [os.path.join(t.root, p) for p in t.file_sizes()]
+    compact(spark, t)  # rewrites every fragmented file into snap-3
+    before = sorted(r.id for r in t.read(spark).select("id").collect())
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == [0, 1, 2]
+    # every superseded file physically vacuumed
+    assert res["files_deleted"] == len(old_files) and res["bytes_freed"] > 0
+    assert not any(os.path.exists(p) for p in old_files)
+    # expired snapshot dirs are gone entirely (nothing in them referenced)
+    assert sorted(os.listdir(t.root)) == ["_current", "snap-3"]
+    assert sorted(r.id for r in t.read(spark).select("id").collect()) == before
+    for p in t.data_files():
+        assert os.path.exists(p)
+
+
+def test_expire_keeps_data_dirs_a_kept_snapshot_still_reads(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 150)  # snap-1 references snap-0/data files
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == [0] and res["files_deleted"] == 0
+    # snap-0's data survives (referenced), only its manifest is dropped
+    assert os.path.isdir(os.path.join(t.root, "snap-0", "data"))
+    assert not os.path.exists(
+        os.path.join(t.root, "snap-0", "manifest.json")
+    )
+    assert t.read(spark).count() == 150
+    assert len(t.history()) == 1  # chain stops at the expiry horizon
+    with pytest.raises(FileNotFoundError):
+        t.rollback(0)  # beyond the kept window
+
+
+def test_expire_deletes_orphan_branches_left_by_rollback(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 150)
+    t.rollback(0)  # snap-1 is now an orphan branch
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == [1] and res["files_deleted"] > 0
+    assert not os.path.exists(os.path.join(t.root, "snap-1"))
+    assert t.read(spark).count() == 100
+
+
+def test_expire_default_keeps_a_rollback_window(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 150)
+    res = t.expire_snapshots()  # keep_last=2
+    assert res["snapshots_removed"] == [] and res["files_deleted"] == 0
+    t.rollback(0)
+    assert t.read(spark).count() == 100
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
