@@ -691,6 +691,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # training-mix ops (operators/mix.py): sample → pack → leakage screen
+    def mix_stratified_sample(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf_dir),
+            rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+        ).select("doc_id", "source")
+
+    q["mix_stratified_sample"] = mix_stratified_sample
+
+    def mix_pack_sequences(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import pack_sequences
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        return pack_sequences(d, max_tokens=2048, shards=2)
+
+    q["mix_pack_sequences"] = mix_pack_sequences
+
+    def mix_contamination(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import contamination
+
+        d = _docs(spark, sf_dir)
+        return contamination(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+        )
+
+    q["mix_contamination"] = mix_contamination
+
     q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
     q["dedup_minhash_sigs"] = lambda s, d: minhash_signatures(_docs(s, d), k=4)
     q["dedup_minhash_pairs"] = lambda s, d: minhash_lsh_pairs(
@@ -1191,6 +1227,41 @@ def oracle_sql() -> dict[str, str]:
     _dsh = (
         f"list_transform(range(1, greatest(len({DW}) - 2, 0) + 1),"
         f" i -> array_to_string(list_slice({DW}, i, i + 2), ' '))"
+    )
+    # training-mix ops — same md5-prefix determinism as the Spark side:
+    # keep iff substr(md5(id),1,8) < format(rate*16^8,'08x'), compared as
+    # strings (uniform hex digits → exact rate, no dialect-bound hex casts)
+    def _thr(rate: float) -> str:
+        return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+    o["mix_stratified_sample"] = (
+        "SELECT doc_id, source FROM documents"
+        " WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <"
+        f" CASE source WHEN 'src0' THEN '{_thr(1.0)}'"
+        f" WHEN 'src1' THEN '{_thr(0.5)}'"
+        f" WHEN 'src2' THEN '{_thr(0.25)}'"
+        f" ELSE '{_thr(0.1)}' END"
+    )
+    o["mix_pack_sequences"] = (
+        "WITH d AS (SELECT doc_id, source,"
+        " greatest(1, cast(floor(n_chars / 4) AS bigint)) AS n_tok,"
+        " cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))"
+        "  AS ubigint) % 2 AS shard FROM documents)"
+        " SELECT source, doc_id, n_tok, cast(shard AS bigint) AS shard,"
+        " cast(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id"
+        "  ROWS UNBOUNDED PRECEDING) - n_tok AS bigint) AS offset,"
+        " cast(floor((sum(n_tok) OVER (PARTITION BY source, shard"
+        "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 2048)"
+        "  AS bigint) AS seq"
+        " FROM d"
+    )
+    o["mix_contamination"] = (
+        f"WITH tr AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
+        f" FROM documents WHERE doc_id % 20 <> 0 AND len({DW}) >= 3),"
+        f" ho AS (SELECT DISTINCT unnest(list_distinct({_dsh})) AS shingle"
+        f" FROM documents WHERE doc_id % 20 = 0 AND len({DW}) >= 3)"
+        " SELECT tr.doc_id, count(DISTINCT tr.shingle) AS shared_shingles"
+        " FROM tr JOIN ho USING (shingle) GROUP BY 1"
     )
     o["dedup_ngram_jaccard"] = (
         f"WITH sh AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"

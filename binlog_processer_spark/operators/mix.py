@@ -1,0 +1,132 @@
+"""Training-mix operators: deterministic stratified sampling, token-budget
+sequence packing, and train/eval contamination screening.
+
+These are the ops a pretraining-data pipeline runs between "corpus is
+clean" (dedup.py, text.py) and "tokens hit the trainer": choose how much
+of each source enters the mix, pack documents into fixed token budgets,
+and prove the mix does not leak the eval set. All three are pure
+DataFrame compositions — codegen filters, one bounded window, and a
+broadcast semi-join; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def _hash_frac8(col: Column) -> Column:
+    """First 8 hex chars of md5 — compared LEXICOGRAPHICALLY against an
+    8-hex-digit threshold. md5 hex digits are uniform, so
+    P(prefix < format(rate * 16^8, '08x')) == rate, and plain string
+    comparison reproduces bit-for-bit in any engine (no hex→int casts,
+    which SQL dialects disagree on)."""
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def rate_threshold(rate: float) -> str:
+    """8-hex-digit acceptance threshold for a [0,1] sampling rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """The training-mix sampler: keep each stratum at its own rate
+    (upsample-by-keeping wiki, thin the crawl, drop the rest), decided by
+    hashed-id threshold instead of an RNG.
+
+    Deterministic and infrastructure-free: the same row is kept on every
+    run, any cluster size, any partitioning — rerunning a failed stage
+    cannot change the mix (an RNG sampler resampled per task attempt
+    would). Plan-wise it is a single codegen filter: no shuffle, no state,
+    and Parquet row-group statistics still prune upstream."""
+    thr = F.when(F.lit(False), F.lit(""))
+    for k, v in sorted(rates.items()):
+        thr = thr.when(F.col(strat_col) == k, F.lit(rate_threshold(v)))
+    thr = thr.otherwise(F.lit(rate_threshold(default_rate)))
+    return df.filter(_hash_frac8(F.col(id_col)) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    strat_col: str | None = "source",
+    shards: int = 1,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget sequences (pretraining
+    sequence packing): within each (stratum, shard), documents are laid
+    out in deterministic ``id_col`` order and a sequence boundary falls
+    every ``max_tokens`` tokens — ``seq = floor(start_offset/max_tokens)``
+    where ``start_offset`` is the running token total before the document.
+    A document straddling a boundary stays in the sequence where it
+    started (standard greedy packing; a sequence can overrun by at most
+    one document's tail).
+
+    Scale: packing is inherently sequential PER SEQUENCE STREAM, so one
+    window per stratum would serialize 100 TB through a handful of tasks.
+    ``shards`` salts each stratum into ``md5(id) % shards`` independent
+    packing streams — deterministic, and each stream's window is a
+    separate shuffle partition, so parallelism is (strata × shards)
+    regardless of corpus size. Output: one row per doc with its
+    (stratum, shard, seq, offset) placement."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    shard = (
+        F.conv(_hash_frac8(F.col(id_col)), 16, 10).cast("bigint")
+        % shards
+    ).alias("shard")
+    out = df.select(
+        *([strat_col] if strat_col else []),
+        F.col(id_col),
+        F.col(tok_col).cast("bigint").alias("n_tok"),
+        shard,
+    )
+    keys = ([strat_col] if strat_col else []) + ["shard"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # start offset = cumulative tokens BEFORE this doc
+    out = out.withColumn(
+        "offset", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return out.withColumn(
+        "seq", F.floor(F.col("offset") / max_tokens).cast("bigint")
+    )
+
+
+def contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval leakage screen: for every training document sharing at
+    least one word ``n``-gram with the holdout set, the count of distinct
+    shared shingles (the triage score for exclusion).
+
+    Plan: holdout shingles are DISTINCT-reduced then broadcast (eval sets
+    are thousands of docs against billions — the asymmetry IS the
+    algorithm), so the train side is one scan + codegen shingle explode +
+    broadcast semi-join; no fact shuffle. For a holdout too large to
+    broadcast, the same expression degrades to a shuffle join untouched."""
+    train_sh = shingles(train, n)
+    hold_sh = F.broadcast(
+        shingles(holdout, n).select("shingle").distinct()
+    )
+    return (
+        train_sh.join(hold_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("shared_shingles"))
+    )

@@ -1,0 +1,102 @@
+"""Training-mix operators: deterministic stratified sampling, sequence
+packing, contamination screening — semantics plus the plan shapes that
+make them scale (filter-only sampling, broadcast contamination join)."""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.operators.mix import (
+    contamination,
+    pack_sequences,
+    rate_threshold,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") % 50 + 1).alias("n_tok"),
+    )
+
+
+def test_sample_rates_and_determinism(spark):
+    d = _docs(spark)
+    out = stratified_sample(
+        d, {"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.1
+    )
+    by_src = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src["s0"] == 250          # rate 1.0 keeps everything
+    assert 85 <= by_src.get("s1", 0) <= 165   # ~125 of 250
+    assert "s2" not in by_src           # rate 0.0 drops all
+    assert 10 <= by_src.get("s3", 0) <= 45    # default 0.1 -> ~25
+    # exact reproducibility: same rows on a rerun, any partitioning
+    again = stratified_sample(
+        d.repartition(7), {"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.1
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
+
+
+def test_sample_is_a_pure_filter_no_shuffle(spark):
+    plan = stratified_sample(
+        _docs(spark), {"s0": 0.5}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rate_threshold_bounds(spark):
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(1.0) == "ffffffff"
+    import pytest
+
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_pack_sequences_budget_and_overflow(spark):
+    out = pack_sequences(
+        _docs(spark), max_tokens=500, shards=2
+    ).collect()
+    max_tok = 50
+    streams = {}
+    for r in sorted(out, key=lambda r: (r.source, r.shard, r.doc_id)):
+        streams.setdefault((r.source, r.shard), []).append(r)
+    assert len(streams) == 8  # 4 strata x 2 shards, all parallel
+    for rows in streams.values():
+        run = 0
+        for r in rows:
+            assert r.offset == run       # contiguous, gap-free layout
+            assert r.seq == r.offset // 500
+            run += r.n_tok
+        # greedy packing: a sequence overruns by at most one doc's tail
+        totals = {}
+        for r in rows:
+            totals[r.seq] = totals.get(r.seq, 0) + r.n_tok
+        full = [s for s in totals if s < max(totals)]
+        assert all(totals[s] < 500 + max_tok for s in full)
+
+
+def test_contamination_flags_shared_ngrams_only(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),      # shares 'quick brown fox'
+         (2, "totally disjoint words here now")],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame(
+        [(9, "a quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.shared_shingles for r in contamination(train, hold).collect()}
+    assert got == {1: 1}
+
+
+def test_contamination_broadcasts_the_holdout(spark):
+    d = _docs(spark).withColumn("text", F.lit("w x y z"))
+    plan = contamination(
+        d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
