@@ -191,7 +191,13 @@ class HadoopFS:
         return out
 
     def size(self, path: str) -> int:
-        return self._fs.getFileStatus(self._path(path)).getLen()
+        p = self._path(path)
+        # a Java FileNotFoundException surfaces as an opaque Py4JJavaError,
+        # not a Python FileNotFoundError — callers (expire_snapshots on
+        # shared-dir candidates) rely on the Python exception contract
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        return self._fs.getFileStatus(p).getLen()
 
     def delete_file(self, path: str) -> None:
         self._fs.delete(self._path(path), False)

@@ -65,3 +65,34 @@ def test_file_scoped_rewrite_over_file_uri(spark, tmp_path):
     t.rewrite_files([victim], survivors)
     assert t.read(spark).count() == 10 - had_zero
     assert victim not in t.data_files()
+
+
+def test_maintenance_over_file_uri(spark, tmp_path):
+    """Compaction + incremental scan + expiry through the HadoopFS branch:
+    list_sizes (commit-time size record), list_dirs, delete_file and
+    delete_dir all cross the py4j bridge for a URI-rooted table."""
+    from binlog_processer_spark.operators.compact import compact
+
+    root = f"file://{tmp_path}/uri_maint"
+    t = SnapshotTable(root)
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            "id", (F.col("id") % 2).cast("string").alias("k")
+        ).coalesce(1)
+        t.write(df, partition_by=["k"],
+                mode="overwrite" if i == 0 else "append")
+    # sizes recorded through HadoopFS.list_sizes at each commit
+    sizes = t.file_sizes()
+    assert len(sizes) == 6 and all(v > 0 for v in sizes.values())
+
+    delta = t.read_incremental(spark, since=1)
+    assert sorted(r.id for r in delta.collect()) == list(range(20, 30))
+
+    res = compact(spark, t)
+    assert res.files_removed == 6
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(30))
+
+    exp = t.expire_snapshots(keep_last=1)
+    assert exp["files_deleted"] == 6 and exp["bytes_freed"] > 0
+    assert len(exp["snapshots_removed"]) == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(30))
