@@ -500,6 +500,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_histogram"] = windowed_histogram
 
+    # --- gap-based sessionization (telemetry-side per-entity rollup) ---
+    def session_stats(spark, sf_dir):
+        from binlog_processer_spark.operators.sessions import session_stats
+
+        return session_stats(_kept(spark, sf_dir), gap_minutes=240)
+
+    q["session_stats"] = session_stats
+
+    def session_windows(spark, sf_dir):
+        """Same sessions via Spark's native session_window grouping (the
+        streaming-carryover form) — gated against the identical oracle as
+        the relational path, proving the two implementations agree."""
+        from binlog_processer_spark.operators.sessions import (
+            session_window_agg,
+        )
+
+        return session_window_agg(_kept(spark, sf_dir), gap_minutes=240)
+
+    q["session_windows"] = session_windows
+
     # --- A6 HAVING + GROUP_CONCAT report ---
     def partitions_report(spark, sf_dir):
         return agg.grouped_partitions_report(
@@ -1013,6 +1033,37 @@ def oracle_sql() -> dict[str, str]:
         "SELECT database_name, table_name, max(commit_ts) AS max_commit_ts"
         " FROM kept GROUP BY 1, 2",
         _X_ENRICHED,
+    )
+    # gap-based sessions re-derived relationally (lag → break flag →
+    # running sum); strict > 240min matches session_window, which merges
+    # touching windows (an event at exactly last+gap extends the session)
+    _X_SESS = """
+sess AS (
+  SELECT *, cast(sum(brk) OVER (PARTITION BY database_name, table_name,
+         doc_id ORDER BY commit_ts, event_seq
+         ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM (
+    SELECT k.*, CASE WHEN cast(epoch(commit_ts) AS bigint) -
+           cast(epoch(lag(commit_ts) OVER (PARTITION BY database_name,
+           table_name, doc_id ORDER BY commit_ts, event_seq)) AS bigint)
+           > 240*60 THEN 1 ELSE 0 END AS brk
+    FROM kept k) t)
+"""
+    o["session_stats"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, session_id,"
+        " count(*) AS n_events, min(commit_ts) AS session_start,"
+        " max(commit_ts) AS session_end,"
+        " cast(epoch(max(commit_ts)) - epoch(min(commit_ts)) AS bigint)"
+        " AS duration_s"
+        " FROM sess GROUP BY 1, 2, 3, 4",
+        _X_ENRICHED + "," + _X_SESS,
+    )
+    o["session_windows"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id,"
+        " count(*) AS n_events, min(commit_ts) AS session_start,"
+        " max(commit_ts) AS session_end"
+        " FROM sess GROUP BY database_name, table_name, doc_id, session_id",
+        _X_ENRICHED + "," + _X_SESS,
     )
     o["windowed_histogram"] = _oracle_full(
         "SELECT database_name, table_name, date_trunc('day', commit_ts) AS win_start,"

@@ -595,11 +595,25 @@ def scaling_report() -> None:
         for e in timed
     )
 
+    # controls aggregate the same way the campaign does: medians across
+    # every control run of the campaign (taking the latest alone lets one
+    # in-leg burst rewrite the row)
+    ctl = None
+    if controls:
+        ctl = {
+            "t4": round(_median([c["t4"] for c in controls]), 3),
+            "t16": round(_median([c["t16"] for c in controls]), 3),
+            "eff": round(_median([c["eff"] for c in controls]), 3),
+            "ceiling": round(_median([c["ceiling"] for c in controls]), 3),
+        }
+        ctl["eff_norm"] = round(ctl["eff"] / ctl["ceiling"], 3)
+
     control_table = ""
     if controls:
-        c = controls[-1]
+        c = ctl
         control_table = (
-            "\n## Control: parse-less null job (same window, same corpus)\n\n"
+            "\n## Control: parse-less null job (same corpus; medians across"
+            f" {len(controls)} control runs)\n\n"
             "The null job is read → one repartition shuffle → parquet write\n"
             "of the SAME corpus bytes with none of the engine's operators\n"
             "(no parse, no joins, no routing, no snapshot commit). Its 4→16\n"
@@ -616,7 +630,7 @@ def scaling_report() -> None:
 
     conclusion = ""
     if controls and prof:
-        c = controls[-1]
+        c = ctl
         rw_eff = (
             min(e["phases4"]["route_write"] for e in prof)
             / min(e["phases16"]["route_write"] for e in prof)
