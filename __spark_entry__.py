@@ -520,6 +520,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_windows"] = session_windows
 
+    # --- per-source distribution drift + per-sink payload percentiles ---
+    def drift_histogram(spark, sf_dir):
+        from binlog_processer_spark.operators.drift import (
+            token_length_histogram,
+        )
+
+        return token_length_histogram(_kept(spark, sf_dir))
+
+    q["drift_histogram"] = drift_histogram
+
+    def drift_js(spark, sf_dir):
+        from binlog_processer_spark.operators.drift import distribution_drift
+
+        return distribution_drift(_kept(spark, sf_dir))
+
+    q["drift_js"] = drift_js
+
+    def sink_token_percentiles(spark, sf_dir):
+        return agg.sink_token_percentiles(_kept(spark, sf_dir))
+
+    q["sink_token_percentiles"] = sink_token_percentiles
+
+    # --- token-level stats: MG heavy hitters, doc frequency, vocab ---
+    def token_heavy_hitters(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import heavy_hitters
+
+        return heavy_hitters(_kept(spark, sf_dir), min_support_ppm=2000)
+
+    q["token_heavy_hitters"] = token_heavy_hitters
+
+    def token_doc_frequency(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import (
+            token_doc_frequency as tdf,
+        )
+
+        return tdf(_kept(spark, sf_dir), min_df_ppm=100_000)
+
+    q["token_doc_frequency"] = token_doc_frequency
+
+    def vocab_stats(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import (
+            vocab_stats as vs,
+        )
+
+        return vs(_kept(spark, sf_dir))
+
+    q["vocab_stats"] = vocab_stats
+
     # --- A6 HAVING + GROUP_CONCAT report ---
     def partitions_report(spark, sf_dir):
         return agg.grouped_partitions_report(
@@ -1064,6 +1112,80 @@ sess AS (
         " max(commit_ts) AS session_end"
         " FROM sess GROUP BY database_name, table_name, doc_id, session_id",
         _X_ENRICHED + "," + _X_SESS,
+    )
+    # per-source n_tok bucket histogram (width 4, clamp at bucket 31)
+    _BKT = "cast(least(floor(n_tok / 4), 31) AS int)"
+    o["drift_histogram"] = _oracle_full(
+        f"SELECT source, {_BKT} AS bucket, count(*) AS cnt"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    # Jensen-Shannon divergence of each source's bucket distribution vs
+    # the pooled complement, in ppm (operators/drift.py mirror): dense
+    # source×bucket grid so q-only buckets still contribute q·ln 2
+    _X_DRIFT = f"""
+hist AS (SELECT source, {_BKT} AS bucket, count(*) AS cnt
+         FROM kept GROUP BY 1, 2),
+by_src AS (SELECT source, sum(cnt) AS n_s FROM hist GROUP BY 1),
+by_bkt AS (SELECT bucket, sum(cnt) AS g_b FROM hist GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n_total FROM hist),
+grid AS (
+  SELECT s.source, b.bucket, s.n_s, b.g_b, t.n_total,
+         coalesce(h.cnt, 0) AS cnt
+  FROM by_src s CROSS JOIN by_bkt b CROSS JOIN tot t
+  LEFT JOIN hist h ON h.source = s.source AND h.bucket = b.bucket)
+"""
+    _P = "(cnt / n_s)"
+    _Q = "((g_b - cnt) / (n_total - n_s))"
+    o["drift_js"] = _oracle_full(
+        "SELECT source, cast(round(sum("
+        f" 0.5 * (CASE WHEN cnt > 0 THEN {_P} * ln(2 * {_P} / ({_P} + {_Q}))"
+        "  ELSE 0 END"
+        f" + CASE WHEN g_b - cnt > 0 THEN {_Q} * ln(2 * {_Q} / ({_P} + {_Q}))"
+        "  ELSE 0 END)"
+        ") * 1000000) AS bigint) AS jsd_ppm"
+        " FROM grid GROUP BY source",
+        _X_ENRICHED + "," + _X_DRIFT,
+    )
+    # exact continuous quantiles (Spark percentile() ≡ quantile_cont),
+    # published as centi-token bigints
+    o["sink_token_percentiles"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " cast(round(quantile_cont(n_tok, 0.5) * 100) AS bigint) AS p50_c,"
+        " cast(round(quantile_cont(n_tok, 0.95) * 100) AS bigint) AS p95_c,"
+        " cast(round(quantile_cont(n_tok, 0.99) * 100) AS bigint) AS p99_c"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    # token-level stats — integer-arithmetic support thresholds so both
+    # engines agree with no float-ceil ambiguity (operators/tokens.py)
+    o["token_heavy_hitters"] = _oracle_full(
+        "SELECT token, cnt FROM ("
+        " SELECT token, cast(count(*) AS bigint) AS cnt,"
+        "        sum(count(*)) OVER () AS total_tok"
+        " FROM (SELECT unnest(tokens) AS token FROM kept) GROUP BY token)"
+        " WHERE cnt * 1000000 >= 2000 * total_tok",
+        _X_ENRICHED,
+    )
+    o["token_doc_frequency"] = _oracle_full(
+        "SELECT token, df_cnt FROM ("
+        " SELECT token, cast(count(*) AS bigint) AS df_cnt,"
+        "        (SELECT count(*) FROM kept) AS n_rows"
+        " FROM (SELECT unnest(list_distinct(tokens)) AS token FROM kept)"
+        " GROUP BY token)"
+        " WHERE df_cnt * 1000000 >= 100000 * n_rows",
+        _X_ENRICHED,
+    )
+    o["vocab_stats"] = _oracle_full(
+        "SELECT a.source, a.n_rows, a.total_tok, b.distinct_tok FROM"
+        " (SELECT source, cast(count(*) AS bigint) AS n_rows,"
+        "         cast(sum(len(tokens)) AS bigint) AS total_tok"
+        "  FROM kept GROUP BY source) a"
+        " JOIN"
+        " (SELECT source, cast(count(DISTINCT token) AS bigint) AS distinct_tok"
+        "  FROM (SELECT source, unnest(tokens) AS token FROM kept)"
+        "  GROUP BY source) b USING (source)",
+        _X_ENRICHED,
     )
     o["windowed_histogram"] = _oracle_full(
         "SELECT database_name, table_name, date_trunc('day', commit_ts) AS win_start,"

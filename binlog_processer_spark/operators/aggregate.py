@@ -198,3 +198,31 @@ def lineage_manifest(routed: DataFrame, quarantine_cnt_by_file: DataFrame | None
             0, subset=["failed_cnt"]
         )
     return m
+
+
+def sink_token_percentiles(
+    kept: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Per-sink payload-size distribution: exact interpolated p50/p95/p99
+    of ``n_tok``, published as centi-token bigints (float columns don't
+    survive value-hash gates; cosine_bp convention).
+
+    Exact (not approx) is affordable here because ``percentile()``
+    aggregates a count-map keyed by DISTINCT value and token counts are
+    small bounded ints — the buffer is O(distinct n_tok) per group, not
+    O(rows), so it holds at 10^12 rows. For unbounded metrics (e.g.
+    parse-latency micros, metrics.py) use ``percentile_approx`` instead.
+    Matches ANSI/DuckDB ``quantile_cont`` bit-for-bit: both compute
+    lower + ((n-1)·p mod 1)·(upper − lower) on the sorted values.
+    """
+    keys = keys or ["database_name", "table_name"]
+    g = kept.groupBy(*keys).agg(
+        F.expr("percentile(n_tok, array(0.5D, 0.95D, 0.99D))").alias("p")
+    )
+    cols = [
+        F.round(F.element_at("p", i + 1) * 100)
+        .cast("bigint")
+        .alias(f"p{int(pp * 100)}_c")
+        for i, pp in enumerate((0.5, 0.95, 0.99))
+    ]
+    return g.select(*keys, *cols)

@@ -1,0 +1,213 @@
+"""Token-level corpus statistics: heavy hitters, document frequency,
+vocabulary stats.
+
+A training pipeline over pre-tokenized sequences needs token-level QA:
+which token ids dominate the mix (tokenizer pathologies, boilerplate
+contamination), how many documents each token touches (IDF inputs, stop
+token lists), and how large each source's effective vocabulary is. The
+reference's counters are row-level (BinlogCount.java analogue); these
+operators drop one level down, to the elements of the ``tokens`` array.
+
+Scale posture. The naive plan for every one of these is
+``explode(tokens)`` → shuffle n_tok x rows — at 10^12 sequences x ~2k
+tokens that is 10^15 shuffle rows. Three different mitigations are used,
+matched to what each statistic allows:
+
+- ``token_frequencies`` (exact): explode + hash aggregate. Map-side
+  partial aggregation collapses each task's output to its DISTINCT token
+  count, so with a bounded vocabulary (token ids are ``% 32000`` here,
+  ~10^5 for real BPE vocabs) the shuffle is tasks x vocab, not
+  tasks x tokens — the explode never crosses the wire. This is the right
+  exact plan whenever the vocabulary is bounded.
+- ``heavy_hitters`` (exact answer, sketch-pruned plan): when the id
+  space is NOT bounded (n-gram ids, hash-composed features), the partial
+  aggregate is as large as the data. A per-partition Misra-Gries summary
+  (capacity 2/phi, provable superset of every token with relative
+  support >= phi) runs inside ``mapInArrow`` — zero shuffle — and only
+  the candidate set (numPartitions x capacity rows, broadcast back) is
+  exactly counted in a second pass. The output EQUALS the exact answer;
+  the sketch only prunes the plan.
+- ``token_doc_frequency``: per-row ``array_distinct`` BEFORE the
+  explode caps each row's contribution at its distinct-token count —
+  the standard df/IDF shrink.
+
+All thresholds are integer-arithmetic (``cnt * 1_000_000 >= ppm *
+total``) so Spark and the DuckDB oracle agree bit-for-bit with no
+float-ceil ambiguity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _total_tokens(kept: DataFrame) -> DataFrame:
+    """1-row total element count, self-contained (sum of array sizes)."""
+    return kept.agg(
+        F.sum(F.size("tokens")).cast("bigint").alias("total_tok")
+    )
+
+
+def token_frequencies(
+    kept: DataFrame, min_support_ppm: int = 2000
+) -> DataFrame:
+    """Exact token counts at relative support >= ``min_support_ppm``
+    (parts-per-million of all token occurrences).
+
+    Plan: explode → hash aggregate (map-side combine bounds the shuffle
+    at tasks x vocab) → broadcast the 1-row total → integer-arithmetic
+    support filter.
+    """
+    counts = (
+        kept.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(_total_tokens(kept)))
+        .filter(
+            F.col("cnt") * F.lit(1_000_000)
+            >= F.lit(int(min_support_ppm)) * F.col("total_tok")
+        )
+        .select("token", "cnt")
+    )
+
+
+def _mg_candidates(capacity: int):
+    """mapInArrow partition function: batched Misra-Gries over the
+    flattened token stream of one partition.
+
+    Invariant (standard MG analysis): each compress step subtracts
+    ``cut`` from >= capacity+1 distinct items at once, so total
+    decrements D <= n_p / (capacity+1); an item with partition count
+    > n_p/(capacity+1) cannot reach zero and is always emitted.
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        counts: dict[int, int] = {}
+        for batch in batches:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            if len(flat) == 0:
+                continue
+            uniq, cnt = np.unique(flat, return_counts=True)
+            for t, c in zip(uniq.tolist(), cnt.tolist()):
+                counts[t] = counts.get(t, 0) + c
+            if len(counts) > capacity:
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                # subtracting the (size-capacity)-th smallest counter and
+                # dropping <=0 leaves <= capacity survivors in one pass
+                cut = int(np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ])
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(counts.keys()), type=pa.int32())], ["token"]
+        )
+
+    return fn
+
+
+def heavy_hitters(
+    kept: DataFrame, min_support_ppm: int = 2000
+) -> DataFrame:
+    """Exact heavy hitters (support >= min_support_ppm of all token
+    occurrences) via a zero-shuffle Misra-Gries candidate pass + an
+    exact count restricted to candidates.
+
+    Correctness does not depend on the sketch's estimates: with capacity
+    2/phi the per-partition summary provably retains every token whose
+    partition count >= phi x n_p, and a token with global support >= phi
+    must reach that bar in at least one partition (weighted averaging),
+    so the candidate union is a superset of the answer. Phase 2 counts
+    candidates exactly and applies the same integer threshold — output
+    == ``token_frequencies`` on every input.
+
+    At scale: phase 1 moves numPartitions x capacity candidate ids;
+    phase 2's hash aggregate is pre-filtered by a broadcast semi-join,
+    so its map-side output is tasks x |candidates| — nothing anywhere
+    is proportional to the token stream.
+    """
+    phi_inv = 1_000_000 // int(min_support_ppm)
+    capacity = 2 * phi_inv
+    cand = (
+        kept.select("tokens")
+        .mapInArrow(
+            _mg_candidates(capacity), schema="token int"
+        )
+        .distinct()
+    )
+    exact = (
+        kept.select(F.explode("tokens").alias("token"))
+        .join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(_total_tokens(kept)))
+        .filter(
+            F.col("cnt") * F.lit(1_000_000)
+            >= F.lit(int(min_support_ppm)) * F.col("total_tok")
+        )
+        .select("token", "cnt")
+    )
+
+
+def token_doc_frequency(
+    kept: DataFrame, min_df_ppm: int = 100_000
+) -> DataFrame:
+    """Document frequency: how many rows contain each token at least
+    once, at relative df >= ``min_df_ppm`` of all rows (the IDF/stop
+    token input).
+
+    ``array_distinct`` runs per-row BEFORE the explode, so each row
+    contributes at most its distinct-token count — with repeated tokens
+    (natural text) this shrinks the exploded stream well below
+    sum(n_tok), and map-side combine bounds the shuffle at tasks x vocab
+    as in ``token_frequencies``.
+    """
+    n_rows = kept.agg(F.count("*").cast("bigint").alias("n_rows"))
+    df_counts = (
+        kept.select(
+            F.explode(F.array_distinct("tokens")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df_cnt"))
+    )
+    return (
+        df_counts.crossJoin(F.broadcast(n_rows))
+        .filter(
+            F.col("df_cnt") * F.lit(1_000_000)
+            >= F.lit(int(min_df_ppm)) * F.col("n_rows")
+        )
+        .select("token", "df_cnt")
+    )
+
+
+def vocab_stats(kept: DataFrame) -> DataFrame:
+    """Per-source vocabulary report: rows, total token occurrences,
+    exact distinct token ids.
+
+    The distinct count is the one genuinely expensive statistic (exact
+    COUNT DISTINCT shuffles source x vocab after partial aggregation —
+    fine for bounded vocabs; swap in approx_count_distinct at unbounded
+    id spaces, documented rather than silently approximated here so the
+    oracle can gate exactly).
+    """
+    per_row = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.size("tokens")).cast("bigint").alias("total_tok"),
+    )
+    per_tok = (
+        kept.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source")
+        .agg(F.count_distinct("token").cast("bigint").alias("distinct_tok"))
+    )
+    return per_row.join(per_tok, "source").select(
+        "source", "n_rows", "total_tok", "distinct_tok"
+    )

@@ -1,0 +1,75 @@
+"""Token heavy hitters (MG candidates + exact verify), df, vocab stats."""
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.operators.tokens import (
+    heavy_hitters,
+    token_doc_frequency,
+    token_frequencies,
+    vocab_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "source string, tokens array<int>")
+
+
+def test_token_frequencies_threshold(spark):
+    # 10 occurrences total; token 1 has 5 (500000 ppm), token 2 has 4,
+    # token 3 has 1 (100000 ppm — exactly at a 100000 ppm bar)
+    df = _df(spark, [("a", [1, 1, 1, 2, 2]), ("a", [1, 1, 2, 2, 3])])
+    got = {r.token: r.cnt for r in token_frequencies(df, 400_000).collect()}
+    assert got == {1: 5, 2: 4}
+    # integer-arithmetic >= keeps the exactly-at-threshold token
+    got = {r.token: r.cnt for r in token_frequencies(df, 100_000).collect()}
+    assert got == {1: 5, 2: 4, 3: 1}
+
+
+def test_heavy_hitters_equals_exact(spark):
+    # zipf-ish skew across many rows and partitions; the MG-pruned path
+    # must return exactly what the exact explode+aggregate returns
+    rows = [
+        ("s%d" % (i % 3), [i % 7, i % 23, i % 101, 5, 5 if i % 2 else 9])
+        for i in range(500)
+    ]
+    df = _df(spark, rows).repartition(8)
+    for ppm in (2000, 20_000, 200_000):
+        exact = {
+            (r.token, r.cnt) for r in token_frequencies(df, ppm).collect()
+        }
+        sketched = {
+            (r.token, r.cnt) for r in heavy_hitters(df, ppm).collect()
+        }
+        assert sketched == exact, f"mismatch at {ppm} ppm"
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    # high support bar -> capacity 2/phi is small (4): forces real MG
+    # compress steps; the superset guarantee keeps the answer exact
+    rows = [("a", [1] * 60 + list(range(100, 140)))] * 5
+    df = _df(spark, rows).repartition(4)
+    exact = {(r.token, r.cnt) for r in token_frequencies(df, 500_000).collect()}
+    got = {(r.token, r.cnt) for r in heavy_hitters(df, 500_000).collect()}
+    assert got == exact == {(1, 300)}
+
+
+def test_doc_frequency_counts_rows_not_occurrences(spark):
+    df = _df(spark, [("a", [7, 7, 7, 8]), ("a", [7]), ("a", [9])])
+    got = {r.token: r.df_cnt for r in token_doc_frequency(df, 0).collect()}
+    assert got == {7: 2, 8: 1, 9: 1}
+    # 2/3 rows contain 7 -> 666666 ppm; bar at 500000 keeps only it
+    got = {r.token: r.df_cnt for r in token_doc_frequency(df, 500_000).collect()}
+    assert got == {7: 2}
+
+
+def test_vocab_stats(spark):
+    df = _df(spark, [("a", [1, 1, 2]), ("a", [2, 3]), ("b", [5])])
+    got = {r.source: (r.n_rows, r.total_tok, r.distinct_tok)
+           for r in vocab_stats(df).collect()}
+    assert got == {"a": (2, 5, 3), "b": (1, 1, 1)}
+
+
+def test_heavy_hitters_plan_broadcasts_candidates(spark):
+    df = _df(spark, [("a", [1, 2, 3])])
+    plan = heavy_hitters(df, 10_000)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
