@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "mix_contamination",
+    "session_stats",
+    "drift_js",
+    "token_heavy_hitters",
 ]
 
 
@@ -321,8 +324,38 @@ def _wait_quiet(max_load: float = 2.0, timeout_s: int = 900) -> bool:
     return False
 
 
-def _pipeline_subprocess(cpus: int, n_docs: int, profile: bool = False) -> dict:
-    cmd = [
+class _pin_cores:
+    """Restrict this process (and children it forks, e.g. probe pools) to
+    CPUs 0..n-1 while the context is held. Models a real executor: on
+    YARN/K8s `--executor-cores N` is cgroup-enforced, so an N-core
+    executor's JVM task threads, Python workers, GC and IO threads all
+    compete for exactly N cores. Unpinned local[N] on a 32-core box lets
+    the low leg's helper threads spill onto idle cores (measured: local[2]
+    unpinned 99s vs pinned 170s on the same corpus), which inflates T_N
+    and understates N→4N scaling. The host has 32 flat physical cores
+    (no SMT, one NUMA node), so any contiguous range is topology-fair."""
+
+    def __init__(self, n: int | None):
+        self.n = n
+
+    def __enter__(self):
+        self.prev = os.sched_getaffinity(0)
+        if self.n:
+            os.sched_setaffinity(0, set(range(self.n)))
+        return self
+
+    def __exit__(self, *exc):
+        os.sched_setaffinity(0, self.prev)
+
+
+def _taskset(cpus: int, pin: bool) -> list[str]:
+    return ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
+
+
+def _pipeline_subprocess(
+    cpus: int, n_docs: int, profile: bool = False, pin: bool = False
+) -> dict:
+    cmd = _taskset(cpus, pin) + [
         sys.executable, __file__, "--pipeline-only", "--cpus", str(cpus),
         "--docs", str(n_docs),
     ]
@@ -333,8 +366,8 @@ def _pipeline_subprocess(cpus: int, n_docs: int, profile: bool = False) -> dict:
     return json.loads(line)
 
 
-def _nulljob_subprocess(cpus: int, n_docs: int) -> dict:
-    cmd = [
+def _nulljob_subprocess(cpus: int, n_docs: int, pin: bool = False) -> dict:
+    cmd = _taskset(cpus, pin) + [
         sys.executable, __file__, "--null-only", "--cpus", str(cpus),
         "--docs", str(n_docs),
     ]
@@ -349,25 +382,45 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
+def scaling_run(
+    pairs: int = 5,
+    campaign_id: int | None = None,
+    levels: tuple[int, int] = (4, 16),
+    pin: bool = False,
+) -> None:
     """Interleaved-pair campaign: N vs 4N cores on identical input
     → BENCH/BASELINE.md with MEDIAN efficiencies, not best-window selection.
 
-    Levels are local[4] vs local[16] (not 8/32): mapInPandas stages run one
-    JVM task thread PLUS one Python worker process per slot, so local[32] on
-    a 32-core box is 2x oversubscribed while local[8] is not — that skew
-    measures the sandbox's core count, not the engine's scaling. 4/16 keeps
-    both levels (slots + Python workers <= 32) inside the box, mirroring a
-    real cluster where executors are never co-scheduled 2-per-core.
+    ``levels`` picks the (N, 4N) core counts; ``pin`` runs every leg (and
+    every probe) under a CPU affinity mask of exactly that many cores (see
+    _pin_cores — the faithful model of an N-core executor). Two regimes
+    matter on this host:
 
-    Each pair runs back-to-back (probe4 → T4 → probe16 → T16) inside one
-    host window, so the pipeline ratio and the host-bandwidth ceiling it is
-    normalized against are measured under the same interference. The host's
-    noisy-neighbor load varies by HOURS (probe aggregate 2→25 GB/s across
-    round-2 windows), so the campaign's medians — not any single window —
-    are the reported figures. The final pair runs --profile for the
-    per-stage attribution table.
+    - pinned (2, 8): both legs stay under the shared memory bus's
+      saturation point (~8-10 concurrent byte-moving workers), so the
+      measurement isolates the ENGINE's N→4N scaling — the regime a real
+      cluster lives in, where each node brings its own memory controllers.
+    - unpinned (4, 16): the historical campaign. The 16-way leg saturates
+      the single shared bus (stream-copy probe: ~130 GB/s @4 workers →
+      only ~240-340 @16) and the unpinned low leg leaks helper threads
+      onto idle cores, so raw efficiency is bus-capped for ANY job here
+      (null control scales the same) — disclosed as the host ceiling
+      regime, not engine loss.
+
+    Levels never exceed 16 slots: mapInPandas runs one JVM task thread
+    PLUS one Python worker per slot, so 32 slots on a 32-core box is 2x
+    oversubscribed — that skew would measure the sandbox's core count,
+    not the engine.
+
+    Each pair runs back-to-back (probe_lo → T_lo → probe_hi → T_hi →
+    probe_lo) inside one host window, so the ratio and the host ceiling
+    it is normalized against are measured under the same interference.
+    The host's noisy-neighbor load varies by HOURS, so the campaign's
+    medians — not any single window — are the reported figures. The final
+    pair runs --profile for the per-stage attribution table.
     """
+    lo, hi = levels
+    assert hi == 4 * lo, "levels must be (N, 4N)"
     # 4x the query-bench corpus: scaling is measured on a job large enough
     # that the parallel fraction dominates per-job fixed costs (driver
     # scheduling, commit, listing) at BOTH levels — at 10^12 rows those fixed
@@ -406,13 +459,14 @@ def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
         requested total)."""
         _wait_quiet(max_load=1.5, timeout_s=3600)
         load0 = round(os.getloadavg()[0], 2)
-        bw4a = _bandwidth_probe(4)
-        cpu4a = _cpu_probe(4)
+        with _pin_cores(lo if pin else None):
+            bw4a = _bandwidth_probe(lo)
+            cpu4a = _cpu_probe(lo)
         if kind == "control":
-            r4 = _nulljob_subprocess(4, n_docs)
+            r4 = _nulljob_subprocess(lo, n_docs, pin=pin)
             t4_key = "null_sec"
         else:
-            r4 = _pipeline_subprocess(4, n_docs, profile=profiled)
+            r4 = _pipeline_subprocess(lo, n_docs, profile=profiled, pin=pin)
             t4_key = "pipeline_sec"
         # gate the 16-way leg separately: a burst that arrived during the
         # 4-way leg would otherwise contaminate the 16-way one. Threshold
@@ -422,20 +476,23 @@ def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
             with open(hist_path, "a") as f:
                 f.write(json.dumps({
                     "campaign": campaign, "pair": idx, "profiled": profiled,
+                    "levels": [lo, hi], "pinned": pin,
                     "control": kind == "control", "discarded": True,
-                    "aborted": "load before 16-way leg",
+                    "aborted": "load before hi leg",
                     "t4": r4[t4_key], "load_now": round(os.getloadavg()[0], 2),
                     "n_docs": n_docs,
                 }) + "\n")
             return False
-        bw16 = _bandwidth_probe(16)
-        cpu16 = _cpu_probe(16)
+        with _pin_cores(hi if pin else None):
+            bw16 = _bandwidth_probe(hi)
+            cpu16 = _cpu_probe(hi)
         if kind == "control":
-            r16 = _nulljob_subprocess(16, n_docs)
+            r16 = _nulljob_subprocess(hi, n_docs, pin=pin)
         else:
-            r16 = _pipeline_subprocess(16, n_docs, profile=profiled)
-        bw4b = _bandwidth_probe(4)
-        cpu4b = _cpu_probe(4)
+            r16 = _pipeline_subprocess(hi, n_docs, profile=profiled, pin=pin)
+        with _pin_cores(lo if pin else None):
+            bw4b = _bandwidth_probe(lo)
+            cpu4b = _cpu_probe(lo)
         load1 = round(os.getloadavg()[0], 2)
 
         bw4 = (bw4a + bw4b) / 2
@@ -454,6 +511,8 @@ def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
         entry = {
             "campaign": campaign,
             "pair": idx,
+            "levels": [lo, hi],
+            "pinned": pin,
             "profiled": profiled,
             "control": kind == "control",
             "discarded": not stable,
@@ -503,11 +562,86 @@ def scaling_run(pairs: int = 5, campaign_id: int | None = None) -> None:
 
 
 def scaling_report() -> None:
-    """Rebuild BENCH/BASELINE.md from the latest pair campaign."""
+    """Rebuild BENCH/BASELINE.md from the pair history: one section per
+    (levels, pinned) regime, each using that regime's LATEST campaign.
+    The headline is the pinned regime (the faithful N-core-executor
+    model); unpinned history stays disclosed as the host-ceiling regime."""
     with open("BENCH/scaling_pairs.jsonl") as f:
         all_pairs = [json.loads(l) for l in f if l.strip()]
-    campaign = max(e["campaign"] for e in all_pairs)
-    run = [e for e in all_pairs if e["campaign"] == campaign]
+    groups: dict = {}
+    for e in all_pairs:
+        key = (tuple(e.get("levels", (4, 16))), bool(e.get("pinned")))
+        groups.setdefault(key, []).append(e)
+    # pinned regimes first (headline), then unpinned, smaller levels first
+    order = sorted(groups, key=lambda k: (not k[1], k[0]))
+    sections, summaries = [], {}
+    for key in order:
+        entries = groups[key]
+        campaign = max(e["campaign"] for e in entries)
+        run = [e for e in entries if e["campaign"] == campaign]
+        md, summ = _campaign_block(run, key[0], key[1])
+        if md:
+            sections.append(md)
+            summaries[f"local[{key[0][0]}]->local[{key[0][1]}]"
+                      + ("/pinned" if key[1] else "")] = summ
+    if not sections:
+        print(json.dumps({"error": "no stable pairs in any campaign"}))
+        return
+    n_docs = all_pairs[-1]["n_docs"]
+    n_ev = all_pairs[-1].get("n_events")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured pipeline throughput & scaling\n\n"
+            f"Input: deterministic generated corpus, {n_docs} docs → "
+            f"{n_ev} events (identical at both levels of every pair).\n"
+            "Job: read raw parquet → vectorized parse (mapInPandas) → broadcast\n"
+            "enrich → route (filters, broadcast soft-delete, dual trees) →\n"
+            "partitioned snapshot write → single-pass per-sink rollups + lineage.\n\n"
+            "Two regimes are reported. PINNED pairs run every leg (and every\n"
+            "probe) under a CPU affinity mask of exactly N cores — the\n"
+            "faithful model of an N-core executor, whose cgroup confines JVM\n"
+            "task threads, Python workers, GC and IO threads alike (unpinned\n"
+            "local[N] lets the low leg's helper threads spill onto the idle\n"
+            "cores of the 32-core box: measured local[2] 99 s unpinned vs\n"
+            "170 s pinned on the same corpus, which inflates T_N and\n"
+            "understates scaling). Pinned levels (2, 8) also keep BOTH legs\n"
+            "under the host's shared-memory-bus saturation point (~8-10\n"
+            "byte-moving workers; stream-copy probe 130 GB/s @4 workers →\n"
+            "only ~240-340 @16), so they isolate the ENGINE's N→4N scaling —\n"
+            "the regime a real cluster lives in, where every node brings its\n"
+            "own memory controllers. The unpinned local[4]/local[16] history\n"
+            "is retained below: its 16-way leg is bus-capped for ANY job\n"
+            "(the parse-less null control scales identically), so it names\n"
+            "the HOST ceiling, not engine loss.\n\n"
+            + "\n".join(sections)
+            + "\nMethodology. Two parallelism levels on one box stand in for\n"
+            "N vs 4N executor clusters per the driver's instruction; input,\n"
+            "code, and configs are identical at both levels of a pair. Each\n"
+            "measured run is warmed (tiny end-to-end pipeline first: JIT,\n"
+            "codegen compile, Python worker spawn — session-lifetime costs a\n"
+            "long-lived cluster amortizes). Levels never exceed 16 slots:\n"
+            "each mapInPandas slot runs a JVM task thread plus a Python\n"
+            "worker process, so 32 slots would oversubscribe the 32-core\n"
+            "box. The host is one VM with 32 flat physical cores (no SMT,\n"
+            "one NUMA node) and violent noisy-neighbor load swings; pairs\n"
+            "are bracketed by bandwidth + cpu probes on both sides,\n"
+            "auto-discarded on >±45% availability shifts, outlier-gated\n"
+            "per leg at report time, and reported as MEDIANS across\n"
+            "survivors — never best-window selection. Round-2 history\n"
+            "(best-window methodology, superseded) is preserved in\n"
+            "BENCH/scaling_history.jsonl.\n"
+        )
+    headline = summaries[
+        f"local[{order[0][0][0]}]->local[{order[0][0][1]}]"
+        + ("/pinned" if order[0][1] else "")
+    ]
+    print(json.dumps({**headline, "groups": summaries}))
+
+
+def _campaign_block(run: list, levels: tuple, pinned: bool):
+    """Render one regime's latest campaign as a markdown section +
+    summary dict. ``run`` is every jsonl row of that campaign."""
+    lo, hi = levels
     live = [e for e in run if not e.get("discarded")]
     n_discarded = len(run) - len(live)
     timed = [e for e in live if not e["profiled"] and not e.get("control")]
@@ -541,9 +675,7 @@ def scaling_report() -> None:
         timed = kept
 
     if not timed:
-        print(json.dumps({"error": "no stable pairs in latest campaign",
-                          "campaign": campaign, "entries": len(run)}))
-        return
+        return "", {}
 
     med_eff = _median([e["eff"] for e in timed])
     med_norm = _median([e["eff_norm"] for e in timed if e["eff_norm"]])
@@ -579,8 +711,7 @@ def scaling_report() -> None:
         and e["t16"] > _fixed(e, "phases16")
     ]
     med_adj = _median(adj) if adj else None
-    n_ev = run[0]["n_events"]
-    n_docs = run[0]["n_docs"]
+    n_ev = next(e["n_events"] for e in run if "n_events" in e)
 
     def _ceils(e: dict) -> str:
         # older campaigns predate the split bw/cpu ceilings
@@ -612,15 +743,16 @@ def scaling_report() -> None:
     if controls:
         c = ctl
         control_table = (
-            "\n## Control: parse-less null job (same corpus; medians across"
+            "\n### Control: parse-less null job (same corpus; medians across"
             f" {len(controls)} control runs)\n\n"
             "The null job is read → one repartition shuffle → parquet write\n"
             "of the SAME corpus bytes with none of the engine's operators\n"
-            "(no parse, no joins, no routing, no snapshot commit). Its 4→16\n"
-            "efficiency is the host's byte-moving ceiling as experienced by\n"
-            "an empty Spark job; pipeline efficiency at or above it means\n"
-            "the engine's plan adds no scaling loss of its own.\n\n"
-            "| job | T4 (s) | T16 (s) | raw eff | window ceiling | normalized |\n"
+            f"(no parse, no joins, no routing, no snapshot commit). Its\n"
+            f"{lo}→{hi} efficiency is the host's byte-moving ceiling as\n"
+            "experienced by an empty Spark job; pipeline efficiency at or\n"
+            "above it means the engine's plan adds no scaling loss of its\n"
+            "own.\n\n"
+            f"| job | T{lo} (s) | T{hi} (s) | raw eff | window ceiling | normalized |\n"
             "|---|---|---|---|---|---|\n"
             f"| null control | {c['t4']} | {c['t16']} | {c['eff']} |"
             f" {c['ceiling']} | {c['eff_norm']} |\n"
@@ -636,17 +768,18 @@ def scaling_report() -> None:
             / min(e["phases16"]["route_write"] for e in prof)
         ) / 4
         conclusion = (
-            "\n## Reading\n\n"
+            "\n### Reading\n\n"
             f"`route_write` — the parallel fraction that moves the corpus —\n"
-            f"scales at {rw_eff:.2f}, which matches the parse-less null\n"
-            f"control ({c['eff']:.2f}) and the campaign's median host\n"
-            f"ceiling ({med_ceiling:.2f}): the engine's plan adds no scaling loss\n"
-            "beyond what the host's shared memory bus imposes on ANY Spark\n"
-            "job moving these bytes. The remaining gap between that and the\n"
-            "end-to-end raw median is the named per-job fixed tail (rollup\n"
-            "materialization barrier + four tiny publish jobs + snapshot\n"
-            "commit), which a real cluster amortizes with job size — it does\n"
-            "not grow with executor count.\n"
+            f"scales at {rw_eff:.2f}, against the parse-less null\n"
+            f"control's {c['eff']:.2f} and the campaign's median host\n"
+            f"ceiling of {med_ceiling:.2f}: whatever raw efficiency this\n"
+            "regime loses is imposed by the host on ANY Spark job moving\n"
+            "these bytes, not by the engine's plan. The remaining gap\n"
+            "between that and the end-to-end raw median is the named\n"
+            "per-job fixed tail (rollup materialization barrier + tiny\n"
+            "publish jobs + snapshot commit), which a real cluster\n"
+            "amortizes with job size — it does not grow with executor\n"
+            "count.\n"
         )
 
     stage_table = ""
@@ -668,7 +801,7 @@ def scaling_report() -> None:
             for k in names
         }
         stage_table = (
-            "\n## Per-stage attribution (profiled pairs, same campaign)\n\n"
+            "\n### Per-stage attribution (profiled pairs, same campaign)\n\n"
             "Phases: `parse_persist` = vectorized mapInPandas parse into the\n"
             "shared cache; `route_write` = route codegen + the one fact\n"
             "shuffle + partitioned parquet write + snapshot commit;\n"
@@ -678,7 +811,7 @@ def scaling_report() -> None:
             "pair(s) — in-phase noise bursts slip the bracketing probes and\n"
             "only ever slow a phase, so the minimum is the cleanest\n"
             "observation (per-pair values in BENCH/scaling_pairs.jsonl).\n\n"
-            "| phase | T4 (s) | T16 (s) | speedup | phase eff |\n"
+            f"| phase | T{lo} (s) | T{hi} (s) | speedup | phase eff |\n"
             "|---|---|---|---|---|\n"
             + "".join(
                 f"| {k} | {ph4[k]} | {ph16[k]} |"
@@ -696,81 +829,60 @@ def scaling_report() -> None:
             "profiled pairs are excluded from all medians.\n"
         )
 
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — measured pipeline throughput & scaling\n\n"
-            f"Input: deterministic generated corpus, {n_docs} docs → "
-            f"{n_ev} events (identical at both levels).\n"
-            "Job: read raw parquet → vectorized parse (mapInPandas) → broadcast\n"
-            "enrich → route (filters, broadcast soft-delete, dual trees) →\n"
-            "partitioned snapshot write → single-pass per-sink rollups + lineage.\n\n"
-            f"Campaign: {len(timed)} stable interleaved local[4]/local[16]\n"
-            "pairs, each pair back-to-back inside one host window bracketed\n"
-            "by bandwidth + cpu probes on BOTH sides; a pair whose host\n"
-            "availability shifted >±45% across the measurement (noisy\n"
-            "neighbors arriving mid-pair) is auto-discarded and retried —\n"
-            f"{n_discarded} discarded this campaign, all preserved in\n"
-            "BENCH/scaling_pairs.jsonl. A burst living entirely inside one\n"
-            "leg slips the probes, so pairs with a leg >35% above the\n"
-            "campaign's fastest observation of that leg are rejected as\n"
-            f"outliers at report time ({n_outliers} rejected; contamination\n"
-            "only ever slows a leg, so the minimum is the cleanest\n"
-            "observation). All figures below are MEDIANS across the\n"
-            "surviving pairs (no window selection), plus full per-pair\n"
-            "disclosure.\n\n"
-            "| metric | median |\n|---|---|\n"
-            f"| T local[4] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
-            f"| T local[16] (4N) | {med_t16:.1f} s ({n_ev / med_t16:,.0f} seq/s) |\n"
-            f"| raw scaling efficiency (T_N/T_4N)/4 | **{med_eff:.3f}** |\n"
-            f"| host ceiling (min of median bw/cpu ceilings, same windows) | {med_ceiling:.3f} |\n"
-            f"| normalized efficiency (median raw / median ceiling) | **{agg_norm:.3f}** |\n"
-            f"| per-pair normalized, median (noisier: single-probe outliers) | {med_norm:.3f} |\n"
-            + (
-                f"| raw efficiency of the parallel fraction (excl. rollup "
-                f"barrier + publish tails, fixed per job) | {med_adj:.3f} |\n"
-                if med_adj else ""
-            )
-            + "\n"
-            "## Per-pair disclosure\n\n"
-            "Two per-window host probes: stream-copy bandwidth (GB/s) and\n"
-            "cache-resident md5 compute (core availability). Each yields a\n"
-            "4→16 scaling ceiling; the effective ceiling is their MIN — the\n"
-            "job cannot scale past whichever resource the host withheld in\n"
-            "that window.\n\n"
-            "| pair | T4 (s) | T16 (s) | raw eff | probe GB/s | bw ceil |"
-            " cpu ceil | eff. ceiling | normalized | GC4/GC16 (s) |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n"
-            + pair_rows
-            + control_table
-            + stage_table
-            + conclusion
-            + "\nMethodology. local[4] vs local[16] stands in for N vs 4N\n"
-            "executor clusters per the driver's two-parallelism-level\n"
-            "instruction; input, code, and configs are identical at both\n"
-            "levels. 4/16 rather than 8/32 because each mapInPandas slot\n"
-            "runs a JVM task thread plus a Python worker process; 32 slots\n"
-            "would oversubscribe the 32-core box. Each measured run is\n"
-            "warmed (tiny end-to-end pipeline first: JIT, codegen compile,\n"
-            "Python worker spawn — session-lifetime costs a long-lived\n"
-            "cluster amortizes). The sandbox is ONE VM: every core shares\n"
-            "one memory bus, and the steady-state stream-copy probe shows\n"
-            "aggregate bandwidth grows only ~2.9-4x from 4 to 16 workers\n"
-            "(ceiling 0.71-1.0 across surviving windows) — a hard ceiling\n"
-            "on any data-movement-bound job's strong scaling HERE,\n"
-            "and precisely the resource a real cluster scales per-node\n"
-            "(each executor brings its own memory controllers, disks, and\n"
-            "NICs). The normalized figure isolates what the engine adds on\n"
-            "top of hardware: plan-level serial points (driver-side\n"
-            "commits, job scheduling, unbalanced stages). The plan itself\n"
-            "has one fact shuffle (pre-explode write clustering),\n"
-            "broadcast-only joins, and map-side partial aggregation —\n"
-            "nothing that grows with cluster size — so\n"
-            "per-node-bandwidth-constant cluster scaling is the expected\n"
-            "behavior at N→4N executors. Round-2 history (best-window\n"
-            "methodology, superseded) is preserved in\n"
-            "BENCH/scaling_history.jsonl.\n"
+    pin_note = (
+        " Every leg and probe is CPU-pinned (taskset) to exactly its core\n"
+        "count — the N-core-executor model.\n"
+        if pinned
+        else " Legs are UNPINNED (historical regime): the low leg's helper\n"
+        "threads spill onto idle cores, so raw efficiency here\n"
+        "understates the engine — see the pinned section.\n"
+    )
+    section = (
+        f"## Regime: local[{lo}] → local[{hi}]"
+        + (" (CPU-pinned — headline)" if pinned else " (unpinned, historical)")
+        + "\n\n"
+        f"Campaign: {len(timed)} stable interleaved local[{lo}]/local[{hi}]\n"
+        "pairs, each pair back-to-back inside one host window bracketed\n"
+        "by bandwidth + cpu probes on BOTH sides; a pair whose host\n"
+        "availability shifted >±45% across the measurement (noisy\n"
+        "neighbors arriving mid-pair) is auto-discarded and retried —\n"
+        f"{n_discarded} discarded this campaign, all preserved in\n"
+        "BENCH/scaling_pairs.jsonl. A burst living entirely inside one\n"
+        "leg slips the probes, so pairs with a leg >35% above the\n"
+        "campaign's fastest observation of that leg are rejected as\n"
+        f"outliers at report time ({n_outliers} rejected; contamination\n"
+        "only ever slows a leg, so the minimum is the cleanest\n"
+        "observation). All figures are MEDIANS across the surviving\n"
+        "pairs (no window selection), plus full per-pair disclosure.\n"
+        + pin_note + "\n"
+        "| metric | median |\n|---|---|\n"
+        f"| T local[{lo}] (N) | {med_t4:.1f} s ({n_ev / med_t4:,.0f} seq/s) |\n"
+        f"| T local[{hi}] (4N) | {med_t16:.1f} s ({n_ev / med_t16:,.0f} seq/s) |\n"
+        f"| raw scaling efficiency (T_N/T_4N)/4 | **{med_eff:.3f}** |\n"
+        f"| host ceiling (min of median bw/cpu ceilings, same windows) | {med_ceiling:.3f} |\n"
+        f"| normalized efficiency (median raw / median ceiling) | **{agg_norm:.3f}** |\n"
+        f"| per-pair normalized, median (noisier: single-probe outliers) | {med_norm:.3f} |\n"
+        + (
+            f"| raw efficiency of the parallel fraction (excl. rollup "
+            f"barrier + publish tails, fixed per job) | {med_adj:.3f} |\n"
+            if med_adj else ""
         )
-    print(json.dumps({
+        + "\n"
+        "### Per-pair disclosure\n\n"
+        "Two per-window host probes: stream-copy bandwidth (GB/s) and\n"
+        "cache-resident md5 compute (core availability). Each yields a\n"
+        f"{lo}→{hi} scaling ceiling; the effective ceiling is their MIN —\n"
+        "the job cannot scale past whichever resource the host withheld\n"
+        "in that window.\n\n"
+        f"| pair | T{lo} (s) | T{hi} (s) | raw eff | probe GB/s | bw ceil |"
+        " cpu ceil | eff. ceiling | normalized | GC lo/hi (s) |\n"
+        "|---|---|---|---|---|---|---|---|---|---|\n"
+        + pair_rows
+        + control_table
+        + stage_table
+        + conclusion
+    )
+    summary = {
         "scaling_efficiency_median": round(med_eff, 3),
         "host_ceiling_median": round(med_ceiling, 3),
         "scaling_efficiency_normalized": round(agg_norm, 3),
@@ -779,7 +891,10 @@ def scaling_report() -> None:
         "pairs": len(timed),
         "outliers_rejected": n_outliers,
         "pairs_discarded": n_discarded,
-    }))
+        "levels": [lo, hi],
+        "pinned": pinned,
+    }
+    return section, summary
 
 
 def main() -> None:
@@ -807,10 +922,19 @@ def main() -> None:
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-timer warmup pipeline (cold-start "
                          "measurement)")
+    ap.add_argument("--levels", type=int, nargs=2, default=(4, 16),
+                    metavar=("N", "4N"),
+                    help="core counts for the two scaling legs (must be "
+                         "N and 4N)")
+    ap.add_argument("--pin", action="store_true",
+                    help="CPU-pin every leg and probe to exactly its core "
+                         "count (taskset/sched_setaffinity) — the faithful "
+                         "N-core-executor model")
     args = ap.parse_args()
 
     if args.scaling:
-        scaling_run(pairs=args.pairs, campaign_id=args.campaign_id)
+        scaling_run(pairs=args.pairs, campaign_id=args.campaign_id,
+                    levels=tuple(args.levels), pin=args.pin)
         return
     if args.report_only:
         scaling_report()
