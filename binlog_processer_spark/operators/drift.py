@@ -24,7 +24,7 @@ on that bounded aggregate, so the cost is identical at sf0.01 and at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 32
@@ -60,27 +60,44 @@ def distribution_drift(
     zero-count terms contributing zero. Bounded by ln 2 ≈ 0.693147
     (693147 ppm) when s shares no bucket with the rest.
     """
-    hist = token_length_histogram(df, n_buckets, width)
-    by_src = hist.groupBy("source").agg(F.sum("cnt").alias("n_s"))
-    by_bkt = hist.groupBy("bucket").agg(F.sum("cnt").alias("g_b"))
-    total = by_src.agg(F.sum("n_s").alias("n_total"))
+    # ONE fact aggregate: with a fixed bucket count the dense histogram is
+    # n_buckets conditional counters per source (wide-agg pivot), so no
+    # grid join is needed at all. The earlier hist→margins→grid formulation
+    # was 3 joins over the same `hist` subtree — and Spark performs no
+    # common-subtree elimination across join branches, so the physical
+    # plan re-aggregated the FACT relation four times. This shape is
+    # pinned by tests/test_plan_quality.py::test_drift_single_fact_aggregate.
+    b = _bucket(n_buckets, width)
+    cnts = df.groupBy("source").agg(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{i}")
+            for i in range(n_buckets)
+        ]
+    )
+    # global per-bucket totals + grand total via ONE empty-frame window
+    # over the bounded (≤ sources rows) aggregate — a single tiny
+    # single-partition exchange, never the fact
+    w = Window.partitionBy()
+    g = cnts.select(
+        "source",
+        *[F.col(f"c{i}") for i in range(n_buckets)],
+        *[F.sum(f"c{i}").over(w).alias(f"g{i}") for i in range(n_buckets)],
+    )
+    n_s = sum(F.col(f"c{i}") for i in range(n_buckets))
+    n_total = sum(F.col(f"g{i}") for i in range(n_buckets))
 
-    # dense (source × bucket) grid: buckets a source never hit still feed
-    # the q-side sum (q·ln 2 where p = 0) — all inputs here are already
-    # aggregate-tiny, so the cross join is sources × buckets rows
-    grid = (
-        by_src.crossJoin(F.broadcast(by_bkt))
-        .join(F.broadcast(hist), ["source", "bucket"], "left")
-        .crossJoin(F.broadcast(total))
-        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
-    )
-    p = F.col("cnt") / F.col("n_s")
-    q = (F.col("g_b") - F.col("cnt")) / (F.col("n_total") - F.col("n_s"))
-    term = 0.5 * (
-        F.when(p > 0, p * F.log(2 * p / (p + q))).otherwise(F.lit(0.0))
-        + F.when(q > 0, q * F.log(2 * q / (p + q))).otherwise(F.lit(0.0))
-    )
-    return (
-        grid.groupBy("source")
-        .agg(F.round(F.sum(term) * 1_000_000).cast("bigint").alias("jsd_ppm"))
+    def term(i: int) -> F.Column:
+        p = F.col(f"c{i}") / n_s
+        q = (F.col(f"g{i}") - F.col(f"c{i}")) / (n_total - n_s)
+        return 0.5 * (
+            F.when(p > 0, p * F.log(2 * p / (p + q))).otherwise(F.lit(0.0))
+            + F.when(q > 0, q * F.log(2 * q / (p + q))).otherwise(F.lit(0.0))
+        )
+
+    jsd = sum(term(i) for i in range(n_buckets))
+    return g.select(
+        "source",
+        F.round(jsd * 1_000_000).cast("bigint").alias("jsd_ppm"),
     )

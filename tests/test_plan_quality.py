@@ -123,3 +123,29 @@ def test_parquet_filter_pushdown(spark, sf_dir):
     )
     plan = _plan(df)
     assert "GreaterThan(event_id,100)" in plan, plan
+
+
+def test_heavy_hitter_candidate_pass_has_no_shuffle(spark):
+    # the Misra-Gries candidate stage must scan -> mapInArrow with no
+    # Exchange: its whole point is pruning the explode+aggregate shuffle
+    from binlog_processer_spark.operators.tokens import _mg_candidates
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3])], "source string, tokens array<int>"
+    )
+    cand = df.select("tokens").mapInArrow(_mg_candidates(64), "token int")
+    plan = _plan(cand)
+    assert "Exchange" not in plan, plan
+
+
+def test_drift_single_fact_aggregate(spark):
+    # everything after the first groupBy operates on the bounded
+    # histogram; the fact relation must be aggregated exactly once
+    from binlog_processer_spark.operators.drift import distribution_drift
+
+    df = spark.createDataFrame(
+        [("a", 4), ("b", 8)], "source string, n_tok int"
+    )
+    plan = _plan(distribution_drift(df))
+    assert plan.count("Scan ExistingRDD") <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
