@@ -568,6 +568,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_stats"] = vocab_stats
 
+    def doc_idf_score(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import (
+            doc_idf_score as dis,
+        )
+
+        return dis(_kept(spark, sf_dir))
+
+    q["doc_idf_score"] = doc_idf_score
+
     # --- A6 HAVING + GROUP_CONCAT report ---
     def partitions_report(spark, sf_dir):
         return agg.grouped_partitions_report(
@@ -1174,6 +1183,19 @@ grid AS (
         " FROM (SELECT unnest(list_distinct(tokens)) AS token FROM kept)"
         " GROUP BY token)"
         " WHERE df_cnt * 1000000 >= 100000 * n_rows",
+        _X_ENRICHED,
+    )
+    o["doc_idf_score"] = _oracle_full(
+        "SELECT source, doc_id,"
+        " cast(round(sum(ln(cast(n_rows AS double) / df_cnt)) * 1000)"
+        "      AS bigint) AS idf_mc"
+        " FROM (SELECT DISTINCT source, doc_id,"
+        "              unnest(list_distinct(tokens)) AS token FROM kept) e"
+        " JOIN (SELECT token, cast(count(*) AS bigint) AS df_cnt"
+        "       FROM (SELECT unnest(list_distinct(tokens)) AS token"
+        "             FROM kept) GROUP BY token) d USING (token)"
+        " CROSS JOIN (SELECT count(*) AS n_rows FROM kept) t"
+        " GROUP BY source, doc_id",
         _X_ENRICHED,
     )
     o["vocab_stats"] = _oracle_full(

@@ -189,6 +189,57 @@ def token_doc_frequency(
     )
 
 
+def doc_idf_score(
+    kept: DataFrame,
+    df_table: DataFrame | None = None,
+    n_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document rare-token density: sum of IDF = ln(N / df) over the
+    document's DISTINCT tokens, published in milli-nats (bigint). High
+    scores flag documents dominated by rare tokens (misparsed payloads,
+    unusual boilerplate) — the token-level complement of the text quality
+    scores in functions/text.py.
+
+    IDF is inherently two-pass (the weights are a corpus statistic);
+    callers that already materialized ``token_doc_frequency`` and the row
+    count pass them in — the same precomputed-input pattern as
+    ``reconcile``/``repair`` accept ``fs`` — otherwise both are derived
+    here. The df table is vocabulary-bounded, so the join side is
+    broadcast; the per-doc aggregate shuffles (source, doc_id, token)
+    triples AFTER per-row array_distinct + global distinct dedup.
+    """
+    if df_table is None:
+        df_table = token_doc_frequency(kept, min_df_ppm=0)
+    if n_rows is None:
+        n_rows = kept.agg(F.count("*").cast("bigint").alias("n_rows"))
+    triples = (
+        kept.select(
+            "source",
+            "doc_id",
+            F.explode(F.array_distinct("tokens")).alias("token"),
+        )
+        # a document routed several times (CDC copies) must score once
+        .distinct()
+    )
+    return (
+        triples.join(F.broadcast(df_table), "token")
+        .crossJoin(F.broadcast(n_rows))
+        .groupBy("source", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.col("n_rows").cast("double") / F.col("df_cnt")
+                    )
+                )
+                * 1000
+            )
+            .cast("bigint")
+            .alias("idf_mc")
+        )
+    )
+
+
 def vocab_stats(kept: DataFrame) -> DataFrame:
     """Per-source vocabulary report: rows, total token occurrences,
     exact distinct token ids.

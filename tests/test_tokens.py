@@ -73,3 +73,26 @@ def test_heavy_hitters_plan_broadcasts_candidates(spark):
     df = _df(spark, [("a", [1, 2, 3])])
     plan = heavy_hitters(df, 10_000)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_doc_idf_score(spark):
+    import math
+
+    # 4 rows: token 1 in all (idf=0), token 9 in one (idf=ln 4); the
+    # duplicated doc (CDC copies) must score once
+    rows = [("a", "d1", [1, 9, 9]), ("a", "d1", [1, 9, 9]),
+            ("a", "d2", [1]), ("a", "d3", [1]), ("b", "d4", [1])]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>"
+    )
+    from binlog_processer_spark.operators.tokens import doc_idf_score
+
+    got = {(r.source, r.doc_id): r.idf_mc for r in doc_idf_score(df).collect()}
+    ln = lambda x: round(math.log(x) * 1000)
+    # N=5 rows; df: token1=5, token9=2
+    assert got == {
+        ("a", "d1"): ln(5 / 5) + ln(5 / 2),
+        ("a", "d2"): ln(5 / 5),
+        ("a", "d3"): ln(5 / 5),
+        ("b", "d4"): ln(5 / 5),
+    }
