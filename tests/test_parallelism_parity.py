@@ -1,0 +1,96 @@
+"""N vs 4N parity: identical results at two cluster sizes.
+
+BASELINE.json's north rule validates the pipeline "at cluster sizes N
+and 4N executors"; the sandbox stand-in is SPARK_GRAFT_CPUS=2 vs 8
+(local[2]/local[8], the same levels the scaling campaign measures).
+Beyond evidencing the rule, this pins a real invariant: nothing in the
+engine — salted repartition, AQE coalescing, per-partition Misra-Gries,
+mapInPandas batch boundaries — may let PARALLELISM leak into RESULTS.
+Every row (token arrays included) and every sink count must be
+bit-identical across levels.
+
+Runs the real spark-submit surface (jobs/run_pipeline.py) in
+subprocesses — separate JVMs, so the two levels can't share a session —
+and compares the written warehouses with DuckDB.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_pipeline(cpus: int, out_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+         "--generate", "4000", "--output", out_dir],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _data_dirs(root: str) -> list[str]:
+    snap = json.load(open(os.path.join(root, "_current")))["snapshot"]
+    man = json.load(
+        open(os.path.join(root, f"snap-{snap}", "manifest.json"))
+    )
+    # data_dirs are recorded relative to the table root
+    return [os.path.join(root, d) for d in man["data_dirs"]]
+
+
+def test_results_identical_at_n_and_4n(tmp_path):
+    m2 = _run_pipeline(2, str(tmp_path / "wh2"))
+    m8 = _run_pipeline(8, str(tmp_path / "wh8"))
+    assert m2["rows_routed"] == m8["rows_routed"] > 0
+    assert m2["rows_failed"] == m8["rows_failed"]
+
+    con = duckdb.connect()
+    con.execute("SET threads=4")
+    for level, wh in (("2", tmp_path / "wh2"), ("8", tmp_path / "wh8")):
+        globs = [f"'{d}/**/*.parquet'" for d in _data_dirs(str(wh / "routed"))]
+        con.execute(
+            f"CREATE VIEW routed{level} AS SELECT * FROM read_parquet("
+            f"[{', '.join(globs)}], hive_partitioning=1)"
+        )
+        counts = str(wh / "sink_counts")
+        cglobs = [f"'{d}/**/*.parquet'" for d in _data_dirs(counts)]
+        con.execute(
+            f"CREATE VIEW counts{level} AS SELECT * FROM read_parquet("
+            f"[{', '.join(cglobs)}], hive_partitioning=1)"
+        )
+
+    # routed rows: exact multiset equality including token arrays — the
+    # per-row invariant the reference asserts (routed-row equality)
+    digest = (
+        "SELECT md5(string_agg(h, '|' ORDER BY h)) FROM (SELECT md5("
+        " concat_ws(',', tree, database_name, table_name, doc_id,"
+        " cast(event_seq AS varchar), cast(part_date AS varchar), op,"
+        " array_to_string(list_transform(img_tokens, x -> cast(x AS varchar)), ';')"
+        ")) AS h FROM routed{l})"
+    )
+    n2 = con.execute("SELECT count(*) FROM routed2").fetchone()[0]
+    n8 = con.execute("SELECT count(*) FROM routed8").fetchone()[0]
+    assert n2 == n8 == m2["rows_routed"]
+    assert (
+        con.execute(digest.format(l=2)).fetchone()[0]
+        == con.execute(digest.format(l=8)).fetchone()[0]
+    )
+
+    # per-sink aggregate parity (the reference's per-sink count assertion)
+    cdig = (
+        "SELECT md5(string_agg(h, '|' ORDER BY h)) FROM (SELECT md5("
+        " concat_ws(',', database_name, table_name,"
+        " cast(insert_cnt AS varchar), cast(update_cnt AS varchar),"
+        " cast(delete_cnt AS varchar))) AS h FROM counts{l})"
+    )
+    assert (
+        con.execute(cdig.format(l=2)).fetchone()[0]
+        == con.execute(cdig.format(l=8)).fetchone()[0]
+    )
