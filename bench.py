@@ -579,7 +579,7 @@ def scaling_report() -> None:
         entries = groups[key]
         campaign = max(e["campaign"] for e in entries)
         run = [e for e in entries if e["campaign"] == campaign]
-        md, summ = _campaign_block(run, key[0], key[1])
+        md, summ = _campaign_block(run, key[0], key[1], key == order[0])
         if md:
             sections.append(md)
             summaries[f"local[{key[0][0]}]->local[{key[0][1]}]"
@@ -597,22 +597,25 @@ def scaling_report() -> None:
             "Job: read raw parquet → vectorized parse (mapInPandas) → broadcast\n"
             "enrich → route (filters, broadcast soft-delete, dual trees) →\n"
             "partitioned snapshot write → single-pass per-sink rollups + lineage.\n\n"
-            "Two regimes are reported. PINNED pairs run every leg (and every\n"
-            "probe) under a CPU affinity mask of exactly N cores — the\n"
-            "faithful model of an N-core executor, whose cgroup confines JVM\n"
-            "task threads, Python workers, GC and IO threads alike (unpinned\n"
-            "local[N] lets the low leg's helper threads spill onto the idle\n"
-            "cores of the 32-core box: measured local[2] 99 s unpinned vs\n"
-            "170 s pinned on the same corpus, which inflates T_N and\n"
-            "understates scaling). Pinned levels (2, 8) also keep BOTH legs\n"
-            "under the host's shared-memory-bus saturation point (~8-10\n"
-            "byte-moving workers; stream-copy probe 130 GB/s @4 workers →\n"
-            "only ~240-340 @16), so they isolate the ENGINE's N→4N scaling —\n"
-            "the regime a real cluster lives in, where every node brings its\n"
-            "own memory controllers. The unpinned local[4]/local[16] history\n"
-            "is retained below: its 16-way leg is bus-capped for ANY job\n"
-            "(the parse-less null control scales identically), so it names\n"
-            "the HOST ceiling, not engine loss.\n\n"
+            "A matrix of regimes is reported. PINNED pairs run every leg\n"
+            "(and every probe) under a CPU affinity mask of exactly N\n"
+            "cores — the faithful model of an N-core executor, whose cgroup\n"
+            "confines JVM task threads, Python workers, GC and IO threads\n"
+            "alike (unpinned local[N] lets the low leg's helper threads\n"
+            "spill onto the idle cores of the 32-core box: measured\n"
+            "local[2] 99 s unpinned vs 170 s pinned on the same corpus,\n"
+            "which inflates T_N and understates scaling). The HEADLINE is\n"
+            "pinned (2, 8): both legs stay under the host's shared-memory-\n"
+            "bus saturation point (~8-10 byte-moving workers; stream-copy\n"
+            "probe 130 GB/s @4 workers → only ~240-340 @16), so it isolates\n"
+            "the ENGINE's N→4N scaling — the regime a real cluster lives\n"
+            "in, where 4N means 4x the NODES and every node brings its own\n"
+            "memory controllers. The pinned (4, 16) section runs the SAME\n"
+            "methodology into the saturated regime: every job degrades\n"
+            "there (the pipeline still scales ABOVE the parse-less null\n"
+            "control), which shows the level choice names a host property,\n"
+            "not a cherry-pick. The unpinned local[4]/local[16] history is\n"
+            "retained last for continuity with earlier rounds.\n\n"
             + "\n".join(sections)
             + "\nMethodology. Two parallelism levels on one box stand in for\n"
             "N vs 4N executor clusters per the driver's instruction; input,\n"
@@ -638,7 +641,9 @@ def scaling_report() -> None:
     print(json.dumps({**headline, "groups": summaries}))
 
 
-def _campaign_block(run: list, levels: tuple, pinned: bool):
+def _campaign_block(
+    run: list, levels: tuple, pinned: bool, headline: bool = False
+):
     """Render one regime's latest campaign as a markdown section +
     summary dict. ``run`` is every jsonl row of that campaign."""
     lo, hi = levels
@@ -839,7 +844,11 @@ def _campaign_block(run: list, levels: tuple, pinned: bool):
     )
     section = (
         f"## Regime: local[{lo}] → local[{hi}]"
-        + (" (CPU-pinned — headline)" if pinned else " (unpinned, historical)")
+        + (
+            " (CPU-pinned — headline)"
+            if headline
+            else " (CPU-pinned)" if pinned else " (unpinned, historical)"
+        )
         + "\n\n"
         f"Campaign: {len(timed)} stable interleaved local[{lo}]/local[{hi}]\n"
         "pairs, each pair back-to-back inside one host window bracketed\n"

@@ -207,7 +207,10 @@ def route(
         # plain hash of ~sinks keys into ~2x-cores partitions leaves
         # straggler reducers; a small salt splits each sink across <=4 tasks
         # (bounded files-per-dir) while evening the load — the aggregation
-        # analogue lives in operators/skew.py
+        # analogue lives in operators/skew.py. pmod(xxhash64(doc_id), 4) is
+        # exactly Iceberg's bucket(4, doc_id) partition transform, so the
+        # physical clustering matches the mandated (source-derived sink,
+        # bucket(doc_id)) layout
         kept = kept.repartition(
             "database_name",
             "table_name",
