@@ -577,6 +577,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_idf_score"] = doc_idf_score
 
+    def text_repetition(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import repetition_stats
+
+        return repetition_stats(_kept(spark, sf_dir), n=3)
+
+    q["text_repetition"] = text_repetition
+
+    def dedup_token_spans(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import duplicated_spans
+
+        return duplicated_spans(_kept(spark, sf_dir), n=8, min_docs=2)
+
+    q["dedup_token_spans"] = dedup_token_spans
+
     # --- A6 HAVING + GROUP_CONCAT report ---
     def partitions_report(spark, sf_dir):
         return agg.grouped_partitions_report(
@@ -1207,6 +1221,33 @@ grid AS (
         " (SELECT source, cast(count(DISTINCT token) AS bigint) AS distinct_tok"
         "  FROM (SELECT source, unnest(tokens) AS token FROM kept)"
         "  GROUP BY source) b USING (source)",
+        _X_ENRICHED,
+    )
+    # within-document duplicate-3-gram fraction (Gopher repetition filter);
+    # grams rendered as '-'-joined decimal strings in both engines
+    o["text_repetition"] = _oracle_full(
+        "SELECT source, doc_id, event_seq, n_grams, n_distinct,"
+        " CASE WHEN n_grams = 0 THEN 0"
+        "      ELSE cast(round((n_grams - n_distinct) * 1000000.0 / n_grams)"
+        "           AS bigint) END AS dup_ppm"
+        " FROM ("
+        "  SELECT source, doc_id, event_seq,"
+        "         cast(greatest(len(tokens) - 2, 0) AS bigint) AS n_grams,"
+        "         cast(len(list_distinct(list_transform("
+        "              range(1, greatest(len(tokens) - 1, 1)),"
+        "              i -> array_to_string(tokens[i:i+2], '-'))))"
+        "              AS bigint) AS n_distinct"
+        "  FROM kept)",
+        _X_ENRICHED,
+    )
+    # cross-document duplicated 8-token spans (ExactSubstr candidate pass)
+    o["dedup_token_spans"] = _oracle_full(
+        "SELECT gram_md5, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,"
+        " cast(count(*) AS bigint) AS n_occ"
+        " FROM ("
+        "  SELECT doc_id, md5(array_to_string(tokens[i:i+7], '-')) AS gram_md5"
+        "  FROM kept, LATERAL (SELECT unnest(range(1, len(tokens) - 6)) AS i) g)"
+        " GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2",
         _X_ENRICHED,
     )
     o["windowed_histogram"] = _oracle_full(

@@ -247,6 +247,113 @@ def doc_idf_score(
     )
 
 
+def _gram_strings(n: int, stride: int = 1) -> F.Column:
+    """Array of the row's token ``n``-grams, each rendered as the
+    ``'-'``-joined decimal token string (identical text in Spark and
+    DuckDB, so digests agree bit-for-bit across engines).
+
+    ``sequence(1, stop)`` DESCENDS when ``stop < 1`` in Spark, so rows
+    shorter than ``n`` tokens are guarded to an empty array explicitly.
+    """
+    stop = F.size("tokens") - F.lit(n - 1)
+    seq = F.sequence(F.lit(1), stop, F.lit(stride))
+    grams = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("tokens"), i, n).cast("array<string>"), "-"
+        ),
+    )
+    return F.when(stop >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(kept: DataFrame, n: int = 3) -> DataFrame:
+    """Per-event duplicate-``n``-gram fraction — the Gopher-style
+    within-document repetition filter (Rae et al. 2021 §A1.1 use the
+    fraction of duplicated n-grams to drop boilerplate/spam documents).
+
+    Output: one row per routed event ``(source, doc_id, event_seq)`` with
+    the gram count, distinct-gram count, and the duplicate fraction in
+    ppm (bigint — float columns don't survive the driver's value-hash
+    gate). Downstream a training mix consumes this as a filter predicate
+    (``dup_ppm < threshold``), never as a collected report.
+
+    Scale posture: the entire statistic is ONE per-row codegen projection
+    — the gram array, ``array_distinct``, and the ratio all evaluate
+    inside the row, so there is no explode, no shuffle, and no state;
+    cost is linear in bytes scanned at any corpus size.
+    """
+    grams = _gram_strings(n)
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return kept.select(
+        "source",
+        "doc_id",
+        "event_seq",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_grams == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.round((n_grams - n_distinct) * 1_000_000 / n_grams).cast(
+                "bigint"
+            )
+        )
+        .alias("dup_ppm"),
+    )
+
+
+def duplicated_spans(
+    kept: DataFrame, n: int = 8, min_docs: int = 2, stride: int = 1
+) -> DataFrame:
+    """Cross-document duplicated token spans: every ``n``-gram of the
+    token stream that occurs in at least ``min_docs`` distinct documents,
+    with its document reach and total occurrence count.
+
+    This is the Spark-native stand-in for suffix-array substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — their ExactSubstr pass): a rolling window
+    of ``n``-token grams is digested per position, and grams shared
+    across documents mark the duplicated spans that doc-level MinHash /
+    SimHash (operators/dedup.py) cannot see because the containing
+    documents differ elsewhere.
+
+    Plan: per-row gram digests (codegen) → explode → TWO-LEVEL exact
+    aggregate — ``(gram, doc)`` first, then ``gram``. The explicit
+    two-level shape replaces ``count_distinct(doc_id)``, whose
+    single-level plan Spark executes via an Expand (×2 the exploded
+    stream); here level 1 gets full map-side combine (within-document
+    repeats collapse before the wire) and level 2 shuffles only the
+    already-bounded ``(gram, doc)`` pairs.
+
+    Scale posture: the exploded stream is ~sum(n_tok)/stride rows of
+    (16-byte digest, doc id) — the same asymptotic cost every published
+    substring-dedup pipeline pays for its candidate pass. At 10^12
+    sequences set ``stride > 1`` (sample every stride-th position): any
+    duplicated span of length >= n + stride - 1 still collides on at
+    least one sampled gram, so candidates are recalled with a bounded
+    factor-stride cost cut, to be confirmed by an exact pass over the
+    flagged documents only.
+    """
+    pairs = (
+        kept.select(
+            F.col("doc_id"),
+            F.explode(_gram_strings(n, stride)).alias("gram"),
+        )
+        .select(F.md5("gram").alias("gram_md5"), "doc_id")
+        .groupBy("gram_md5", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    return (
+        pairs.groupBy("gram_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def vocab_stats(kept: DataFrame) -> DataFrame:
     """Per-source vocabulary report: rows, total token occurrences,
     exact distinct token ids.

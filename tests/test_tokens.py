@@ -96,3 +96,62 @@ def test_doc_idf_score(spark):
         ("a", "d3"): ln(5 / 5),
         ("b", "d4"): ln(5 / 5),
     }
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id string, event_seq long, tokens array<int>"
+    )
+
+
+def test_repetition_stats(spark):
+    from binlog_processer_spark.operators.tokens import repetition_stats
+
+    df = _tdf(spark, [
+        ("a", "d1", 1, [1, 2, 3, 1, 2, 3, 9]),  # 5 grams, 4 distinct
+        ("a", "d2", 2, [1, 2, 3, 4]),           # 2 grams, 2 distinct
+        ("a", "d3", 3, [7, 8]),                 # shorter than n: 0 grams
+        ("a", "d4", 4, []),                     # empty
+    ])
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.dup_ppm)
+           for r in repetition_stats(df, n=3).collect()}
+    assert got == {"d1": (5, 4, 200000), "d2": (2, 2, 0),
+                   "d3": (0, 0, 0), "d4": (0, 0, 0)}
+
+
+def test_duplicated_spans_counts_and_stride(spark):
+    from binlog_processer_spark.operators.tokens import duplicated_spans
+
+    df = _tdf(spark, [
+        ("a", "d1", 1, [1, 2, 3, 1, 2, 3]),  # gram 1-2-3 twice in d1
+        ("a", "d2", 2, [1, 2, 3, 4]),        # and once in d2
+        ("a", "d3", 3, [9, 9, 9]),           # unique to d3 -> filtered
+    ])
+    rows = duplicated_spans(df, n=3, min_docs=2).collect()
+    assert len(rows) == 1 and (rows[0].n_docs, rows[0].n_occ) == (2, 3)
+    # stride=2 samples positions 1,3,...: d1 keeps the position-1 copy,
+    # d2 keeps its only copy -> still detected, occ drops to 2
+    rows = duplicated_spans(df, n=3, min_docs=2, stride=2).collect()
+    assert len(rows) == 1 and (rows[0].n_docs, rows[0].n_occ) == (2, 2)
+
+
+def test_repetition_stats_is_pure_projection(spark):
+    # the whole statistic must evaluate per-row: no Exchange anywhere
+    from binlog_processer_spark.operators.tokens import repetition_stats
+
+    df = _tdf(spark, [("a", "d1", 1, [1, 2, 3])])
+    plan = (repetition_stats(df, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_duplicated_spans_two_level_agg_no_expand(spark):
+    # count_distinct would plan an Expand (x2 the exploded stream); the
+    # explicit (gram, doc) -> gram two-level aggregate must not
+    from binlog_processer_spark.operators.tokens import duplicated_spans
+
+    df = _tdf(spark, [("a", "d1", 1, [1, 2, 3])])
+    plan = (duplicated_spans(df, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
