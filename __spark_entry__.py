@@ -591,6 +591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_token_spans"] = dedup_token_spans
 
+    def dedup_span_coverage(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import span_coverage
+
+        return span_coverage(_kept(spark, sf_dir), n=8, min_docs=2)
+
+    q["dedup_span_coverage"] = dedup_span_coverage
+
     # --- A6 HAVING + GROUP_CONCAT report ---
     def partitions_report(spark, sf_dir):
         return agg.grouped_partitions_report(
@@ -1248,6 +1255,38 @@ grid AS (
         "  SELECT doc_id, md5(array_to_string(tokens[i:i+7], '-')) AS gram_md5"
         "  FROM kept, LATERAL (SELECT unnest(range(1, len(tokens) - 6)) AS i) g)"
         " GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2",
+        _X_ENRICHED,
+    )
+    # ExactSubstr resolution pass: per-event token positions covered by a
+    # cross-document duplicated 8-gram (union of overlapping spans)
+    o["dedup_span_coverage"] = _oracle_full(
+        "SELECT k.source, k.doc_id, k.event_seq,"
+        " cast(len(k.tokens) AS bigint) AS n_tok,"
+        " cast(coalesce(a.covered, 0) AS bigint) AS covered_tok,"
+        " cast(round(coalesce(a.covered, 0) * 1000000.0"
+        "      / greatest(len(k.tokens), 1)) AS bigint) AS coverage_ppm"
+        " FROM kept k LEFT JOIN ("
+        "  SELECT source, doc_id, event_seq, sum(cov) AS covered"
+        "  FROM ("
+        "   SELECT source, doc_id, event_seq, i,"
+        "          least(8, coalesce(lead(i) OVER ("
+        "            PARTITION BY source, doc_id, event_seq ORDER BY i)"
+        "            - i, 8)) AS cov"
+        "   FROM ("
+        "    SELECT source, doc_id, event_seq, i,"
+        "           md5(array_to_string(tokens[i:i+7], '-')) AS gram_md5"
+        "    FROM kept, LATERAL (SELECT unnest(range(1, len(tokens) - 6))"
+        "                        AS i) g) p"
+        "   JOIN ("
+        "    SELECT gram_md5 FROM ("
+        "     SELECT md5(array_to_string(tokens[i:i+7], '-')) AS gram_md5,"
+        "            doc_id"
+        "     FROM kept, LATERAL (SELECT unnest(range(1, len(tokens) - 6))"
+        "                         AS i) g"
+        "     GROUP BY 1, 2)"
+        "    GROUP BY gram_md5 HAVING count(*) >= 2) f USING (gram_md5))"
+        "  GROUP BY 1, 2, 3) a"
+        " USING (source, doc_id, event_seq)",
         _X_ENRICHED,
     )
     o["windowed_histogram"] = _oracle_full(

@@ -42,7 +42,7 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -351,6 +351,101 @@ def duplicated_spans(
             F.sum("occ").cast("bigint").alias("n_occ"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_coverage(
+    kept: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """Resolution pass of exact-substring deduplication: for every routed
+    event, the number of token positions covered by an ``n``-gram that
+    also occurs in at least ``min_docs`` distinct documents, plus that
+    count as a ppm fraction of the row's length.
+
+    ``duplicated_spans`` is the candidate pass (WHICH spans are shared);
+    this is the decision pass (HOW MUCH of each document those spans
+    cover) — Lee et al. 2022 drop or trim documents once duplicated
+    coverage crosses a threshold, and a training mix consumes this
+    output the same way (``coverage_ppm > threshold`` ⇒ trim/drop).
+
+    Pass a precomputed ``flagged`` frame (one ``gram_md5`` column, e.g.
+    ``duplicated_spans(...).select("gram_md5")``) to reuse an existing
+    candidate set; by default the candidate set is derived here from the
+    same exploded relation (persisted once, never exploded twice).
+
+    Coverage is the measure of the UNION of the flagged intervals
+    ``[i, i+n-1]``: per document, flagged start positions are sorted and
+    each contributes ``min(n, next_start - start)`` — overlapping spans
+    are not double-counted, so ``covered_tok <= n_tok`` always.
+
+    Scale posture: one explode (the candidate-pass cost every substring
+    dedup pays), map-side-combined two-level aggregate for the flagged
+    set, a semi join on the 16-byte digest, and a per-document window
+    over FLAGGED positions only (duplicated text is the minority of a
+    real corpus, so the window input is far smaller than the explode).
+    The final join back to ``kept`` keys on the event grain — at 10^12
+    rows both sides are hash-partitioned on the same key, no broadcast
+    needed and none attempted.
+    """
+    from binlog_processer_spark.operators._cache import pin
+
+    grain = ["source", "doc_id", "event_seq"]
+    pos = kept.select(
+        *grain, F.posexplode(_gram_strings(n)).alias("j", "gram")
+    ).select(
+        *grain,
+        (F.col("j") + 1).alias("i"),
+        F.md5("gram").alias("gram_md5"),
+    )
+    if flagged is None:
+        # pos feeds both the candidate derivation and the hits join —
+        # pin it so the explode runs once (unpin_all() releases it)
+        pos = pin(pos)
+        flagged = (
+            pos.groupBy("gram_md5", "doc_id")
+            .agg(F.count("*").alias("occ"))
+            .groupBy("gram_md5")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("gram_md5")
+        )
+    else:
+        flagged = flagged.select("gram_md5")
+
+    w = Window.partitionBy(*grain).orderBy("i")
+    covered = (
+        pos.join(flagged, "gram_md5", "left_semi")
+        .withColumn(
+            "cov",
+            F.least(
+                F.lit(n),
+                F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(n)),
+            ),
+        )
+        .groupBy(*grain)
+        .agg(F.sum("cov").cast("bigint").alias("covered_tok"))
+    )
+    n_tok = F.size("tokens").cast("bigint")
+    return (
+        kept.select(*grain, n_tok.alias("n_tok"))
+        .join(covered, grain, "left")
+        .select(
+            *grain,
+            "n_tok",
+            F.coalesce("covered_tok", F.lit(0)).cast("bigint").alias(
+                "covered_tok"
+            ),
+            F.round(
+                F.coalesce("covered_tok", F.lit(0))
+                * 1_000_000
+                / F.greatest(F.col("n_tok"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
     )
 
 

@@ -135,6 +135,44 @@ def test_duplicated_spans_counts_and_stride(spark):
     assert len(rows) == 1 and (rows[0].n_docs, rows[0].n_occ) == (2, 2)
 
 
+def test_span_coverage_union_of_overlaps(spark):
+    from binlog_processer_spark.operators.tokens import span_coverage
+
+    df = _tdf(spark, [
+        # d1: flagged starts 1, 2, 4 (1-2-3 twice, 2-3-1 once) -> the
+        # overlapping intervals [1,3],[2,4],[4,6] union to 6, not 3+3+3
+        ("a", "d1", 1, [1, 2, 3, 1, 2, 3]),
+        ("a", "d2", 2, [9, 1, 2, 3, 1]),   # shares 1-2-3 (pos 2), 2-3-1 (pos 3)
+        ("a", "d3", 3, [7, 7, 7, 7]),      # nothing shared
+        ("a", "d4", 4, [5]),               # shorter than n
+    ])
+    got = {r.doc_id: (r.n_tok, r.covered_tok, r.coverage_ppm)
+           for r in span_coverage(df, n=3, min_docs=2).collect()}
+    # d1 flagged starts: 1 (1-2-3), 2 (2-3-1), 4 (1-2-3) ->
+    # min(3,2-1)+min(3,4-2)+3 = 1+2+3 = 6 of 6
+    assert got["d1"] == (6, 6, 1000000)
+    # d2 flagged starts: 2, 3 -> 1+3 = 4 of 5
+    assert got["d2"] == (5, 4, 800000)
+    assert got["d3"] == (4, 0, 0)
+    assert got["d4"] == (1, 0, 0)
+
+
+def test_span_coverage_accepts_precomputed_flagged(spark):
+    from binlog_processer_spark.operators.tokens import (
+        duplicated_spans,
+        span_coverage,
+    )
+
+    df = _tdf(spark, [
+        ("a", "d1", 1, [1, 2, 3, 4]),
+        ("a", "d2", 2, [1, 2, 3, 9]),
+    ])
+    flagged = duplicated_spans(df, n=3, min_docs=2).select("gram_md5")
+    got = {r.doc_id: r.covered_tok
+           for r in span_coverage(df, n=3, flagged=flagged).collect()}
+    assert got == {"d1": 3, "d2": 3}
+
+
 def test_repetition_stats_is_pure_projection(spark):
     # the whole statistic must evaluate per-row: no Exchange anywhere
     from binlog_processer_spark.operators.tokens import repetition_stats
