@@ -982,6 +982,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_windowed_histogram"] = streaming_windowed_histogram
 
+    def streaming_dedup_ingest(spark, sf_dir):
+        """At-least-once delivery: one whole binlog segment (every
+        file_id ending '-f2') is re-delivered as a second raw file;
+        dropDuplicatesWithinWatermark on the event identity must make
+        the per-source totals replay-invariant (oracle = corpus with no
+        replay)."""
+        from binlog_processer_spark.functions.parse import parse_raw as pr
+        from binlog_processer_spark.streaming.dedup import (
+            dedup_ingest_stream,
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="blp_stream_dedup_")
+        c = _corpus(spark, sf_dir)
+        c.select(serialize_expr().alias("raw")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d + "/raw")
+        c.filter(F.col("file_id").endswith("-f2")).select(
+            serialize_expr().alias("raw")
+        ).coalesce(1).write.mode("append").parquet(d + "/raw")
+
+        raw = spark.readStream.schema("raw string").parquet(d + "/raw")
+        good = pr(raw).filter(F.col("status") == "OK")
+        sq = (
+            dedup_ingest_stream(good)
+            .writeStream.format("memory")
+            .queryName("q_dedup_ingest")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table("q_dedup_ingest").groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_seq").cast("bigint").alias("sum_seq"),
+        )
+
+    q["streaming_dedup_ingest"] = streaming_dedup_ingest
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -1754,6 +1793,13 @@ grid AS (
         " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint) AS update_cnt,"
         " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint) AS delete_cnt,"
         " max(commit_ts) AS max_commit_ts FROM corpus GROUP BY 1"
+    )
+    # replay-invariance: the oracle sees the corpus exactly once; the Spark
+    # side must erase the re-delivered segment to match
+    o["streaming_dedup_ingest"] = _oracle_full(
+        "SELECT source, cast(count(*) AS bigint) AS n_events,"
+        " cast(sum(event_seq) AS bigint) AS sum_seq"
+        " FROM corpus GROUP BY source"
     )
     # multimodal features: the payload is utf-8 text bytes and the driver's
     # documents.text is pure ASCII at every sf (verified octet_length ==
