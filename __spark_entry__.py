@@ -825,6 +825,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_contamination"] = mix_contamination
 
+    def mix_quality_budget(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import quality_token_budget
+
+        return quality_token_budget(_docs(spark, sf_dir), bin_bp=2500)
+
+    q["mix_quality_budget"] = mix_quality_budget
+
     q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
     q["dedup_minhash_sigs"] = lambda s, d: minhash_signatures(_docs(s, d), k=4)
     q["dedup_minhash_pairs"] = lambda s, d: minhash_lsh_pairs(
@@ -1751,6 +1758,20 @@ grid AS (
         f" + (CASE WHEN ({_mwl_bp}) BETWEEN 30000 AND 80000 THEN 3000 ELSE 0 END)"
         f" + (CASE WHEN ({_stop_bp}) > 0 THEN 3000 ELSE 0 END) AS bigint)"
         " AS quality_bp FROM documents"
+    )
+    # curriculum report: same composite score + BPE-ish counter, binned
+    o["mix_quality_budget"] = (
+        "SELECT source, cast(floor(qbp / 2500) AS int) AS quality_bin,"
+        " cast(count(*) AS bigint) AS n_docs,"
+        " cast(sum(bpe) AS bigint) AS tok_budget"
+        " FROM ("
+        f"  SELECT source,"
+        f"  (cast((CASE WHEN ({_nw}) BETWEEN 10 AND 1000 THEN 4000 ELSE 0 END)"
+        f"   + (CASE WHEN ({_mwl_bp}) BETWEEN 30000 AND 80000 THEN 3000 ELSE 0 END)"
+        f"   + (CASE WHEN ({_stop_bp}) > 0 THEN 3000 ELSE 0 END) AS bigint)) AS qbp,"
+        f"  cast(len(regexp_extract_all(coalesce(text, ''), '{_bpe}')) AS int) AS bpe"
+        "  FROM documents)"
+        " GROUP BY 1, 2"
     )
     _pred = (
         f"CASE WHEN ({_stop_bp}) >= 800 THEN 'en'"

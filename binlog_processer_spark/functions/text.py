@@ -50,27 +50,43 @@ def stopword_ratio_bp() -> Column:
     )
 
 
+_N_WORDS = f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
+_MEAN_WLEN_BP = (
+    f"CASE WHEN ({_N_WORDS}) = 0 THEN 0 ELSE "
+    f"cast(floor(length(array_join({WORDS}, '')) * 10000 / ({_N_WORDS})) as bigint) END"
+)
+
+
+def bpe_tokens_col() -> Column:
+    """BPE-ish token count of ``text`` as a reusable Column (the
+    pre-tokenizer-regex counter from ``token_count_cols``)."""
+    return F.expr(
+        f"size(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}', 0))"
+    ).cast("int")
+
+
+def quality_bp_col() -> Column:
+    """Composite quality score (basis points) of ``text`` as a reusable
+    Column — word count band + mean word length band + stopword presence."""
+    return (
+        F.when(F.expr(_N_WORDS).between(10, 1000), F.lit(4000)).otherwise(0)
+        + F.when(
+            F.expr(_MEAN_WLEN_BP).between(30000, 80000), F.lit(3000)
+        ).otherwise(0)
+        + F.when(stopword_ratio_bp() > 0, F.lit(3000)).otherwise(0)
+    ).cast("bigint")
+
+
 def quality_scores(df: DataFrame) -> DataFrame:
     """Heuristic quality features + a composite score (basis points):
     word count band, mean word length band, stopword presence — the
     Gopher-rules-shaped feature family, deterministic and oracle-parity."""
-    n_words = f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
-    mean_wlen_bp = (
-        f"CASE WHEN ({n_words}) = 0 THEN 0 ELSE "
-        f"cast(floor(length(array_join({WORDS}, '')) * 10000 / ({n_words})) as bigint) END"
-    )
     return df.select(
         "doc_id",
-        F.expr(n_words).cast("int").alias("n_words"),
-        F.expr(mean_wlen_bp).alias("mean_word_len_bp"),
+        F.expr(_N_WORDS).cast("int").alias("n_words"),
+        F.expr(_MEAN_WLEN_BP).alias("mean_word_len_bp"),
         stopword_ratio_bp().alias("stopword_bp"),
-        (
-            F.when(F.expr(n_words).between(10, 1000), F.lit(4000)).otherwise(0)
-            + F.when(
-                F.expr(mean_wlen_bp).between(30000, 80000), F.lit(3000)
-            ).otherwise(0)
-            + F.when(stopword_ratio_bp() > 0, F.lit(3000)).otherwise(0)
-        ).cast("bigint").alias("quality_bp"),
+        quality_bp_col().alias("quality_bp"),
     )
 
 

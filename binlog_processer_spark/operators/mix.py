@@ -130,3 +130,40 @@ def contamination(
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("shared_shingles"))
     )
+
+
+def quality_token_budget(docs: DataFrame, bin_bp: int = 2500) -> DataFrame:
+    """Curriculum planning report: per (source, quality bin), how many
+    documents there are and how many tokens they would contribute to the
+    mix — the input every data-budget decision (which bins to upsample,
+    where the next 10^12 tokens come from) is made against.
+
+    ``quality_bin`` is ``floor(quality_bp / bin_bp)`` over the composite
+    Gopher-rules score (functions/text.py); the token budget uses the
+    BPE-ish regex counter, the closest stand-in for real tokenizer cost.
+
+    Plan: ONE scan of the corpus — both the score and the token count are
+    codegen expressions evaluated in the same projection — followed by a
+    hash aggregate whose output is bounded by sources x bins, so map-side
+    combine collapses everything before the wire. At 10^12 documents the
+    cost is exactly one pass over the text bytes.
+    """
+    from binlog_processer_spark.functions.text import (
+        bpe_tokens_col,
+        quality_bp_col,
+    )
+
+    return (
+        docs.select(
+            "source",
+            F.floor(quality_bp_col() / bin_bp).cast("int").alias(
+                "quality_bin"
+            ),
+            bpe_tokens_col().alias("bpe_tokens"),
+        )
+        .groupBy("source", "quality_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bpe_tokens").cast("bigint").alias("tok_budget"),
+        )
+    )

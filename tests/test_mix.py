@@ -100,3 +100,39 @@ def test_contamination_broadcasts_the_holdout(spark):
         d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_token_budget(spark):
+    from binlog_processer_spark.operators.mix import quality_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            # 10+ words, stopword 'the', mean wlen in band -> qbp 10000
+            (1, "a", "the quick brown fox jumps over the lazy dog today"),
+            (2, "a", ""),                       # qbp 0
+            (3, "b", "one two three"),          # no stopword, <10 words
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r.source, r.quality_bin): (r.n_docs, r.tok_budget)
+        for r in quality_token_budget(docs, bin_bp=2500).collect()
+    }
+    assert got[("a", 4)] == (1, 10)   # doc 1: 10 bpe tokens, bin 10000/2500
+    assert got[("a", 0)] == (1, 0)    # empty doc
+    assert ("b", 0) in got or ("b", 1) in got
+
+
+def test_quality_token_budget_single_scan_single_shuffle(spark):
+    from binlog_processer_spark.operators.mix import quality_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z")], "doc_id long, source string, text string"
+    )
+    plan = (
+        quality_token_budget(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash aggregate pair around one exchange; no join, no second scan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
