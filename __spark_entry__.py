@@ -891,6 +891,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_pairs(orig.unionByName(dup), threshold_bp=9000)
 
     q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
+    def dedup_semantic_clustered(spark, sf_dir):
+        # SemDeDup: same planted-clone augmentation as
+        # dedup_embedding_cosine, but candidates come from shared IVF
+        # clusters instead of shared LSH bands — the oracle mirrors the
+        # clustering exactly, so the cluster-boundary miss set matches too
+        from binlog_processer_spark.operators.similarity import (
+            semdedup_pairs,
+        )
+
+        emb = _embs(spark, sf_dir)
+        orig = emb.select(
+            "vec_id",
+            F.expr("cast(embedding as array<double>)").alias("embedding"),
+        )
+        dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double) + 0.01D)"
+            ).alias("embedding"),
+        )
+        return semdedup_pairs(
+            orig.unionByName(dup), n_centroids=16, threshold_bp=9000
+        )
+
+    q["dedup_semantic_clustered"] = dedup_semantic_clustered
     q["text_token_counts"] = lambda s, d: token_count_cols(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
     q["text_lang_id"] = lambda s, d: lang_id(_docs(s, d))
@@ -1726,6 +1752,31 @@ grid AS (
         f"  cast(round(({_cos_ab}) * 10000) AS bigint) AS cosine_bp"
         "  FROM cand JOIN aug a ON a.vec_id = id_a"
         "  JOIN aug b ON b.vec_id = id_b"
+        "  WHERE cosine_bp >= 9000"
+    )
+    # SemDeDup: same augmented set; candidates share an IVF cluster
+    # (nearest-of-16 deterministic centroids) instead of an LSH band
+    o["dedup_semantic_clustered"] = (
+        "WITH aug AS ("
+        " SELECT vec_id, cast(embedding AS double[]) AS embedding FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 100000,"
+        "  list_transform(cast(embedding AS double[]), x -> x + 0.01)"
+        " FROM embeddings WHERE vec_id % 10 = 0),"
+        " cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM aug"
+        "  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16),"
+        " assign AS (SELECT vec_id, centroid_id FROM ("
+        "  SELECT v.vec_id, c.centroid_id, row_number() OVER ("
+        "   PARTITION BY v.vec_id ORDER BY"
+        f"   cast(round(({_cos_vc}) * 10000000) AS bigint) DESC,"
+        "   c.centroid_id) AS rn"
+        "  FROM aug v CROSS JOIN cent c) WHERE rn = 1)"
+        f" SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        f"  cast(round(({_cos_ab}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM assign l JOIN assign r"
+        "  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id"
+        "  JOIN aug a ON a.vec_id = l.vec_id"
+        "  JOIN aug b ON b.vec_id = r.vec_id"
         "  WHERE cosine_bp >= 9000"
     )
 

@@ -289,7 +289,9 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
 
 
 def ivf_assignments(
-    embeddings: DataFrame, centroids: DataFrame
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    keep_embedding: bool = False,
 ) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine.
 
@@ -335,11 +337,14 @@ def ivf_assignments(
         " 0.0)) * 10000000) as bigint),"
         f" 'nc', -element_at({ids}, i)))).nc)"
     )
+    cols = ["vec_id", "centroid_id"] + (
+        ["embedding"] if keep_embedding else []
+    )
     return (
         embeddings.select("vec_id", "embedding")
         .withColumn("__ne", F.expr(NORM.format(a="embedding")))
         .withColumn("centroid_id", pick)
-        .select("vec_id", "centroid_id")
+        .select(*cols)
     )
 
 
@@ -401,6 +406,69 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_bp", "rank")
+    )
+
+
+def centroids_for(n: int, target_cluster: int = 1024) -> int:
+    """Centroid count for ``semdedup_pairs`` at corpus size ``n``: keep
+    the expected cluster size near ``target_cluster`` so the within-
+    cluster self-join stays ~n·target pairs (linear in n), the same
+    budget rule ``planes_for`` applies to the LSH path."""
+    return max(4, n // target_cluster)
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold_bp: int = 9000,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding near-duplicate pairs
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the embeddings, then score
+    pairs ONLY within a cluster — near-duplicates land in the same
+    cluster because they are near the same centroid.
+
+    Complements ``near_dup_pairs`` (banded sign-LSH): LSH misses are
+    probabilistic per band, SemDeDup misses are exactly the pairs split
+    across a cluster boundary — the published trade, chosen when the
+    corpus is already being clustered for curation anyway.
+
+    Plan: nearest-centroid assignment is the zero-shuffle codegen argmax
+    (``ivf_assignments``, embedding kept in-row so no re-join); the ONE
+    shuffle is the self-join's hash partition on ``centroid_id``. Size
+    ``n_centroids`` with ``centroids_for(n)`` — expected cluster size
+    n/k, so candidate pairs ~ n·(n/k): constant k is quadratic, k ∝ n is
+    linear. Low-cardinality-key skew at small k disappears under the
+    same rule (k ∝ n ⇒ keys ≫ cores).
+    """
+    from ._cache import pin
+
+    emb = embeddings.select("vec_id", "embedding")
+    cent = ivf_centroids(emb, n_centroids)
+    # pin: the assignment feeds BOTH sides of the self-join — without it
+    # the k×d centroid-literal tree is inlined twice and re-canonicalized
+    # by every downstream optimization pass (the ivf_topk 52s-planning
+    # case); pinned, the join composes against a short InMemoryRelation
+    tagged = pin(ivf_assignments(emb, cent, keep_embedding=True))
+    l = tagged.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_a"),
+    )
+    r = tagged.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        l.join(r, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_bp",
+            F.round(cosine_expr("emb_a", "emb_b") * 10000).cast("bigint"),
+        )
+        .filter(F.col("cosine_bp") >= threshold_bp)
+        .select("id_a", "id_b", "cosine_bp")
     )
 
 

@@ -183,3 +183,41 @@ def test_numpy_path_tiebreak_by_vec_id(spark):
         (r.rank, r.vec_id) for r in cosine_topk_np(emb, [0], k=2).collect()
     )
     assert got == [(1, 3), (2, 5)]
+
+
+def test_semdedup_pairs_cluster_scoped(spark):
+    from binlog_processer_spark.operators.similarity import semdedup_pairs
+
+    # 3 tight orthogonal clusters; the only >=0.9-cosine pairs are
+    # within-cluster, so cluster scoping loses nothing here
+    rows = []
+    for c, axis in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for i in range(4):
+            eps = (i + 1) / 1000.0
+            rows.append(
+                (c * 10 + i, [axis[0] + eps, axis[1] + eps / 2, axis[2]])
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = semdedup_pairs(emb, n_centroids=3, threshold_bp=9000).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.id_a // 10 == r.id_b // 10          # same cluster only
+        assert r.id_a < r.id_b
+        assert r.cosine_bp >= 9000
+
+
+def test_semdedup_assignment_subplan_zero_exchange(spark):
+    from binlog_processer_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = (
+        ivf_assignments(emb, ivf_centroids(emb, 2), keep_embedding=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
