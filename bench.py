@@ -47,6 +47,11 @@ HEADLINE = [
     "session_stats",
     "drift_js",
     "token_heavy_hitters",
+    "text_repetition",
+    "dedup_token_spans",
+    "dedup_span_coverage",
+    "dedup_semantic_clustered",
+    "mix_quality_budget",
 ]
 
 

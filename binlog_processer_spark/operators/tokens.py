@@ -268,6 +268,23 @@ def _gram_strings(n: int, stride: int = 1) -> F.Column:
     )
 
 
+def _gram_arrays(n: int) -> F.Column:
+    """Array of the row's token ``n``-grams as raw int sub-arrays — for
+    count-only consumers (``repetition_stats``): no per-gram string
+    build, ~30% cheaper than ``_gram_strings`` at sf0.1. Distinct counts
+    agree with the string form because the ``'-'``-join of decimal ints
+    is injective (a ``-`` can only follow a separator as a sign), so the
+    DuckDB oracle can keep its string-based n_distinct."""
+    stop = F.size("tokens") - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), stop),
+        lambda i: F.slice(F.col("tokens"), i, n),
+    )
+    return F.when(stop >= 1, grams).otherwise(
+        F.array().cast("array<array<int>>")
+    )
+
+
 def repetition_stats(kept: DataFrame, n: int = 3) -> DataFrame:
     """Per-event duplicate-``n``-gram fraction — the Gopher-style
     within-document repetition filter (Rae et al. 2021 §A1.1 use the
@@ -284,7 +301,7 @@ def repetition_stats(kept: DataFrame, n: int = 3) -> DataFrame:
     inside the row, so there is no explode, no shuffle, and no state;
     cost is linear in bytes scanned at any corpus size.
     """
-    grams = _gram_strings(n)
+    grams = _gram_arrays(n)
     n_grams = F.size(grams).cast("bigint")
     n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
     return kept.select(
