@@ -832,6 +832,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_quality_budget"] = mix_quality_budget
 
+    def mix_holdout_carve(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import holdout_carve
+
+        return holdout_carve(_docs(spark, sf_dir), k=25)
+
+    q["mix_holdout_carve"] = mix_holdout_carve
+
     q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
     q["dedup_minhash_sigs"] = lambda s, d: minhash_signatures(_docs(s, d), k=4)
     q["dedup_minhash_pairs"] = lambda s, d: minhash_lsh_pairs(
@@ -848,6 +855,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_lsh"] = lambda s, d: cosine_topk_lsh(
         _embs(s, d), query_ids=list(range(10)), k=5
     )
+
+    def ann_cosine_int8(spark, sf_dir):
+        from binlog_processer_spark.operators.similarity import (
+            cosine_topk_int8,
+        )
+
+        return cosine_topk_int8(
+            _embs(spark, sf_dir), query_ids=list(range(10)), k=10
+        )
+
+    q["ann_cosine_int8"] = ann_cosine_int8
 
     def ann_ivf_topk(spark, sf_dir):
         from binlog_processer_spark.operators.similarity import ivf_topk
@@ -1647,6 +1665,33 @@ grid AS (
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 10"
     )
+    # int8-quantized brute force: integer dot/norms are EXACT in doubles,
+    # so no fold-order caveat applies — full score gate
+    _q8 = (
+        "CASE WHEN list_max(list_transform(cast({c} AS double[]),"
+        " x -> abs(x))) = 0.0 THEN list_transform(cast({c} AS double[]), x -> 0)"
+        " ELSE list_transform(cast({c} AS double[]), x -> cast(round("
+        "  x / (list_max(list_transform(cast({c} AS double[]), x -> abs(x)))"
+        "  / 127.0)) AS int)) END"
+    )
+    _cos_q8 = (
+        "list_dot_product(cast(q_q AS double[]), cast(q AS double[]))"
+        " / nullif(sqrt(list_dot_product(cast(q_q AS double[]),"
+        " cast(q_q AS double[]))) * sqrt(list_dot_product("
+        " cast(q AS double[]), cast(q AS double[]))), 0.0)"
+    )
+    o["ann_cosine_int8"] = (
+        f"WITH qd AS (SELECT vec_id, {_q8.format(c='embedding')} AS q"
+        " FROM embeddings),"
+        " qs AS (SELECT vec_id AS query_id, q AS q_q FROM qd WHERE vec_id < 10),"
+        " scored AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos_q8}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM qd CROSS JOIN qs WHERE vec_id <> query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 10"
+    )
     # BLAS matmul path: same ranking, scores omitted (rank-set gate — see
     # queries()['ann_blas_topk'] for why the float column is excluded)
     o["ann_blas_topk"] = (
@@ -1809,6 +1854,15 @@ grid AS (
         f" + (CASE WHEN ({_mwl_bp}) BETWEEN 30000 AND 80000 THEN 3000 ELSE 0 END)"
         f" + (CASE WHEN ({_stop_bp}) > 0 THEN 3000 ELSE 0 END) AS bigint)"
         " AS quality_bp FROM documents"
+    )
+    # exact per-source holdout: k smallest md5 prefixes (ties by doc_id);
+    # the Spark side ranks on the SAME 8-hex prefix + id order
+    o["mix_holdout_carve"] = (
+        "SELECT source, doc_id FROM ("
+        " SELECT source, doc_id, row_number() OVER ("
+        "  PARTITION BY source"
+        "  ORDER BY substr(md5(cast(doc_id AS varchar)), 1, 8), doc_id)"
+        " AS rn FROM documents) WHERE rn <= 25"
     )
     # curriculum report: same composite score + BPE-ish counter, binned
     o["mix_quality_budget"] = (

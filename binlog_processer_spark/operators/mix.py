@@ -167,3 +167,62 @@ def quality_token_budget(docs: DataFrame, bin_bp: int = 2500) -> DataFrame:
             F.sum("bpe_tokens").cast("bigint").alias("tok_budget"),
         )
     )
+
+
+def holdout_carve(
+    df: DataFrame,
+    k: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    oversample: int = 4,
+) -> DataFrame:
+    """Carve an EXACT-size eval holdout: the ``k`` documents of each
+    stratum with the smallest ``md5(id)`` — the fixed-count companion to
+    ``stratified_sample`` (rate-based). Deterministic like the sampler:
+    the same k docs on every run, any cluster, any partitioning, and
+    stable under corpus growth except at the hash boundary.
+
+    Scale plan — per-stratum top-k WITHOUT sorting each stratum: a plain
+    window rank over 10^12 rows sorts every stratum's full partition.
+    Instead (1) one column-pruned count pass bounds each stratum, (2) a
+    codegen hash-threshold filter (rate ``oversample*k/n``) cuts
+    candidates to ~oversample*k per stratum, (3) the window ranks only
+    survivors. A stratum whose survivor count undershoots ``min(k, n)``
+    (Chernoff-unlikely at oversample=4) falls back to ranking that
+    stratum unfiltered — exactness is never probabilistic. Driver
+    collects are bounded by the stratum count, never rows.
+    """
+    h = _hash_frac8(F.col(id_col))
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strat_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    full = "g"  # lexicographically above every md5 hex prefix: keep all
+    thr = F.when(F.lit(False), F.lit(""))
+    for s, n_s in sorted(counts.items()):
+        rate = 1.0 if n_s <= oversample * k else oversample * k / n_s
+        t = full if rate >= 1.0 else rate_threshold(rate)
+        thr = thr.when(F.col(strat_col) == s, F.lit(t))
+    cand = df.filter(h < thr.otherwise(F.lit(full)))
+
+    need = {s: min(k, n) for s, n in counts.items()}
+    got = {
+        r["s"]: r["n"]
+        for r in cand.groupBy(F.col(strat_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    short = [s for s, n in need.items() if got.get(s, 0) < n]
+    if short:
+        cand = df.filter(F.col(strat_col).isin(short)).unionByName(
+            cand.filter(~F.col(strat_col).isin(short))
+        )
+
+    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(strat_col, id_col)
+    )

@@ -136,3 +136,46 @@ def test_quality_token_budget_single_scan_single_shuffle(spark):
     # one hash aggregate pair around one exchange; no join, no second scan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_holdout_carve_exact_k_and_deterministic(spark):
+    from binlog_processer_spark.operators.mix import holdout_carve
+
+    d = _docs(spark, 400)  # 4 sources x 100 docs
+    a = holdout_carve(d, k=7)
+    by_src = {
+        r.source: r.cnt
+        for r in a.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src == {"s0": 7, "s1": 7, "s2": 7, "s3": 7}
+    # deterministic: same ids on a re-run and under different partitioning
+    ids_a = sorted((r.source, r.doc_id) for r in a.collect())
+    ids_b = sorted(
+        (r.source, r.doc_id)
+        for r in holdout_carve(d.repartition(7), k=7).collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_holdout_carve_small_stratum_keeps_all(spark):
+    from binlog_processer_spark.operators.mix import holdout_carve
+
+    d = _docs(spark, 10)  # sources have 2-3 docs each
+    got = holdout_carve(d, k=5)
+    assert got.count() == 10  # every doc held out: k exceeds every stratum
+
+
+def test_holdout_carve_fallback_exactness(spark):
+    from binlog_processer_spark.operators.mix import holdout_carve
+
+    # oversample=1 makes undershoot likely: the fallback must still
+    # return exactly k per stratum
+    d = _docs(spark, 200)
+    by_src = {
+        r.source: r.cnt
+        for r in holdout_carve(d, k=10, oversample=1)
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert all(v == 10 for v in by_src.values()), by_src

@@ -221,3 +221,30 @@ def test_semdedup_assignment_subplan_zero_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_quantize_expr_range_and_zero_guard(spark):
+    from binlog_processer_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.q for r in quantize_embeddings(emb).collect()}
+    assert got[0] == [64, -127, 32]       # max|x|=1.0 -> scale 1/127
+    assert got[1] == [0, 0, 0]            # zero vector stays zeros
+    assert all(-127 <= v <= 127 for v in got[0])
+
+
+def test_int8_topk_recall_vs_exact(spark):
+    from binlog_processer_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+    )
+
+    emb = _emb(spark)
+    exact = {r.vec_id for r in cosine_topk(emb, [0], k=5).collect()}
+    quant = {r.vec_id for r in cosine_topk_int8(emb, [0], k=5).collect()}
+    # int8 keeps ~2 decimal digits of each coordinate: top-5 overlap
+    # should be near-total on any non-adversarial set
+    assert len(exact & quant) >= 4, (exact, quant)
