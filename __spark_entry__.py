@@ -844,6 +844,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d), k=8, bands=4
     )
+    def dedup_components(spark, sf_dir):
+        # pairs -> transitive duplicate clusters, labeled by min member id
+        from binlog_processer_spark.operators.dedup import (
+            connected_components,
+        )
+
+        return connected_components(
+            minhash_lsh_pairs(_docs(spark, sf_dir), k=8, bands=4)
+        )
+
+    q["dedup_components"] = dedup_components
+
     q["dedup_simhash_sigs"] = lambda s, d: simhash_signatures(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: simhash_block_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
@@ -1554,6 +1566,23 @@ grid AS (
         " SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b"
         " FROM stacked l JOIN stacked r ON l.band_id = r.band_id"
         " AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"
+    )
+
+    # components over the same LSH pairs via transitive closure (the
+    # recursive CTE is exact on the oracle's scale; the Spark side runs
+    # min-label propagation — same fixpoint, cluster-size-independent)
+    o["dedup_components"] = (
+        f"WITH RECURSIVE banded AS (SELECT doc_id, {_bands} FROM documents"
+        f" WHERE len({DW}) >= 3),"
+        f" stacked AS ({_stack}),"
+        " pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b"
+        "  FROM stacked l JOIN stacked r ON l.band_id = r.band_id"
+        "  AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),"
+        " edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),"
+        " reach(a, b) AS (SELECT a, b FROM edges"
+        "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"
+        " SELECT a AS doc_id, least(a, min(b)) AS component_id"
+        " FROM reach GROUP BY a"
     )
 
     def _simbit(j: int) -> str:

@@ -103,3 +103,30 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert (100, 101) in genuine
     # denominator uses FULL shingle sets: 2 common of 3+3 shingles → 5000 bp
     assert genuine[(100, 101)] == 5000
+
+
+def test_connected_components_transitive_clusters(spark):
+    from binlog_processer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (1~3 NOT paired: the transitivity case), pair 7-9,
+        # and a 4-node star 10-{11,12,13}
+        [(1, 2), (2, 3), (7, 9), (10, 11), (10, 12), (10, 13)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.doc_id: r.component_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from binlog_processer_spark.operators.dedup import connected_components
+
+    # a 12-node path needs ~diameter rounds of plain min-propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.component_id
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {100} and len(got) == 12
