@@ -246,6 +246,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parse_roundtrip"] = parse_roundtrip
 
+    def parse_regex_roundtrip(spark, sf_dir):
+        # the zero-Python grok/regex parse path; same oracle as the
+        # Arrow path — each vectorized parse checks the other
+        from binlog_processer_spark.functions.parse import parse_raw_sql
+
+        c = _corpus(spark, sf_dir)
+        raw = c.select(
+            corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
+        )
+        good, _ = split_quarantine(parse_raw_sql(raw))
+        return good.select(
+            "doc_id", "source", "op", "event_seq", "commit_ts", "file_id",
+            "bucket", "n_tok", _md5_arr("tokens").alias("tokens_md5"),
+        )
+
+    q["parse_regex_roundtrip"] = parse_regex_roundtrip
+
     def quarantine_counts(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         raw = c.select(
@@ -1116,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         f" n_tok, {_duck_md5_arr('tokens')} AS tokens_md5"
         f" FROM corpus WHERE {notcorrupt}"
     )
+    o["parse_regex_roundtrip"] = o["parse_roundtrip"]
     o["quarantine_counts"] = _oracle_full(
         f"SELECT 'PARSE_ERROR' AS status, count(*) AS cnt FROM corpus"
         f" WHERE NOT ({notcorrupt})"

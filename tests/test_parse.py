@@ -101,3 +101,73 @@ def test_negative_tokens_roundtrip(spark):
     good, bad = split_quarantine(parse_raw(df.select(serialize_expr().alias("raw"))))
     assert bad.count() == 0
     assert list(good.collect()[0].tokens) == [-1, -2, -2147483648, 2147483647]
+
+
+def test_sql_parse_equals_arrow_parse(spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.functions.parse import (
+        corrupt_expr,
+        parse_raw,
+        parse_raw_sql,
+        serialize_expr,
+    )
+    import __spark_entry__ as em
+
+    c = em._corpus(spark, "/root/testdata/sf0.001")
+    raw = c.select(
+        corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
+    )
+    a, b = parse_raw(raw), parse_raw_sql(raw)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_sql_parse_malformed_never_raises(spark):
+    from binlog_processer_spark.functions.parse import parse_raw_sql
+
+    bad = spark.createDataFrame(
+        [
+            ("v1|9" * 3,),                         # wrong field count
+            ("v2|1|1|1|Create|f|s|1|d||0|",),      # wrong version
+            ("v1|999999999999999999999|1|1|Create|f|s|1|d||0|",),  # >18 digits
+            ("v1|1|1|1|Create|f|s|1|d|x|0|",),     # non-numeric sign
+            ("v1|1|1|1|Create|f|s|1|d||2|0000000a",),  # payload len mismatch
+            ("v1|1|1|1|Create|f|s|1|d||1|zzzzzzzz",),  # non-hex payload
+            ("",),
+        ],
+        "raw string",
+    )
+    rows = parse_raw_sql(bad).collect()
+    assert all(r.status == "PARSE_ERROR" for r in rows)
+    assert all(r.raw is not None for r in rows)
+
+
+def test_sql_parse_negative_and_empty_tokens(spark):
+    from binlog_processer_spark.functions.parse import (
+        parse_raw,
+        parse_raw_sql,
+        serialize_expr,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "Create",
+             "f0", "s", 3, "d1", None, 3, [-1, -2147483648, 2147483647]),
+            (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "Delete",
+             "f0", "s", 3, "d2", 1, 0, []),
+        ],
+        "event_seq long, commit_ts string, create_ts string, op string,"
+        " file_id string, source string, bucket int, doc_id string,"
+        " sign int, n_tok int, tokens array<int>",
+    ).selectExpr(
+        "event_seq", "cast(commit_ts as timestamp) commit_ts",
+        "cast(create_ts as timestamp) create_ts", "op", "file_id",
+        "source", "bucket", "doc_id", "sign", "n_tok", "tokens",
+    )
+    raw = src.select(serialize_expr().alias("raw"))
+    a = {r.doc_id: (r.tokens, r.sign) for r in parse_raw(raw).collect()}
+    b = {r.doc_id: (r.tokens, r.sign) for r in parse_raw_sql(raw).collect()}
+    assert a == b
+    assert b["d1"] == ([-1, -2147483648, 2147483647], None)
+    assert b["d2"] == ([], 1)
