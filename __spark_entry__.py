@@ -873,6 +873,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = dedup_components
 
+    def dedup_keep_list(spark, sf_dir):
+        # the end-to-end dedup decision: corpus minus every clustered doc
+        # except its representative
+        from binlog_processer_spark.operators.dedup import (
+            connected_components,
+            keep_representatives,
+        )
+
+        docs = _docs(spark, sf_dir)
+        comp = connected_components(minhash_lsh_pairs(docs, k=8, bands=4))
+        return keep_representatives(docs, comp).select("doc_id", "source")
+
+    q["dedup_keep_list"] = dedup_keep_list
+
     q["dedup_simhash_sigs"] = lambda s, d: simhash_signatures(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: simhash_block_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
@@ -1589,7 +1603,7 @@ grid AS (
     # components over the same LSH pairs via transitive closure (the
     # recursive CTE is exact on the oracle's scale; the Spark side runs
     # min-label propagation — same fixpoint, cluster-size-independent)
-    o["dedup_components"] = (
+    _comp_ctes = (
         f"WITH RECURSIVE banded AS (SELECT doc_id, {_bands} FROM documents"
         f" WHERE len({DW}) >= 3),"
         f" stacked AS ({_stack}),"
@@ -1598,9 +1612,15 @@ grid AS (
         "  AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),"
         " edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),"
         " reach(a, b) AS (SELECT a, b FROM edges"
-        "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"
-        " SELECT a AS doc_id, least(a, min(b)) AS component_id"
-        " FROM reach GROUP BY a"
+        "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),"
+        " comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id"
+        "  FROM reach GROUP BY a)"
+    )
+    o["dedup_components"] = _comp_ctes + " SELECT doc_id, component_id FROM comp"
+    o["dedup_keep_list"] = _comp_ctes + (
+        " SELECT doc_id, source FROM documents"
+        " WHERE doc_id NOT IN"
+        "  (SELECT doc_id FROM comp WHERE component_id <> doc_id)"
     )
 
     def _simbit(j: int) -> str:

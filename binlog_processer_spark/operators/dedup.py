@@ -405,3 +405,18 @@ def connected_components(
         )
     finally:
         edges.unpersist()  # idempotent under a later unpin_all
+
+
+def keep_representatives(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus after cluster-level dedup: every clustered document is
+    dropped except its component representative (the min-id member that
+    ``connected_components`` labels with itself); documents in no cluster
+    pass through. One left-anti join against the non-representative set —
+    the components frame is orders of magnitude smaller than the corpus
+    (only PAIRED docs appear in it), so at scale this broadcasts."""
+    drop = components.filter(
+        F.col("component_id") != F.col("doc_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")

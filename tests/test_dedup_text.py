@@ -130,3 +130,18 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.doc_id: r.component_id
            for r in connected_components(pairs).collect()}
     assert set(got.values()) == {100} and len(got) == 12
+
+
+def test_keep_representatives(spark):
+    from binlog_processer_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(1, 7)], "doc_id bigint, source string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id bigint, component_id bigint",
+    )
+    kept = sorted(r.doc_id for r in keep_representatives(docs, comp).collect())
+    # reps 1 and 5 survive; 4 was never paired; 2, 3, 6 drop
+    assert kept == [1, 4, 5]
