@@ -320,14 +320,18 @@ def parse_raw_sql(df: DataFrame) -> DataFrame:
     def fld(i: int) -> F.Column:
         return F.try_element_at(fields, F.lit(i + 1))
 
-    d64 = r"^\d{1,18}$"
-    d32 = r"^\d{1,9}$"
+    # \z (absolute end), NOT $: Java-regex $ matches before a trailing
+    # line terminator, so '42\n' would pass ^\d{1,18}$ here while the
+    # Arrow path (RE2-style end-of-text $) quarantines it — the two
+    # parsers must reject the exact same garbled-input class
+    d64 = r"^\d{1,18}\z"
+    d32 = r"^\d{1,9}\z"
     ok = (
         (fld(0) == RAW_VERSION)
         & (F.size(fields) >= N_FIELDS)
         & fld(1).rlike(d64) & fld(2).rlike(d64) & fld(3).rlike(d64)
         & fld(7).rlike(d32) & fld(10).rlike(d32)
-        & fld(9).rlike(r"^(-?\d{1,9})?$")
+        & fld(9).rlike(r"^(-?\d{1,9})?\z")
     )
     ok = F.coalesce(ok, F.lit(False))
     n_tok = F.when(ok, fld(10)).cast("int")
@@ -335,7 +339,7 @@ def parse_raw_sql(df: DataFrame) -> DataFrame:
     ok = (
         ok
         & (F.length(pay) == n_tok.cast("long") * 8)
-        & pay.rlike(r"^[0-9a-fA-F]*$")
+        & pay.rlike(r"^[0-9a-fA-F]*\z")
     )
     ok = F.coalesce(ok, F.lit(False))
 

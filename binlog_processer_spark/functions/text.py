@@ -27,15 +27,15 @@ def token_count_cols(df: DataFrame) -> DataFrame:
     - bpe_tokens: matches of the GPT-2-shaped pre-tokenizer regex
       (``BPE_PATTERN``) — the 'BPE-ish regex' counter
     - subword_est: ceil(chars/4), the chars-per-token rule of thumb
+
+    The counters are the shared ``_N_WORDS`` / ``bpe_tokens_col``
+    expressions, so this report and ``quality_token_budget`` can never
+    desync.
     """
     return df.select(
         "doc_id",
-        F.expr(
-            f"CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE size({WORDS}) END"
-        ).cast("int").alias("ws_tokens"),
-        F.expr(
-            f"size(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}', 0))"
-        ).cast("int").alias("bpe_tokens"),
+        F.expr(_N_WORDS).cast("int").alias("ws_tokens"),
+        bpe_tokens_col().alias("bpe_tokens"),
         F.expr("cast(ceil(length(coalesce(text, '')) / 4.0) as int)").alias("subword_est"),
         F.length(F.coalesce("text", F.lit(""))).cast("int").alias("n_chars"),
     )

@@ -364,12 +364,34 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
+    # retired rounds' checkpoint blocks must be freed EXPLICITLY:
+    # df.unpersist() is a no-op on a localCheckpoint'd frame (the blocks
+    # belong to the checkpointed RDD, not the cache manager), and waiting
+    # on ContextCleaner leaves up to max_iter label snapshots resident.
+    # Each snapshot's RDD id is attributed by storage-info diff around
+    # its own materializing action — exact in this (single-threaded)
+    # loop; a driver running OTHER localCheckpoint loops concurrently in
+    # the same SparkContext could be misattributed, which no caller here
+    # does.
+    jsc = pairs.sparkSession.sparkContext._jsc.sc()
+
+    def _stored_ids() -> set[int]:
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = _stored_ids()
+        out = df.localCheckpoint()  # eager: materializes here
+        return out, _stored_ids() - before
+
+    def _free(ids: set[int]) -> None:
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+
     try:
-        labels = (
+        labels, label_ids = _checkpoint(
             edges.select(F.col("src").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint()
         )
         for _ in range(max_iter):
             nbr = (
@@ -377,16 +399,14 @@ def connected_components(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(nbr, "node", "left")
-                .select(
+            new_labels, new_ids = _checkpoint(
+                labels.join(nbr, "node", "left").select(
                     "node",
                     F.least(
                         F.col("label"),
                         F.coalesce("nbr_label", F.col("label")),
                     ).alias("label"),
                 )
-                .localCheckpoint()
             )
             changed = (
                 new_labels.withColumnRenamed("label", "new_label")
@@ -394,7 +414,8 @@ def connected_components(
                 .filter(F.col("new_label") != F.col("label"))
                 .count()
             )
-            labels = new_labels
+            _free(label_ids)  # previous round: never read again
+            labels, label_ids = new_labels, new_ids
             if changed == 0:
                 return labels.select(
                     F.col("node").alias("doc_id"),

@@ -200,11 +200,17 @@ def holdout_carve(
         .collect()
     }
     full = "g"  # lexicographically above every md5 hex prefix: keep all
+
+    def _match(s) -> Column:
+        # a NULL stratum is a real stratum: == never matches it, so the
+        # null key gets an explicit isNull arm (same in the fallback)
+        return F.col(strat_col).isNull() if s is None else F.col(strat_col) == s
+
     thr = F.when(F.lit(False), F.lit(""))
-    for s, n_s in sorted(counts.items()):
+    for s, n_s in sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
         rate = 1.0 if n_s <= oversample * k else oversample * k / n_s
         t = full if rate >= 1.0 else rate_threshold(rate)
-        thr = thr.when(F.col(strat_col) == s, F.lit(t))
+        thr = thr.when(_match(s), F.lit(t))
     cand = df.filter(h < thr.otherwise(F.lit(full)))
 
     need = {s: min(k, n) for s, n in counts.items()}
@@ -216,9 +222,10 @@ def holdout_carve(
     }
     short = [s for s, n in need.items() if got.get(s, 0) < n]
     if short:
-        cand = df.filter(F.col(strat_col).isin(short)).unionByName(
-            cand.filter(~F.col(strat_col).isin(short))
-        )
+        is_short = F.lit(False)
+        for s in short:
+            is_short = is_short | _match(s)
+        cand = df.filter(is_short).unionByName(cand.filter(~is_short))
 
     w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
     return (

@@ -420,9 +420,12 @@ def quantize_expr(col: str = "embedding") -> F.Column:
     and re-score survivors against the float column if exactness matters.
     """
     s = f"(aggregate({col}, 0D, (m, x) -> greatest(m, abs(cast(x as double)))) / 127.0D)"
+    # tinyint, not int: elements are in [-127, 127] by construction, and a
+    # 4-byte element type would silently forfeit the whole 4x-bytes claim
     return F.expr(
-        f"CASE WHEN {s} = 0.0D THEN transform({col}, x -> 0)"
-        f" ELSE transform({col}, x -> cast(round(cast(x as double) / {s}) as int)) END"
+        f"CASE WHEN {s} = 0.0D THEN transform({col}, x -> cast(0 as tinyint))"
+        f" ELSE transform({col},"
+        f" x -> cast(round(cast(x as double) / {s}) as tinyint)) END"
     )
 
 

@@ -179,3 +179,19 @@ def test_holdout_carve_fallback_exactness(spark):
         .collect()
     }
     assert all(v == 10 for v in by_src.values()), by_src
+
+
+def test_holdout_carve_null_stratum(spark):
+    from binlog_processer_spark.operators.mix import holdout_carve
+
+    d = _docs(spark, 60).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("source")),
+    )
+    got = holdout_carve(d, k=4)
+    by_src = {
+        r.source: r.cnt
+        for r in got.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src.get(None) == 4, by_src  # the NULL stratum carves too
+    assert all(v == 4 for v in by_src.values()), by_src

@@ -114,7 +114,9 @@ def test_sql_parse_equals_arrow_parse(spark):
     )
     import __spark_entry__ as em
 
-    c = em._corpus(spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_SMOKE
+
+    c = em._corpus(spark, SF_SMOKE)
     raw = c.select(
         corrupt_expr(serialize_expr(), F.col("doc_num"), F.col("r")).alias("raw")
     )
@@ -134,6 +136,8 @@ def test_sql_parse_malformed_never_raises(spark):
             ("v1|1|1|1|Create|f|s|1|d|x|0|",),     # non-numeric sign
             ("v1|1|1|1|Create|f|s|1|d||2|0000000a",),  # payload len mismatch
             ("v1|1|1|1|Create|f|s|1|d||1|zzzzzzzz",),  # non-hex payload
+            ("v1|1\n|1|1|Create|f|s|1|d||0|",),    # trailing \n in int field
+            ("v1|1|1|1|Create|f|s|1|d||1|0000000\n",),  # \n inside 8-char hex
             ("",),
         ],
         "raw string",
