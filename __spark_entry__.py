@@ -887,6 +887,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_list"] = dedup_keep_list
 
+    def dedup_minhash_incremental(spark, sf_dir):
+        # daily-ingest shape: docs with doc_id%5==0 arrive as the NEW
+        # batch against a band index built from the rest — only pairs
+        # touching a new doc may appear
+        from binlog_processer_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_bands,
+        )
+
+        docs = _docs(spark, sf_dir)
+        index = minhash_bands(docs.filter(F.col("doc_id") % 5 != 0))
+        return incremental_minhash_pairs(
+            docs.filter(F.col("doc_id") % 5 == 0), index
+        )
+
+    q["dedup_minhash_incremental"] = dedup_minhash_incremental
+
     q["dedup_simhash_sigs"] = lambda s, d: simhash_signatures(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: simhash_block_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
@@ -1617,6 +1634,17 @@ grid AS (
         "  FROM reach GROUP BY a)"
     )
     o["dedup_components"] = _comp_ctes + " SELECT doc_id, component_id FROM comp"
+    # incremental = the full-LSH pair set restricted to pairs touching a
+    # new-batch doc (doc_id%5==0); the Spark side never re-hashes the rest
+    o["dedup_minhash_incremental"] = (
+        f"WITH banded AS (SELECT doc_id, {_bands} FROM documents"
+        f" WHERE len({DW}) >= 3),"
+        f" stacked AS ({_stack})"
+        " SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b"
+        " FROM stacked l JOIN stacked r ON l.band_id = r.band_id"
+        " AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"
+        " WHERE l.doc_id % 5 = 0 OR r.doc_id % 5 = 0"
+    )
     o["dedup_keep_list"] = _comp_ctes + (
         " SELECT doc_id, source FROM documents"
         " WHERE doc_id NOT IN"

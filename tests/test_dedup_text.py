@@ -145,3 +145,28 @@ def test_keep_representatives(spark):
     kept = sorted(r.doc_id for r in keep_representatives(docs, comp).collect())
     # reps 1 and 5 survive; 4 was never paired; 2, 3, 6 drop
     assert kept == [1, 4, 5]
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    from binlog_processer_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    docs_df = _docs(spark)
+    old = docs_df.filter(F.col("doc_id") % 2 != 0)
+    new = docs_df.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_bands(old, k=8, bands=4)
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_minhash_pairs(new, index, k=8, bands=4).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs_df, k=8, bands=4).collect()
+    }
+    touching_new = {p for p in full if p[0] % 2 == 0 or p[1] % 2 == 0}
+    assert inc == touching_new
+    # docs 1,2,3 all pair under full LSH; only pairs touching doc 2 remain
+    assert (1, 2) in inc and (2, 3) in inc and (1, 3) not in inc
