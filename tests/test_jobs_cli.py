@@ -165,3 +165,28 @@ def test_compact_cli_with_expiry_vacuum(spark, tmp_path):
     assert res["committed"] and res["snapshots_expired"] == 3
     assert res["files_vacuumed"] == 12 and res["bytes_freed"] > 0
     assert len(tbl.file_sizes()) == 4
+
+
+def test_dedup_cli_full_then_incremental(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(old_p)
+    docs.filter(F.col("doc_id") % 5 == 0).write.parquet(new_p)
+    wh = str(tmp_path / "dwh")
+
+    full = _run(["jobs/run_dedup.py", "--docs", old_p, "--output", wh])
+    assert not full["incremental"]
+
+    inc = _run(
+        ["jobs/run_dedup.py", "--docs", new_p, "--output", wh, "--incremental"]
+    )
+    # after the incremental run the accumulated state equals one full run
+    # over ALL docs: 30 pairs, 54 clustered docs, 472 kept (the
+    # dedup_keep_list oracle numbers at sf0.01)
+    assert inc["incremental"]
+    assert inc["pairs_total"] == 30
+    assert inc["clustered_docs"] == 54
+    assert inc["kept_total"] == 472
