@@ -150,3 +150,81 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             f" i -> substring(payload, (i - 1) * {every_n} + 1, {every_n}))"
         ).alias("frames"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, modality string, src_width int, src_height int, "
+    "dst_width int, dst_height int, payload binary"
+)
+RESIZE_COLS = [c.split(" ")[0] for c in RESIZE_SCHEMA.split(", ")]
+
+
+def resize_plan(
+    media: DataFrame, max_dim: int = 256, fake: bool = True
+) -> DataFrame:
+    """Aspect-preserving image resize as an Arrow-batched Pandas UDF —
+    the fourth multimodal kernel (decode / feature-extract / resize /
+    frame-sample). Target dims are REAL math (longest side → max_dim,
+    aspect kept, floor, min 1 — the computation a PIL ``thumbnail`` call
+    would receive); the pixel kernel is a deterministic byte subsample
+    under ``fake=True`` and probes for PIL under ``fake=False`` like the
+    decode path. Images already within bounds pass through unchanged.
+
+    Plan shape: one mapInPandas over (payload, meta) batches — no
+    shuffle; at corpus scale this pipelines with the scan exactly like
+    extract_features.
+    """
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if not fake:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real resize requires PIL (import failed: "
+                    f"{e}); run with fake=True for the byte-subsample stub"
+                ) from e
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h = int(r["width"]), int(r["height"])
+                scale = max_dim / max(w, h)
+                if scale >= 1.0:
+                    dw, dh = w, h
+                    payload = r["payload"]
+                else:
+                    dw = max(int(w * scale), 1)
+                    dh = max(int(h * scale), 1)
+                    if fake:
+                        # deterministic stand-in: keep every k-th byte,
+                        # k = the area ratio (a real kernel replaces this)
+                        b = np.frombuffer(r["payload"], dtype=np.uint8)
+                        k = max((w * h) // max(dw * dh, 1), 1)
+                        payload = b[::k].tobytes()
+                    else:
+                        import io
+
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(r["payload"]))
+                        img.thumbnail((max_dim, max_dim))
+                        buf = io.BytesIO()
+                        img.save(buf, format=img.format or "PNG")
+                        payload = buf.getvalue()
+                rows.append(
+                    (r["doc_id"], r["modality"], w, h, dw, dh, payload)
+                )
+            yield pd.DataFrame(rows, columns=RESIZE_COLS)
+
+    flat = media.filter(F.col("meta.modality") == "image").select(
+        "doc_id",
+        "payload",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(resize, RESIZE_SCHEMA)

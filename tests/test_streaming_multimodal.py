@@ -207,3 +207,48 @@ def test_streaming_windowed_append_emits_closed_windows_once(spark, tmp_path):
     # watermark advanced across micro-batches (state actually bounded)
     wm = sq.recentProgress[-1]["eventTime"].get("watermark", "")
     assert wm.startswith("2024-01-09")
+
+
+def test_resize_plan_aspect_and_passthrough(spark):
+    from binlog_processer_spark.multimodal import resize_plan, synthesize_media
+
+    docs = spark.createDataFrame(
+        # doc_id%3==0 -> image; widths/heights from doc_id arithmetic
+        [(0, "x" * 4000), (3, "y" * 10), (6, "z" * 2000)],
+        "doc_id bigint, text string",
+    )
+    media = synthesize_media(docs)
+    got = {r.doc_id: r for r in resize_plan(media, max_dim=100).collect()}
+    for r in got.values():
+        assert r.modality == "image"
+        if max(r.src_width, r.src_height) <= 100:
+            assert (r.dst_width, r.dst_height) == (r.src_width, r.src_height)
+        else:
+            assert max(r.dst_width, r.dst_height) <= 100
+            # aspect preserved within integer floor
+            assert abs(
+                r.dst_width / r.dst_height - r.src_width / r.src_height
+            ) < 0.1
+            assert 0 < len(r.payload) <= 4000
+
+
+def test_resize_plan_real_path_raises_without_pil_or_works(spark):
+    from binlog_processer_spark.multimodal import resize_plan, synthesize_media
+
+    docs = spark.createDataFrame([(0, "x" * 500)], "doc_id bigint, text string")
+    try:
+        import PIL  # noqa: F401
+        import pytest
+
+        pytest.skip("PIL present: the real path would need real image bytes")
+    except ImportError:
+        pass
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        resize_plan(
+            synthesize_media(docs), max_dim=8, fake=False
+        ).collect()
+    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
