@@ -601,6 +601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = text_repetition
 
+    def text_surprisal(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import (
+            doc_unigram_logprob,
+        )
+
+        return doc_unigram_logprob(_kept(spark, sf_dir))
+
+    q["text_surprisal"] = text_surprisal
+
     def dedup_token_spans(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import duplicated_spans
 
@@ -1379,6 +1388,22 @@ grid AS (
         " (SELECT source, cast(count(DISTINCT token) AS bigint) AS distinct_tok"
         "  FROM (SELECT source, unnest(tokens) AS token FROM kept)"
         "  GROUP BY source) b USING (source)",
+        _X_ENRICHED,
+    )
+    # per-event mean unigram surprisal in milli-nats (CCNet-style quality)
+    o["text_surprisal"] = _oracle_full(
+        "SELECT source, doc_id, event_seq,"
+        " cast(round(avg(-ln(cnt / total_tok)) * 1000) AS bigint)"
+        " AS surprisal_mn"
+        " FROM ("
+        "  SELECT source, doc_id, event_seq, unnest(tokens) AS token"
+        "  FROM kept) occ"
+        " JOIN (SELECT token, cast(count(*) AS bigint) AS cnt FROM"
+        "       (SELECT unnest(tokens) AS token FROM kept)"
+        "       GROUP BY token) f USING (token)"
+        " CROSS JOIN (SELECT cast(sum(n_tok) AS bigint) AS total_tok"
+        "             FROM kept) t"
+        " GROUP BY source, doc_id, event_seq",
         _X_ENRICHED,
     )
     # within-document duplicate-3-gram fraction (Gopher repetition filter);

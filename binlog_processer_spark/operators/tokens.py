@@ -247,6 +247,54 @@ def doc_idf_score(
     )
 
 
+def doc_unigram_logprob(
+    kept: DataFrame,
+    freqs: DataFrame | None = None,
+    total: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram surprisal: mean over token OCCURRENCES
+    of −ln p(token), p estimated from the corpus itself, published in
+    milli-nats (bigint). The CCNet-style model-based quality signal
+    (Wenzek et al. 2020 rank documents by LM perplexity; a unigram LM is
+    its zero-context form and needs no model artifact): low = repetitive
+    boilerplate, high = noise/misparse — the mix keeps the middle band.
+
+    Two-pass by nature (the LM is a corpus statistic). Pass precomputed
+    ``token_frequencies(kept, min_support_ppm=0)`` + total to reuse
+    them — the same precomputed-input pattern as ``doc_idf_score``.
+    Unlike IDF this weighs every occurrence (surprisal is a property of
+    the stream, not the vocabulary): explode → broadcast-join the
+    vocabulary-bounded freq table → per-doc mean. Tokens below the freq
+    table's support floor (when a caller passes a pruned table) are
+    scored at the floor of the table — join inner, so they drop out of
+    the mean; pass an unpruned table for exactness.
+    """
+    if freqs is None:
+        freqs = token_frequencies(kept, min_support_ppm=0)
+    if total is None:
+        total = _total_tokens(kept)
+    occ = kept.select(
+        "source", "doc_id", "event_seq", F.explode("tokens").alias("token")
+    )
+    return (
+        occ.join(F.broadcast(freqs), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "doc_id", "event_seq")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.col("cnt").cast("double") / F.col("total_tok")
+                    )
+                )
+                * 1000
+            )
+            .cast("bigint")
+            .alias("surprisal_mn")
+        )
+    )
+
+
 def _gram_strings(n: int, stride: int = 1) -> F.Column:
     """Array of the row's token ``n``-grams, each rendered as the
     ``'-'``-joined decimal token string (identical text in Spark and

@@ -193,3 +193,23 @@ def test_duplicated_spans_two_level_agg_no_expand(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Expand" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_doc_unigram_logprob(spark):
+    from math import log
+
+    from binlog_processer_spark.operators.tokens import doc_unigram_logprob
+
+    # corpus: token 1 appears 6x, token 2 2x -> p(1)=0.75, p(2)=0.25
+    df = spark.createDataFrame(
+        [
+            ("a", "d1", 1, [1, 1, 1, 1], 4),
+            ("a", "d2", 2, [1, 1, 2, 2], 4),
+        ],
+        "source string, doc_id string, event_seq long,"
+        " tokens array<int>, n_tok int",
+    )
+    got = {r.doc_id: r.surprisal_mn
+           for r in doc_unigram_logprob(df).collect()}
+    assert got["d1"] == round(-log(0.75) * 1000)
+    assert got["d2"] == round((-log(0.75) - log(0.25)) / 2 * 1000)
