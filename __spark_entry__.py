@@ -882,6 +882,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = dedup_components
 
+    def dedup_components_lss(spark, sf_dir):
+        # same pair graph, resolved by large-star/small-star alternation
+        # (Kiveris et al. 2014) — O(log^2 n) rounds instead of diameter;
+        # must produce the identical clustering
+        from binlog_processer_spark.operators.dedup import (
+            alternating_components,
+        )
+
+        return alternating_components(
+            minhash_lsh_pairs(_docs(spark, sf_dir), k=8, bands=4)
+        )
+
+    q["dedup_components_lss"] = dedup_components_lss
+
     def dedup_keep_list(spark, sf_dir):
         # the end-to-end dedup decision: corpus minus every clustered doc
         # except its representative
@@ -1659,6 +1673,9 @@ grid AS (
         "  FROM reach GROUP BY a)"
     )
     o["dedup_components"] = _comp_ctes + " SELECT doc_id, component_id FROM comp"
+    # large-star/small-star resolves the SAME pair graph to the SAME
+    # clustering — one oracle serves both implementations
+    o["dedup_components_lss"] = o["dedup_components"]
     # incremental = the full-LSH pair set restricted to pairs touching a
     # new-batch doc (doc_id%5==0); the Spark side never re-hashes the rest
     o["dedup_minhash_incremental"] = (

@@ -329,6 +329,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def _loop_checkpointer(df: DataFrame):
+    """(checkpoint, free) helpers for iterative-loop lineage truncation.
+
+    Retired rounds' checkpoint blocks must be freed EXPLICITLY:
+    ``df.unpersist()`` is a no-op on a localCheckpoint'd frame (the blocks
+    belong to the checkpointed RDD, not the cache manager), and waiting on
+    ContextCleaner leaves up to max_iter snapshots resident. Each
+    snapshot's RDD id is attributed by storage-info diff around its own
+    materializing action — exact in a single-threaded loop; a driver
+    running OTHER localCheckpoint loops concurrently in the same
+    SparkContext could be misattributed, which no caller here does.
+    """
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _stored_ids() -> set[int]:
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    def _checkpoint(frame: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = _stored_ids()
+        out = frame.localCheckpoint()  # eager: materializes here
+        return out, _stored_ids() - before
+
+    def _free(ids: set[int]) -> None:
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+
+    return _checkpoint, _free
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -373,29 +402,7 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    # retired rounds' checkpoint blocks must be freed EXPLICITLY:
-    # df.unpersist() is a no-op on a localCheckpoint'd frame (the blocks
-    # belong to the checkpointed RDD, not the cache manager), and waiting
-    # on ContextCleaner leaves up to max_iter label snapshots resident.
-    # Each snapshot's RDD id is attributed by storage-info diff around
-    # its own materializing action — exact in this (single-threaded)
-    # loop; a driver running OTHER localCheckpoint loops concurrently in
-    # the same SparkContext could be misattributed, which no caller here
-    # does.
-    jsc = pairs.sparkSession.sparkContext._jsc.sc()
-
-    def _stored_ids() -> set[int]:
-        return {i.id() for i in jsc.getRDDStorageInfo()}
-
-    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        before = _stored_ids()
-        out = df.localCheckpoint()  # eager: materializes here
-        return out, _stored_ids() - before
-
-    def _free(ids: set[int]) -> None:
-        for rid in ids:
-            jsc.unpersistRDD(rid, False)
-
+    _checkpoint, _free = _loop_checkpointer(pairs)
     try:
         labels, label_ids = _checkpoint(
             edges.select(F.col("src").alias("node"))
@@ -435,6 +442,126 @@ def connected_components(
         )
     finally:
         edges.unpersist()  # idempotent under a later unpin_all
+
+
+def alternating_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — the round-count
+    upgrade ``connected_components`` documents for web scale. Min-label
+    propagation needs DIAMETER rounds; the alternating algorithm
+    contracts the graph toward per-component stars in O(log^2 n) rounds
+    regardless of diameter, so a 10^12-row corpus whose dup graph grew a
+    long chain (boilerplate families chain A~B~C~... routinely) does not
+    hold the cluster for a thousand barriers.
+
+    Each round is two phases over the current edge set E (held as
+    directed (node, parent) with parent < node; doc ids compare
+    lexicographically, matching every pair generator here and the DuckDB
+    oracle):
+
+    - large-star: for every node u with neighborhood G(u) (symmetrized),
+      m(u) = min(G(u) + {u}); emit (v, m(u)) for each v in G(u), v > u.
+      Every emitted edge already satisfies parent < node since
+      m(u) <= u < v.
+    - small-star: per node u over its parents N(u) (all < u),
+      m = min(N(u)); emit (u, m) and (v, m) for each parent v != m.
+
+    Both phases are one aggregate + one join over the edge list — the
+    same per-round dataflow as min-label propagation, on the edge
+    relation the banded-LSH generators already bounded to ~linear size.
+    Fixed point: E = {(v, c_v): c_v the component min} (per-component
+    stars); detected by an exact symmetric ``exceptAll`` emptiness check,
+    gated behind a cheap (count, hash-sum) digest so the two extra joins
+    run only on candidate rounds. Labels then read directly off the
+    stars. Lineage is truncated per phase via localCheckpoint exactly as
+    in ``connected_components`` (see that docstring for why persist()
+    alone explodes Catalyst time).
+
+    Output schema matches ``connected_components``: (doc_id,
+    component_id), one row per document that appears in any pair.
+    Raises after ``max_iter`` alternation rounds without convergence.
+    """
+    _checkpoint, _free = _loop_checkpointer(pairs)
+
+    def _digest(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # xor, not sum: ANSI mode makes a 64-bit hash sum overflow
+            F.expr("bit_xor(xxhash64(node, parent))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    # canonicalize: undirected pairs -> (node, parent), parent < node
+    a, b = F.col(id_a), F.col(id_b)
+    edges, edge_ids = _checkpoint(
+        pairs.select(
+            F.greatest(a, b).alias("node"), F.least(a, b).alias("parent")
+        )
+        .filter(F.col("node") != F.col("parent"))
+        .distinct()
+    )
+    digest = _digest(edges)
+    try:
+        for _ in range(max_iter):
+            # -- large-star: symmetrize, per-u min, reattach larger nbrs
+            sym = edges.select("node", "parent").unionByName(
+                edges.select(
+                    F.col("parent").alias("node"), F.col("node").alias("parent")
+                )
+            )
+            mins = sym.groupBy("node").agg(F.min("parent").alias("mp"))
+            large, large_ids = _checkpoint(
+                sym.join(mins, "node")
+                .filter(F.col("parent") > F.col("node"))
+                .select(
+                    F.col("parent").alias("node"),
+                    F.least(F.col("mp"), F.col("node")).alias("parent"),
+                )
+                .distinct()
+            )
+            # -- small-star: per-node min parent; star the rest onto it
+            sm = large.groupBy("node").agg(F.min("parent").alias("m"))
+            joined = large.join(sm, "node")
+            small, small_ids = _checkpoint(
+                joined.select("node", F.col("m").alias("parent"))
+                .unionByName(
+                    joined.filter(F.col("parent") != F.col("m")).select(
+                        F.col("parent").alias("node"), F.col("m").alias("parent")
+                    )
+                )
+                .distinct()
+            )
+            _free(large_ids)
+            new_digest = _digest(small)
+            if new_digest == digest:
+                # digest match is evidence; confirm the fixed point exactly
+                same = (
+                    small.exceptAll(edges).isEmpty()
+                    and edges.exceptAll(small).isEmpty()
+                )
+                if same:
+                    _free(edge_ids)
+                    roots = small.select(
+                        F.col("parent").alias("doc_id"),
+                        F.col("parent").alias("component_id"),
+                    ).distinct()
+                    return small.select(
+                        F.col("node").alias("doc_id"),
+                        F.col("parent").alias("component_id"),
+                    ).unionByName(roots)
+            _free(edge_ids)
+            edges, edge_ids, digest = small, small_ids, new_digest
+        raise RuntimeError(
+            f"alternating_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        _free(edge_ids)
 
 
 def keep_representatives(

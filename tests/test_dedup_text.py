@@ -132,6 +132,60 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {100} and len(got) == 12
 
 
+def test_alternating_components_matches_min_label(spark):
+    from binlog_processer_spark.operators.dedup import (
+        alternating_components,
+        connected_components,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # random sparse graph: chains, stars, isolated pairs, dense blob
+    edges = [(i, i + 1) for i in range(1, 6)]
+    edges += [(20, v) for v in (21, 22, 23)]
+    edges += [(30, 31), (40, 41)]
+    edges += [(rng.randint(50, 60), rng.randint(50, 60)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    want = {r.doc_id: r.component_id
+            for r in connected_components(pairs).collect()}
+    got = {r.doc_id: r.component_id
+           for r in alternating_components(pairs).collect()}
+    assert got == want
+
+
+def test_alternating_components_beats_diameter(spark):
+    from binlog_processer_spark.operators.dedup import (
+        alternating_components,
+    )
+
+    # a 64-node path has diameter 63: min-label propagation needs ~63
+    # rounds; the alternating algorithm must finish in O(log^2 n) — give
+    # it 12 and it converges with the single component labeled by the min
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 263)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.component_id
+           for r in alternating_components(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {200} and len(got) == 64
+
+
+def test_alternating_components_string_ids(spark):
+    from binlog_processer_spark.operators.dedup import (
+        alternating_components,
+    )
+
+    # doc ids are strings in the corpus: min must be lexicographic,
+    # matching the pair generators and the DuckDB oracle
+    pairs = spark.createDataFrame(
+        [("d09", "d10"), ("d10", "d2")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.component_id
+           for r in alternating_components(pairs).collect()}
+    assert got == {"d09": "d09", "d10": "d09", "d2": "d09"}
+
+
 def test_keep_representatives(spark):
     from binlog_processer_spark.operators.dedup import keep_representatives
 
