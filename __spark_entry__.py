@@ -1020,6 +1020,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_semantic_clustered"] = dedup_semantic_clustered
     q["text_token_counts"] = lambda s, d: token_count_cols(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
+
+    def text_filter_funnel(spark, sf_dir):
+        # C4/Gopher-style cascade funnel report: one corpus pass, one row
+        # per stage (marginal rejects + cumulative survivors)
+        from binlog_processer_spark.functions.text import filter_funnel
+
+        return filter_funnel(_docs(spark, sf_dir))
+
+    q["text_filter_funnel"] = text_filter_funnel
+
+    def text_filter_kept(spark, sf_dir):
+        # the cascade's keep decision applied to the corpus
+        from binlog_processer_spark.functions.text import (
+            apply_filter_funnel,
+        )
+
+        return apply_filter_funnel(_docs(spark, sf_dir)).select(
+            "doc_id", "source"
+        )
+
+    q["text_filter_kept"] = text_filter_kept
     q["text_lang_id"] = lambda s, d: lang_id(_docs(s, d))
     q["text_fingerprints"] = lambda s, d: fingerprints(_docs(s, d))
 
@@ -1991,6 +2012,37 @@ grid AS (
         f" + (CASE WHEN ({_mwl_bp}) BETWEEN 30000 AND 80000 THEN 3000 ELSE 0 END)"
         f" + (CASE WHEN ({_stop_bp}) > 0 THEN 3000 ELSE 0 END) AS bigint)"
         " AS quality_bp FROM documents"
+    )
+    # filter-funnel cascade: same five boolean stages as
+    # text.default_funnel_stages, same floor/integer arithmetic
+    _dist_bp = (
+        f"CASE WHEN ({_nw}) = 0 THEN 0 ELSE"
+        f" cast(floor(len(list_distinct({DW})) * 10000 / ({_nw}))"
+        " AS bigint) END"
+    )
+    _funnel_flags = [
+        ("lang_allowed", "lang IN ('en', 'de', 'fr')"),
+        ("min_words", f"({_nw}) >= 15"),
+        ("max_words", f"({_nw}) <= 80"),
+        ("stopword_floor", f"({_stop_bp}) >= 200"),
+        ("distinct_ratio", f"({_dist_bp}) >= 5500"),
+    ]
+    _funnel_src = "SELECT " + ", ".join(
+        f"({cond}) AS f{i}" for i, (_, cond) in enumerate(_funnel_flags)
+    ) + " FROM documents"
+    o["text_filter_funnel"] = " UNION ALL ".join(
+        f"SELECT cast({i} AS int) AS stage_idx, '{name}' AS stage,"
+        f" cast(sum(CASE WHEN f{i} THEN 0 ELSE 1 END) AS bigint)"
+        " AS fail_marginal,"
+        " cast(sum(CASE WHEN "
+        + " AND ".join(f"f{j}" for j in range(i + 1))
+        + f" THEN 1 ELSE 0 END) AS bigint) AS survivors"
+        f" FROM ({_funnel_src})"
+        for i, (name, _) in enumerate(_funnel_flags)
+    )
+    o["text_filter_kept"] = (
+        "SELECT doc_id, source FROM documents WHERE "
+        + " AND ".join(f"({cond})" for _, cond in _funnel_flags)
     )
     # exact per-source holdout: k smallest md5 prefixes (ties by doc_id);
     # the Spark side ranks on the SAME 8-hex prefix + id order

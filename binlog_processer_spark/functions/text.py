@@ -136,3 +136,90 @@ def fingerprints(df: DataFrame) -> DataFrame:
             f"md5(array_join(array_sort(array_distinct({sh})), '|')) END"
         ).alias("shingle_fp"),
     )
+
+
+_DISTINCT_BP = (
+    f"CASE WHEN ({_N_WORDS}) = 0 THEN 0 ELSE "
+    f"cast(floor(size(array_distinct({WORDS})) * 10000 / ({_N_WORDS}))"
+    " as bigint) END"
+)
+
+
+def default_funnel_stages() -> list[tuple[str, Column]]:
+    """The default quality-filter cascade over the documents table — the
+    C4/Gopher/RefinedWeb-shaped rule family, each stage one codegen
+    boolean over the shared word expressions (no UDF, no shuffle):
+
+    1. lang_allowed — language whitelist
+    2. min_words / max_words — Gopher word-count band
+    3. stopword_floor — C4's "has stopwords" symbol-soup rejector
+    4. distinct_ratio — low lexical diversity (boilerplate/spam) floor
+
+    Thresholds are tuned for the synthetic corpus so every stage has
+    real selectivity at sf0.01; a production pipeline passes its own
+    ``stages`` list built from the same primitives.
+    """
+    return [
+        ("lang_allowed", F.col("lang").isin("en", "de", "fr")),
+        ("min_words", F.expr(_N_WORDS) >= 15),
+        ("max_words", F.expr(_N_WORDS) <= 80),
+        ("stopword_floor", stopword_ratio_bp() >= 200),
+        ("distinct_ratio", F.expr(_DISTINCT_BP) >= 5500),
+    ]
+
+
+def filter_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]] | None = None
+) -> DataFrame:
+    """Per-stage funnel report for a filter cascade: for each stage, how
+    many documents it rejects on its own (``fail_marginal``) and how many
+    survive the cascade up to and including it (``survivors``) — the
+    standard corpus-QA artifact a training-data pipeline publishes with
+    every ingest.
+
+    ONE pass, fully codegen: every stage flag is a boolean expression in
+    a single projection, the counts are one global aggregate (bounded
+    output: one row per stage via ``stack``). No per-stage scan, no
+    shuffle beyond the final single-row aggregate — at 10^12 rows this
+    costs exactly one corpus read.
+
+    Returns (stage_idx int, stage string, fail_marginal bigint,
+    survivors bigint), one row per stage in cascade order.
+    """
+    stages = stages if stages is not None else default_funnel_stages()
+    flags = df.select(
+        *[
+            c.cast("int").alias(f"f{i}")
+            for i, (_, c) in enumerate(stages)
+        ]
+    )
+    aggs = []
+    cum = None
+    for i in range(len(stages)):
+        f = F.col(f"f{i}")
+        aggs.append(F.sum(1 - f).alias(f"fail{i}"))
+        cum = f if cum is None else cum * f
+        aggs.append(F.sum(cum).alias(f"cum{i}"))
+    stack_args = ", ".join(
+        f"cast({i} as int), '{name}', fail{i}, cum{i}"
+        for i, (name, _) in enumerate(stages)
+    )
+    return flags.agg(*aggs).select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args})"
+            " as (stage_idx, stage, fail_marginal, survivors)"
+        )
+    )
+
+
+def apply_filter_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]] | None = None
+) -> DataFrame:
+    """The cascade's keep decision: documents passing EVERY stage.
+    Same boolean expressions as ``filter_funnel`` (one projection, pure
+    codegen filter pushed to the scan)."""
+    stages = stages if stages is not None else default_funnel_stages()
+    keep = None
+    for _, c in stages:
+        keep = c if keep is None else keep & c
+    return df.filter(keep)

@@ -224,3 +224,46 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert inc == touching_new
     # docs 1,2,3 all pair under full LSH; only pairs touching doc 2 remain
     assert (1, 2) in inc and (2, 3) in inc and (1, 3) not in inc
+
+
+def test_filter_funnel_counts_and_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.functions.text import (
+        apply_filter_funnel,
+        filter_funnel,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything: en, 20 words incl stopwords, diverse
+            (1, " ".join(f"the w{i}" for i in range(10)), "en", "s"),
+            # wrong language — must ONLY fail stage 0
+            (2, " ".join(f"the w{i}" for i in range(10)), "zh", "s"),
+            # too short (3 words)
+            (3, "the quick fox", "en", "s"),
+            # no stopwords at all
+            (4, " ".join(f"w{i}" for i in range(20)), "en", "s"),
+            # one word repeated: fails distinct_ratio (and stopword)
+            (5, " ".join(["the"] * 20 + ["x"] * 10), "en", "s"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rep = {
+        r.stage: (r.fail_marginal, r.survivors)
+        for r in filter_funnel(docs).collect()
+    }
+    assert rep["lang_allowed"] == (1, 4)      # doc2 out
+    assert rep["min_words"] == (1, 3)         # doc3 out
+    assert rep["max_words"] == (0, 3)
+    assert rep["stopword_floor"] == (1, 2)    # doc4 out
+    # doc5: 2 distinct of 30 words -> fails marginal AND cumulative
+    assert rep["distinct_ratio"][0] >= 1
+    assert rep["distinct_ratio"][1] == 1      # only doc1 survives
+    kept = [r.doc_id for r in apply_filter_funnel(docs).collect()]
+    assert kept == [1]
+
+    # single-pass: the report plan contains exactly one scan and no
+    # Exchange beyond the single-row final aggregate's
+    plan = filter_funnel(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
