@@ -41,6 +41,7 @@ def run_pipeline(
     resume: bool = True,
     with_metrics: bool = True,
     profile: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> PipelineResult:
     """raw_df: one `raw` string column (the serialized event log).
     routing_df: broadcast dimension (table_key → sink attributes).
@@ -148,6 +149,10 @@ def run_pipeline(
             routed,
             partition_by=PARTITION_COLS,
             mode="overwrite" if not resume else "append",
+            # opt-in zone maps (e.g. ["commit_ts"]): one footer pass at
+            # commit; selective readers then plan file-skipping from the
+            # manifest (SnapshotTable.read_where)
+            stats_columns=stats_columns,
         )
         phases["route_write"] = round(time.time() - t, 3)
         # aggregates reflect the committed table (not just the increment) so

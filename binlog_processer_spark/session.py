@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # parity with DuckDB oracle: no legacy rebase surprises on timestamps
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # INT96 (Spark's legacy default) is deprecated AND writes no footer
+        # min/max, which blanks timestamp zone maps (SnapshotTable
+        # stats_columns); micros is what Iceberg mandates for v2 tables
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # v2: tasks move their files into the final dirs at task commit
         # (parallel) instead of a sequential driver-side move at job commit —

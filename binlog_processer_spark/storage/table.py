@@ -35,6 +35,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from . import fs as fsmod
@@ -163,6 +164,167 @@ class SnapshotTable:
             )
         return sorted(out)
 
+    # -- zone-map stats --------------------------------------------------
+    @staticmethod
+    def _stat_scalar(v):
+        """JSON-comparable form of a footer stat or predicate bound:
+        ints/floats/strings/bools pass through, timestamps become epoch
+        MICROSECONDS (naive datetimes read as UTC — the engine pins the
+        session timezone to UTC), dates become ISO strings (lexicographic
+        order = date order). Returns None for types with no stable order
+        across a JSON round-trip — the caller treats those as unknown.
+        The SAME conversion runs at record time and at prune time, so a
+        datetime predicate compares against datetime-derived stats
+        consistently; the residual filter in ``read_where`` keeps results
+        exact even if a bound of a mismatched type disables pruning."""
+        import datetime as _dt
+
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return None
+
+    def _footer_stats(
+        self, rel_files: list[str], columns: list[str]
+    ) -> dict[str, dict]:
+        """Per-file ``{col: [min, max]}`` zone maps for top-level columns,
+        read from parquet FOOTERS only (no data pages) — one bounded
+        driver-side pass per commit, the Iceberg-manifest technique that
+        lets selective reads skip files entirely at 10^12 rows.
+
+        Per column per file: ``[min, max]`` when every column chunk
+        carries trustworthy min/max; ``None`` when the column holds no
+        non-null value in the file (range predicates can drop it
+        outright); ABSENT when any chunk lacks stats or the value type
+        is not order-comparable across JSON (pruning then keeps the
+        file — unknown is always safe). URI-rooted tables record no
+        stats here (footers are not reachable driver-side without a
+        Hadoop stream); on a real cluster collect them executor-side
+        with an ``input_file_name()`` aggregate instead.
+        """
+        if fsmod.is_uri(self.root):
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships in env
+            return {}
+        want = set(columns)
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            md = pq.ParquetFile(self._join(rel)).metadata
+            agg: dict[str, list | None] = {}
+            unknown: set[str] = set()
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    cc = rg.column(i)
+                    name = cc.path_in_schema
+                    if name not in want or name in unknown:
+                        continue
+                    st = cc.statistics
+                    if st is None:
+                        unknown.add(name)
+                        continue
+                    if not st.has_min_max:
+                        # no bounds: fine only if the chunk is all-null
+                        if st.null_count == cc.num_values:
+                            agg.setdefault(name, None)
+                        else:
+                            unknown.add(name)
+                        continue
+                    mn = self._stat_scalar(st.min)
+                    mx = self._stat_scalar(st.max)
+                    if mn is None or mx is None:
+                        unknown.add(name)  # not JSON-order-comparable
+                        continue
+                    cur = agg.get(name)
+                    if cur is None:
+                        agg[name] = [mn, mx]
+                    else:
+                        agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+            out[rel] = {
+                c: v for c, v in agg.items() if c not in unknown
+            }
+        return out
+
+    def prune_files(
+        self,
+        predicates: dict[str, tuple],
+        snapshot: int | None = None,
+    ) -> list[str]:
+        """Manifest-only file pruning: root-relative files of the snapshot
+        that MAY contain rows matching every predicate. ``predicates`` maps
+        column → inclusive ``(lo, hi)`` bounds (either side ``None`` =
+        unbounded; equality = ``(v, v)``). A file is dropped only when its
+        recorded zone map PROVES a predicate empty — missing stats always
+        keep the file, so the result is a superset of the matching files
+        and exactness lives in the residual filter (``read_where``).
+        No filesystem access at all: one JSON manifest read."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(snap)
+        stats = m.get("file_stats", {})
+        keep: list[str] = []
+        for rel in self._files_rel(m):
+            fst = stats.get(rel)
+            if fst is None:
+                keep.append(rel)
+                continue
+            skip = False
+            for col, (lo, hi) in predicates.items():
+                if col not in fst:
+                    continue  # unknown → cannot prune on this column
+                rng = fst[col]
+                if rng is None:  # no non-null values: no range can match
+                    skip = True
+                    break
+                mn, mx = rng
+                lo_s = self._stat_scalar(lo) if lo is not None else None
+                hi_s = self._stat_scalar(hi) if hi is not None else None
+                if (lo_s is not None and mx < lo_s) or (
+                    hi_s is not None and mn > hi_s
+                ):
+                    skip = True
+                    break
+            if not skip:
+                keep.append(rel)
+        return keep
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned scan with the EXACT residual filter applied:
+        plans only the files ``prune_files`` keeps, then filters rows to
+        the predicate bounds, so results are identical to
+        ``read().filter(...)`` whether or not any stats were recorded —
+        stats only decide how many files the scan opens."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        files = self.prune_files(predicates, snap)
+        if files:
+            df = self.read_files(spark, files, snap)
+        else:
+            m = self._manifest(snap)
+            df = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
+
     # -- write ---------------------------------------------------------------
     def write(
         self,
@@ -171,10 +333,22 @@ class SnapshotTable:
         mode: str = "overwrite",
         properties: dict | None = None,
         file_format: str = "parquet",
+        stats_columns: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """``file_format``: 'parquet' (default) or 'orc' — the ORC path is the
         Hive-side S9 analogue (HiveCompareByFile.java reads ORC tables); a
-        table keeps one format for its whole lineage."""
+        table keeps one format for its whole lineage.
+
+        ``stats_columns``: record per-file min/max zone maps in the manifest
+        at commit (see ``prune_files``/``read_where``). ``cluster_by``:
+        range-distribute rows across tasks on these columns before writing
+        (one extra shuffle — Iceberg's ``write.distribution-mode=range`` +
+        sort-order analogue) so each data file covers a tight value range.
+        Without it zone maps are technically correct but prune nothing:
+        every task holds rows from the whole domain, so every file's
+        min/max spans the whole domain too — in-task sorting alone cannot
+        narrow a file's range, only routing can."""
         parent = self.current_snapshot()
         snap = (parent + 1) if parent is not None else 0
         snap_dir = self._join(f"snap-{snap}")
@@ -209,6 +383,10 @@ class SnapshotTable:
                         "a migration) to change a table's schema"
                     )
                 excluded = pm.get("excluded_files", [])
+        if cluster_by:
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         w = df.write.mode("errorifexists")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -217,10 +395,20 @@ class SnapshotTable:
         ext = "." + ("orc" if file_format == "orc" else "parquet")
         sizes = self._sizes_rel(data_dir, ext)
         files = sorted(sizes)
-        data_dirs = [fsmod.rel_to(data_dir, self.root)]
+        new_files = files
+        file_stats: dict[str, dict] = {}
         if mode == "append" and parent is not None:
             pm = self._manifest(parent)
-            data_dirs = pm["data_dirs"] + data_dirs
+            data_dirs_parent = pm["data_dirs"]
+            # a table that records zone maps keeps recording them: appends
+            # inherit the stats contract (and the parent files' stats)
+            stats_columns = stats_columns or pm.get("stats_columns") or None
+            file_stats.update(pm.get("file_stats", {}))
+        if stats_columns and file_format == "parquet":
+            file_stats.update(self._footer_stats(new_files, stats_columns))
+        data_dirs = [fsmod.rel_to(data_dir, self.root)]
+        if mode == "append" and parent is not None:
+            data_dirs = data_dirs_parent + data_dirs
             files = sorted(self._files_rel(pm) + files)
             sizes.update(pm.get("file_bytes", {}))
         manifest = {
@@ -245,6 +433,13 @@ class SnapshotTable:
             "schema": df.schema.json(),
             "properties": properties or {},
         }
+        if stats_columns and file_format == "parquet":
+            # per-file [min,max] zone maps from the commit-time footer
+            # pass — prune_files/read_where plan file-skipping from these
+            manifest["stats_columns"] = stats_columns
+            manifest["file_stats"] = {
+                p: file_stats[p] for p in files if p in file_stats
+            }
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
@@ -278,6 +473,10 @@ class SnapshotTable:
             },
             "excluded_files": sorted(set(m.get("excluded_files", [])) | rel),
         }
+        if "file_stats" in m:
+            manifest["file_stats"] = {
+                p: s for p, s in m["file_stats"].items() if p not in rel
+            }
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
@@ -421,6 +620,18 @@ class SnapshotTable:
             "schema": pm["schema"],
             "properties": pm.get("properties", {}),
         }
+        stats_cols = pm.get("stats_columns")
+        if stats_cols and file_format == "parquet":
+            kept_stats = {
+                p: s
+                for p, s in pm.get("file_stats", {}).items()
+                if p not in rel_removed
+            }
+            manifest["stats_columns"] = stats_cols
+            manifest["file_stats"] = {
+                **kept_stats,
+                **self._footer_stats(sorted(new_sizes), stats_cols),
+            }
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap

@@ -44,6 +44,11 @@ def main() -> None:
                          "per partition per run; see jobs/run_compact.py for "
                          "the standalone/offline form)")
     ap.add_argument("--compact-target-mb", type=int, default=128)
+    ap.add_argument("--stats-columns", metavar="COLS",
+                    help="comma-separated routed-table columns to record "
+                         "per-file min/max zone maps for at commit "
+                         "(e.g. commit_ts,n_tok); selective readers then "
+                         "skip files via SnapshotTable.read_where")
     args = ap.parse_args()
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
@@ -57,7 +62,11 @@ def main() -> None:
         raw = spark.read.parquet(args.input)
 
     res = run_pipeline(
-        spark, raw, routing_dim(spark), args.output, resume=not args.no_resume
+        spark, raw, routing_dim(spark), args.output,
+        resume=not args.no_resume,
+        stats_columns=(
+            args.stats_columns.split(",") if args.stats_columns else None
+        ),
     )
     metrics = dict(res.metrics)
     if args.compact:
