@@ -896,6 +896,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components_lss"] = dedup_components_lss
 
+    def dedup_source_matrix(spark, sf_dir):
+        # cross-source containment: near-dup pair counts per unordered
+        # source pair — the source-priority input for multi-source dedup
+        from binlog_processer_spark.operators.dedup import (
+            source_overlap_matrix,
+        )
+
+        docs = _docs(spark, sf_dir)
+        return source_overlap_matrix(
+            docs, minhash_lsh_pairs(docs, k=8, bands=4)
+        )
+
+    q["dedup_source_matrix"] = dedup_source_matrix
+
     def dedup_keep_list(spark, sf_dir):
         # the end-to-end dedup decision: corpus minus every clustered doc
         # except its representative
@@ -1697,6 +1711,21 @@ grid AS (
     # large-star/small-star resolves the SAME pair graph to the SAME
     # clustering — one oracle serves both implementations
     o["dedup_components_lss"] = o["dedup_components"]
+    o["dedup_source_matrix"] = (
+        f"WITH banded AS (SELECT doc_id, {_bands} FROM documents"
+        f" WHERE len({DW}) >= 3),"
+        f" stacked AS ({_stack}),"
+        " pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b"
+        "  FROM stacked l JOIN stacked r ON l.band_id = r.band_id"
+        "  AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"
+        " SELECT least(da.source, db.source) AS source_a,"
+        " greatest(da.source, db.source) AS source_b,"
+        " cast(count(*) AS bigint) AS n_pairs"
+        " FROM pairs p"
+        " JOIN documents da ON p.a = da.doc_id"
+        " JOIN documents db ON p.b = db.doc_id"
+        " GROUP BY 1, 2"
+    )
     # incremental = the full-LSH pair set restricted to pairs touching a
     # new-batch doc (doc_id%5==0); the Spark side never re-hashes the rest
     o["dedup_minhash_incremental"] = (

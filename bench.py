@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_span_coverage",
     "dedup_semantic_clustered",
     "mix_quality_budget",
+    "text_filter_funnel",
+    "dedup_source_matrix",
 ]
 
 

@@ -564,6 +564,54 @@ def alternating_components(
         _free(edge_ids)
 
 
+def source_overlap_matrix(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Cross-source near-dup containment: for every unordered source
+    pair, how many near-dup pairs straddle (or stay inside) it — the
+    report that decides source priority when deduplicating a multi-source
+    corpus (which feeds copy which; whether a crawl snapshot largely
+    duplicates an older one).
+
+    Scale shape: ONE corpus scan restricted by a broadcast semi-join to
+    the paired doc ids (the LSH-bounded pair list is orders of magnitude
+    smaller than the corpus), then pair→source resolution through TWO
+    broadcast joins of that small mapping — the fact table never
+    shuffles, and the output is bounded by sources² regardless of corpus
+    size. Returns (source_a, source_b, n_pairs) with source_a <=
+    source_b lexicographically, each pair counted once.
+    """
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # pin: both broadcast builds below read the cached mapping instead of
+    # re-scanning the corpus (one fact scan total)
+    m = pin(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
+            "doc_id", "source"
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(m.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("source").alias("src_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(m.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("source").alias("src_b"))),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def keep_representatives(
     docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

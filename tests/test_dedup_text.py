@@ -267,3 +267,23 @@ def test_filter_funnel_counts_and_single_pass(spark):
     # Exchange beyond the single-row final aggregate's
     plan = filter_funnel(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_source_overlap_matrix(spark):
+    from binlog_processer_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a", "crawl1"), (2, "b", "crawl2"), (3, "c", "crawl2"),
+         (4, "d", "books"), (9, "e", "crawl1")],
+        "doc_id bigint, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        # crawl1~crawl2 twice (1-2, 9-3), within-crawl2 once (2-3),
+        # books~crawl1 once (4-9); pair order must not matter
+        [(1, 2), (9, 3), (2, 3), (9, 4)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in source_overlap_matrix(docs, pairs).collect()}
+    assert got == {("crawl1", "crawl2"): 2, ("crawl2", "crawl2"): 1,
+                   ("books", "crawl1"): 1}
