@@ -110,6 +110,18 @@ def _duck_md5_arr(col: str) -> str:
     return f"md5(array_to_string(list_transform({col}, x -> cast(x as varchar)), ','))"
 
 
+# deterministic PII tail appended to every document for text_pii_scrub —
+# written in the SQL subset both Spark and DuckDB parse identically, so
+# the SAME string builds the Spark input and the oracle input
+_PII_INJECT_SQL = (
+    "concat(text, ' contact user', cast(doc_id as string),"
+    " '@example.com via 10.', cast(doc_id % 200 as string), '.0.',"
+    " cast(doc_id % 250 as string),"
+    " case when doc_id % 3 = 0 then concat(' call +1-555-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end)"
+)
+
+
 def _replica_from_fs(fs: DataFrame, mutated: bool) -> DataFrame:
     """Replica of the downstream store (TiDB/Hive analogue) derived from the
     corpus final state; ``mutated`` injects deterministic discrepancies:
@@ -864,6 +876,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return holdout_carve(_docs(spark, sf_dir), k=25)
 
     q["mix_holdout_carve"] = mix_holdout_carve
+
+    def mix_shard_assign(spark, sf_dir):
+        # deterministic export sharding: (doc, shard, in-shard position)
+        from binlog_processer_spark.operators.mix import shard_assign
+
+        return shard_assign(_docs(spark, sf_dir), n_shards=16)
+
+    q["mix_shard_assign"] = mix_shard_assign
+
+    def mix_pack_boundaries(spark, sf_dir):
+        # per-packed-sequence doc-boundary offsets (attention-mask input);
+        # the boundary array surfaces as an md5 digest (driver canon
+        # hashes scalars, not arrays)
+        from binlog_processer_spark.operators.mix import (
+            pack_sequences,
+            sequence_boundaries,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        b = sequence_boundaries(
+            pack_sequences(d, max_tokens=2048, shards=2), max_tokens=2048
+        )
+        return b.select(
+            "source", "shard", "seq", "n_docs",
+            _md5_arr("boundaries").alias("boundaries_md5"), "fill_bp",
+        )
+
+    q["mix_pack_boundaries"] = mix_pack_boundaries
+
+    def mix_shard_manifest(spark, sf_dir):
+        from binlog_processer_spark.operators.mix import shard_manifest
+
+        return shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+    q["mix_shard_manifest"] = mix_shard_manifest
+
+    def text_pii_scrub(spark, sf_dir):
+        # the synthetic corpus carries no PII, so the query injects a
+        # deterministic doc_id-derived email/IP/phone tail into every row
+        # (same expression in the oracle) — the scrubber is exercised on
+        # every document, not vacuously green
+        from binlog_processer_spark.functions.text import pii_scrub
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_PII_INJECT_SQL).alias("text")
+        )
+        return pii_scrub(d)
+
+    q["text_pii_scrub"] = text_pii_scrub
 
     q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
     q["dedup_minhash_sigs"] = lambda s, d: minhash_signatures(_docs(s, d), k=4)
@@ -1807,6 +1873,65 @@ grid AS (
         "  AS bigint) AS seq"
         " FROM d"
     )
+    o["mix_pack_boundaries"] = (
+        "WITH d AS (SELECT doc_id, source,"
+        " greatest(1, cast(floor(n_chars / 4) AS bigint)) AS n_tok,"
+        " cast(cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))"
+        "  AS ubigint) % 2 AS bigint) AS shard FROM documents),"
+        " p AS (SELECT source, shard, n_tok,"
+        " sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id"
+        "  ROWS UNBOUNDED PRECEDING) - n_tok AS off FROM d),"
+        " r AS (SELECT source, shard, n_tok,"
+        " cast(floor(off / 2048) AS bigint) AS seq,"
+        " off - cast(floor(off / 2048) AS bigint) * 2048 AS rel"
+        " FROM p)"
+        " SELECT source, shard, seq, count(*) AS n_docs,"
+        " md5(array_to_string(list_transform(list_sort(list(rel)),"
+        "  x -> cast(x AS varchar)), ',')) AS boundaries_md5,"
+        " cast(floor(max(rel + n_tok) * 10000 / 2048) AS bigint) AS fill_bp"
+        " FROM r GROUP BY 1, 2, 3"
+    )
+
+    _duck_pre = (
+        "cast(('0x' || substr(md5(cast(doc_id AS string)), 1, 8))"
+        " AS ubigint)"
+    )
+    o["mix_shard_assign"] = (
+        "WITH d AS (SELECT doc_id, md5(cast(doc_id AS string)) AS h,"
+        f" cast({_duck_pre} % 16 AS bigint) AS shard_id FROM documents)"
+        " SELECT doc_id, shard_id, cast(row_number() OVER"
+        " (PARTITION BY shard_id ORDER BY h) - 1 AS bigint) AS pos FROM d"
+    )
+    o["mix_shard_manifest"] = (
+        f"WITH d AS (SELECT doc_id, n_chars, {_duck_pre} AS pre"
+        " FROM documents)"
+        " SELECT cast(pre % 16 AS bigint) AS shard_id,"
+        " count(*) AS n_docs,"
+        " cast(sum(coalesce(n_chars, 0)) AS bigint) AS bytes_total,"
+        " cast(sum(pre) AS bigint) AS id_checksum FROM d GROUP BY 1"
+    )
+
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    _pii_phone = "\\+?[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}"
+    o["text_pii_scrub"] = (
+        f"WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS t0 FROM documents),"
+        " s1 AS (SELECT doc_id,"
+        f" len(regexp_extract_all(t0, '{_pii_email}')) AS n_email,"
+        f" regexp_replace(t0, '{_pii_email}', '<EMAIL>', 'g') AS t1 FROM p),"
+        " s2 AS (SELECT doc_id, n_email,"
+        f" len(regexp_extract_all(t1, '{_pii_ip}')) AS n_ipv4,"
+        f" regexp_replace(t1, '{_pii_ip}', '<IP>', 'g') AS t2 FROM s1),"
+        " s3 AS (SELECT doc_id, n_email, n_ipv4,"
+        f" len(regexp_extract_all(t2, '{_pii_phone}')) AS n_phone,"
+        f" regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g') AS t3 FROM s2)"
+        " SELECT doc_id, cast(n_email AS bigint) AS n_email,"
+        " cast(n_ipv4 AS bigint) AS n_ipv4,"
+        " cast(n_phone AS bigint) AS n_phone,"
+        " cast(length(t3) AS bigint) AS clean_len, md5(t3) AS clean_fp"
+        " FROM s3"
+    )
+
     o["mix_contamination"] = (
         f"WITH tr AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
         f" FROM documents WHERE doc_id % 20 <> 0 AND len({DW}) >= 3),"

@@ -54,6 +54,8 @@ HEADLINE = [
     "mix_quality_budget",
     "text_filter_funnel",
     "dedup_source_matrix",
+    "text_pii_scrub",
+    "mix_shard_assign",
 ]
 
 

@@ -212,6 +212,57 @@ def filter_funnel(
     )
 
 
+# PII patterns restricted to the regex subset where Java (Spark) and
+# RE2 (DuckDB/production scanners) agree: character classes, bounded/
+# open counted repetition, optional prefix — no backrefs, no lookaround,
+# no alternation whose leftmost-first (Java) vs leftmost-longest (RE2)
+# semantics could diverge. Redaction is SEQUENTIAL in list order, and
+# each count is taken on the text as already redacted by earlier stages,
+# so n_<kind> is exactly the number of replacements performed (an email's
+# digit runs can't double-count as a phone).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII redaction for training text — the scrub every published-corpus
+    pipeline runs before tokens leave the building (C4 and RefinedWeb both
+    ship regex scrub stages; the reference carries payloads opaquely and
+    has no analogue).
+
+    Pure codegen: per-pattern ``regexp_extract_all`` counts + a chained
+    ``regexp_replace``, all in ONE projection — no UDF, no shuffle; at
+    10^12 rows this is a map-only pass that pipelines into whatever write
+    follows. Returns per-doc ``n_<kind>`` counts, the redacted length, and
+    an md5 fingerprint of the redacted text (the value a downstream
+    dedup/audit joins on — the raw redacted text stays in the corpus
+    table, not in the report).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    clean = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        "doc_id",
+        *counts,
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
 def apply_filter_funnel(
     df: DataFrame, stages: list[tuple[str, Column]] | None = None
 ) -> DataFrame:

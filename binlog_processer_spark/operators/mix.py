@@ -107,6 +107,44 @@ def pack_sequences(
     )
 
 
+def sequence_boundaries(
+    packed: DataFrame,
+    max_tokens: int,
+    strat_col: str | None = "source",
+) -> DataFrame:
+    """Per-packed-sequence document boundaries — the artifact the trainer's
+    data loader needs next to the tokens: where documents start inside each
+    fixed-budget sequence, so attention masks can forbid cross-document
+    attention (the "sequence packing with boundary masks" everyone trains
+    with). Input is ``pack_sequences`` output; emits one row per
+    (stratum, shard, seq) with the IN-SEQUENCE start offsets, doc count,
+    and fill (tokens actually used, in basis points of ``max_tokens`` —
+    >10000 means the greedy tail overran, also visible to the loader).
+
+    One hash aggregate over the packed relation (keys = sequence identity,
+    map-side combinable, output rows = corpus_tokens/max_tokens): the
+    boundary arrays are sorted per group, never globally.
+    """
+    keys = ([strat_col] if strat_col else []) + ["shard", "seq"]
+    rel = F.col("offset") - F.col("seq") * max_tokens
+    return (
+        packed.select(*keys, rel.alias("__rel"), "n_tok")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list("__rel")).alias("boundaries"),
+            # floor-then-cast: double→bigint casts round in some engines
+            # (DuckDB) and truncate in others (Spark) — floor pins it
+            F.floor(
+                (F.max(F.col("__rel") + F.col("n_tok")) * 10000)
+                / max_tokens
+            )
+            .cast("bigint")
+            .alias("fill_bp"),
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     holdout: DataFrame,
@@ -165,6 +203,82 @@ def quality_token_budget(docs: DataFrame, bin_bp: int = 2500) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("bpe_tokens").cast("bigint").alias("tok_budget"),
+        )
+    )
+
+
+def _shard_id(id_col: str, n_shards: int) -> Column:
+    """Deterministic shard: first 8 md5 hex digits as uint32, mod n.
+    Uniform (md5), ingest-order-independent, and engine-independent —
+    DuckDB reproduces it as ``('0x' || substr(md5(id), 1, 8))::BIGINT %
+    n`` (hex prefix, not Spark's murmur ``hash()``, whose seed/algorithm
+    is engine-private)."""
+    return (
+        F.expr(
+            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8),"
+            " 16, 10) as bigint)"
+        )
+        % n_shards
+    ).alias("shard_id")
+
+
+def shard_assign(
+    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard export assignment: (id, shard_id,
+    pos) — which output shard each document lands in and its stable
+    position within the shard. This is the last hop of a pretraining
+    pipeline: the trainer's data loader addresses (shard, pos), so the
+    assignment must be reproducible across runs, clusters, and engines;
+    both coordinates derive only from md5(id).
+
+    Scale plan: ONE shuffle, partitioned by shard_id — exactly the
+    shuffle the export write needs anyway, so assignment and write
+    share it. Within-shard order is md5 hex (uniform ⇒ no sort skew).
+    Parallelism equals n_shards: production exports use thousands of
+    shards (n_shards ≥ executor cores), so a window per shard is the
+    natural unit — don't call this with n_shards=2 on a 1000-core
+    cluster and expect speed.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard_id").orderBy(h.asc())
+    return (
+        df.select(id_col, _shard_id(id_col, n_shards))
+        .withColumn("pos", F.row_number().over(w).cast("bigint") - 1)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-shard export manifest: (shard_id, n_docs, bytes_total,
+    id_checksum) — what the exporter publishes next to the shards so a
+    loader (or a re-run) can verify completeness without reading data.
+
+    ``id_checksum`` is the SUM of each member's 32-bit md5 prefix —
+    order-independent (commutative), so it needs no per-shard sort and
+    no string aggregation: one hash groupBy, map-side combinable,
+    bounded output (n_shards rows). Collision-detecting in practice
+    (a dropped or duplicated doc shifts the sum), not cryptographic.
+    """
+    pre = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    return (
+        df.select(
+            _shard_id(id_col, n_shards),
+            pre.alias("__pre"),
+            F.coalesce(F.col(size_col), F.lit(0)).alias("__sz"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__sz").cast("bigint").alias("bytes_total"),
+            F.sum("__pre").cast("bigint").alias("id_checksum"),
         )
     )
 

@@ -287,3 +287,46 @@ def test_source_overlap_matrix(spark):
            for r in source_overlap_matrix(docs, pairs).collect()}
     assert got == {("crawl1", "crawl2"): 2, ("crawl2", "crawl2"): 1,
                    ("books", "crawl1"): 1}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from binlog_processer_spark.functions.text import pii_scrub
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co from 10.1.2.3 call +1-555-0192 end"),
+            (2, "no pii here at all"),
+            (3, None),
+            # an email whose domain looks dotted-numeric must NOT also
+            # count as an IP: email redacts first, sequentially
+            (4, "x@sub.domain.org and 192.168.0.1 and 12-3456-789"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(d).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[3].clean_len == 0
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (1, 1, 1)
+    # fingerprint is of the REDACTED text: identical docs with different
+    # PII payloads converge to the same fp
+    d2 = spark.createDataFrame(
+        [
+            (1, "reach me at alice@example.com today"),
+            (2, "reach me at bob.smith@other.net today"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = {r.doc_id: r.clean_fp for r in pii_scrub(d2).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_pii_scrub_is_map_only(spark):
+    from binlog_processer_spark.functions.text import pii_scrub
+
+    d = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a@b.co").alias("text")
+    )
+    plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -195,3 +195,101 @@ def test_holdout_carve_null_stratum(spark):
     }
     assert by_src.get(None) == 4, by_src  # the NULL stratum carves too
     assert all(v == 4 for v in by_src.values()), by_src
+
+
+def test_shard_assign_deterministic_and_dense(spark):
+    from binlog_processer_spark.operators.mix import shard_assign
+
+    d = _docs(spark, 400)
+    out = shard_assign(d, n_shards=8).collect()
+    assert len(out) == 400
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard_id < 8
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    # positions are dense 0..n-1 within every shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # assignment is ingest-order/partitioning independent
+    again = {
+        (r.doc_id): (r.shard_id, r.pos)
+        for r in shard_assign(d.repartition(13), n_shards=8).collect()
+    }
+    assert again == {r.doc_id: (r.shard_id, r.pos) for r in out}
+
+
+def test_shard_assign_single_exchange(spark):
+    from binlog_processer_spark.operators.mix import shard_assign
+
+    plan = (
+        shard_assign(_docs(spark, 50), n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly the one shuffle the export write needs: partition by shard
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_shard_manifest_checksums_catch_membership_drift(spark):
+    from binlog_processer_spark.operators.mix import (
+        shard_assign,
+        shard_manifest,
+    )
+
+    d = _docs(spark, 300).withColumn("n_chars", F.col("n_tok") * 4)
+    m = {r.shard_id: r for r in shard_manifest(d, n_shards=8).collect()}
+    counts = (
+        shard_assign(d, n_shards=8).groupBy("shard_id").count().collect()
+    )
+    assert {r.shard_id: r["count"] for r in counts} == {
+        s: r.n_docs for s, r in m.items()
+    }
+    # dropping one doc shifts exactly that shard's checksum and count
+    m2 = {
+        r.shard_id: r
+        for r in shard_manifest(
+            d.filter(F.col("doc_id") != 7), n_shards=8
+        ).collect()
+    }
+    changed = [
+        s
+        for s in m
+        if (m[s].n_docs, m[s].id_checksum)
+        != (m2.get(s) and (m2[s].n_docs, m2[s].id_checksum))
+    ]
+    assert len(changed) == 1, changed
+
+
+def test_sequence_boundaries_mask_offsets(spark):
+    from binlog_processer_spark.operators.mix import (
+        pack_sequences,
+        sequence_boundaries,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "s0", t) for i, t in enumerate([100, 50, 80, 40, 60])],
+        "doc_id long, source string, n_tok long",
+    )
+    packed = pack_sequences(d, max_tokens=128, shards=1)
+    b = {
+        (r.source, r.shard, r.seq): r
+        for r in sequence_boundaries(packed, max_tokens=128).collect()
+    }
+    # layout by doc_id: offsets 0,100,150,230,270 -> seqs 0,0,1,1,2
+    s0 = b[("s0", 0, 0)]
+    assert s0.n_docs == 2 and s0.boundaries == [0, 100]
+    # doc 1 (50 tok at rel 100) overruns the 128 budget: fill > 10000 bp
+    assert s0.fill_bp == (150 * 10000) // 128
+    s1 = b[("s0", 0, 1)]
+    assert s1.boundaries == [22, 102]  # 150-128, 230-128
+    s2 = b[("s0", 0, 2)]
+    assert s2.n_docs == 1 and s2.boundaries == [14]
+    # one hash aggregate, no global sort in the boundary pass
+    plan = (
+        sequence_boundaries(packed, max_tokens=128)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort [" not in plan.split("Window")[0], plan
