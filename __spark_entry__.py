@@ -910,6 +910,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_pack_boundaries"] = mix_pack_boundaries
 
+    def mix_rebalance(spark, sf_dir):
+        # closed-form mixing-weight planner: rates hitting target token
+        # shares with max retention
+        from binlog_processer_spark.operators.mix import rebalance_report
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        return rebalance_report(
+            d, targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        )
+
+    q["mix_rebalance"] = mix_rebalance
+
+    def dedup_containment(spark, sf_dir):
+        # asymmetric quote-inclusion dedup; the corpus has no verbatim
+        # inclusions, so the query plants deterministic 8-word snippets of
+        # every >=20-word doc (same derivation in the oracle) — containment
+        # must recover every planted (snippet, parent) pair
+        from binlog_processer_spark.functions.text import WORDS
+        from binlog_processer_spark.operators.dedup import containment_pairs
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        snip = d.filter(F.expr(f"size({WORDS}) >= 20")).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(f"array_join(slice({WORDS}, 1, 8), ' ')").alias("text"),
+        )
+        return containment_pairs(
+            d.unionByName(snip), n=3, min_containment_bp=8000
+        )
+
+    q["dedup_containment"] = dedup_containment
+
     def mix_shard_manifest(spark, sf_dir):
         from binlog_processer_spark.operators.mix import shard_manifest
 
@@ -1873,6 +1909,54 @@ grid AS (
         "  AS bigint) AS seq"
         " FROM d"
     )
+    o["mix_rebalance"] = (
+        "WITH tok AS (SELECT source,"
+        " cast(sum(greatest(1, cast(floor(n_chars / 4) AS bigint)))"
+        "  AS bigint) AS tokens FROM documents GROUP BY 1),"
+        " t AS (SELECT source, tokens,"
+        " CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3"
+        "  WHEN 'src2' THEN 0.2 END AS tgt FROM tok),"
+        " c AS (SELECT source, tokens, tgt,"
+        " min(CASE WHEN tgt IS NOT NULL THEN tokens / tgt END) OVER ()"
+        "  AS cmin, sum(tokens) OVER () AS total FROM t),"
+        " r AS (SELECT source, tokens, tgt, total,"
+        " CASE WHEN tgt IS NULL THEN 0.0"
+        "  ELSE least(1.0, cmin * tgt / tokens) END AS rate FROM c)"
+        " SELECT source, tokens,"
+        " cast(floor(tokens * 10000 / total) AS bigint) AS cur_share_bp,"
+        " cast(floor(coalesce(tgt, 0.0) * 10000) AS bigint)"
+        "  AS target_share_bp,"
+        " cast(floor(rate * 10000) AS bigint) AS rate_bp,"
+        " cast(floor(rate * tokens) AS bigint) AS kept_tokens FROM r"
+    )
+
+    _cont_base = (
+        "SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 100000 AS doc_id,"
+        f" array_to_string(list_slice({DW}, 1, 8), ' ') AS text"
+        f" FROM documents WHERE len({DW}) >= 20"
+    )
+    o["dedup_containment"] = (
+        f"WITH base AS ({_cont_base}),"
+        f" sh AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
+        f"  FROM base WHERE len({DW}) >= 3),"
+        " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),"
+        " hot AS (SELECT shingle FROM sh GROUP BY 1"
+        "  HAVING count(*) > 128),"
+        " shj AS (SELECT * FROM sh WHERE shingle NOT IN"
+        "  (SELECT shingle FROM hot)),"
+        " common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "  count(*) AS common FROM shj a JOIN shj b"
+        "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        " scored AS (SELECT doc_a, doc_b, common,"
+        "  cast(floor(common * 10000 / sa.n_sh) AS bigint) AS cont_a_bp,"
+        "  cast(floor(common * 10000 / sb.n_sh) AS bigint) AS cont_b_bp"
+        "  FROM common JOIN sizes sa ON sa.doc_id = doc_a"
+        "  JOIN sizes sb ON sb.doc_id = doc_b)"
+        " SELECT * FROM scored"
+        " WHERE greatest(cont_a_bp, cont_b_bp) >= 8000"
+    )
+
     o["mix_pack_boundaries"] = (
         "WITH d AS (SELECT doc_id, source,"
         " greatest(1, cast(floor(n_chars / 4) AS bigint)) AS n_tok,"

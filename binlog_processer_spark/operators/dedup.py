@@ -329,6 +329,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, n: int = 3, min_containment_bp: int = 8000,
+    max_df: int = 128,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment c(A→B) = |A∩B| / |A|.
+
+    Jaccard misses the quote-inclusion case — a short document embedded
+    verbatim inside a much longer one scores |A|/|B| ≈ 0 by Jaccard but
+    1.0 by containment of the short side; dedup pipelines run both (the
+    long doc stays, the contained snippet goes). Same relational shape as
+    ``ngram_jaccard_pairs`` (exploded distinct shingles, DF-capped
+    self-join, full-denominator sizes) with per-direction scores; a pair
+    survives if EITHER direction clears the threshold. Basis-point ints
+    for exact cross-engine comparison.
+    """
+    sh = pin(shingles(docs, n))  # registered: _cache.unpin_all releases it
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont_a = F.floor(F.col("common") * 10000 / F.col("na")).cast("bigint")
+    cont_b = F.floor(F.col("common") * 10000 / F.col("nb")).cast("bigint")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("cont_a_bp", cont_a)
+        .withColumn("cont_b_bp", cont_b)
+        .filter(
+            F.greatest("cont_a_bp", "cont_b_bp") >= min_containment_bp
+        )
+        .select("doc_a", "doc_b", "common", "cont_a_bp", "cont_b_bp")
+    )
+
+
 def _loop_checkpointer(df: DataFrame):
     """(checkpoint, free) helpers for iterative-loop lineage truncation.
 

@@ -107,6 +107,69 @@ def pack_sequences(
     )
 
 
+def rebalance_report(
+    df: DataFrame,
+    targets: dict[str, float],
+    tok_col: str = "n_tok",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Mixing-weight planner: per-source sampling rates that hit a target
+    token-share distribution with MAXIMUM data retention (the DoReMi/
+    Pile-style 'domain weights → sampling rates' step, in its exact
+    closed form). With c = min over targeted sources of tokens_s /
+    target_s, rate_s = c·target_s / tokens_s ≤ 1 — the binding source
+    keeps everything, every other source downsamples just enough, and
+    the sampled mix hits the target shares exactly. Sources absent from
+    ``targets`` get rate 0 (excluded from the mix).
+
+    One hash aggregate (bounded: one row per source) + one tiny
+    unpartitioned window over that aggregate — nothing row-scale
+    shuffles. Shares/rates surface in floored basis points; pair with
+    ``stratified_sample`` (same md5 determinism) to apply the rates.
+    """
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError("targets must be a non-empty {source: share>0} map")
+    tot_t = sum(targets.values())
+    tgt = F.lit(None).cast("double")
+    for s, v in sorted(targets.items()):
+        tgt = F.when(F.col(strat_col) == s, F.lit(v / tot_t)).otherwise(tgt)
+    tok = df.groupBy(strat_col).agg(
+        F.sum(tok_col).cast("bigint").alias("tokens")
+    )
+    w = Window.partitionBy()  # bounded: n_sources rows
+    ratio = F.when(
+        F.col("__tgt").isNotNull(), F.col("tokens") / F.col("__tgt")
+    )
+    out = (
+        tok.withColumn("__tgt", tgt)
+        .withColumn("__c", F.min(ratio).over(w))
+        .withColumn("__total", F.sum("tokens").over(w))
+        .withColumn(
+            "__rate",
+            F.when(F.col("__tgt").isNull(), F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__c") * F.col("__tgt") / F.col("tokens"),
+                )
+            ),
+        )
+    )
+    return out.select(
+        strat_col,
+        "tokens",
+        F.floor(F.col("tokens") * 10000 / F.col("__total"))
+        .cast("bigint")
+        .alias("cur_share_bp"),
+        F.floor(F.coalesce(F.col("__tgt"), F.lit(0.0)) * 10000)
+        .cast("bigint")
+        .alias("target_share_bp"),
+        F.floor(F.col("__rate") * 10000).cast("bigint").alias("rate_bp"),
+        F.floor(F.col("__rate") * F.col("tokens"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
 def sequence_boundaries(
     packed: DataFrame,
     max_tokens: int,

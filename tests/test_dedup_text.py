@@ -330,3 +330,27 @@ def test_pii_scrub_is_map_only(spark):
     )
     plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from binlog_processer_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(10, 18))  # verbatim slice
+    d = spark.createDataFrame(
+        [(1, long_words), (2, snippet), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = containment_pairs(d, n=3, min_containment_bp=9000).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    r = pairs[0]
+    # every snippet shingle is in the parent: containment of the short
+    # side is exactly 1.0; the long side's is small
+    assert r.cont_b_bp == 10000 and r.cont_a_bp < 2000
+    # jaccard at the same bar misses it — the case this operator exists for
+    assert (
+        ngram_jaccard_pairs(d, n=3, min_jaccard_bp=9000).count() == 0
+    )

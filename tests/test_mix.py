@@ -293,3 +293,33 @@ def test_sequence_boundaries_mask_offsets(spark):
         .toString()
     )
     assert "Sort [" not in plan.split("Window")[0], plan
+
+
+def test_rebalance_exact_target_shares(spark):
+    from binlog_processer_spark.operators.mix import rebalance_report
+
+    d = spark.createDataFrame(
+        [("s0", 600), ("s1", 300), ("s2", 100), ("s3", 50)],
+        "source string, n_tok long",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    out = {
+        r.source: r
+        for r in rebalance_report(
+            d, targets={"s0": 0.5, "s1": 0.3, "s2": 0.2}
+        ).collect()
+    }
+    # binding source keeps everything; others downsample to exact shares.
+    # ratios tokens/target: s0 1200, s1 1000, s2 500 -> c = 500
+    assert out["s2"].rate_bp == 10000 and out["s2"].kept_tokens == 100
+    assert out["s0"].kept_tokens == 250  # 500 * 0.5
+    assert out["s1"].kept_tokens == 150  # 500 * 0.3
+    kept = {s: r.kept_tokens for s, r in out.items()}
+    total_kept = sum(kept.values())
+    assert kept["s0"] / total_kept == 0.5
+    # untargeted source is excluded
+    assert out["s3"].rate_bp == 0 and out["s3"].kept_tokens == 0
+    assert out["s3"].target_share_bp == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        rebalance_report(d, targets={})
