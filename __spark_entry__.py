@@ -927,6 +927,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_rebalance"] = mix_rebalance
 
+    def mix_shard_incremental(spark, sf_dir):
+        # append a new batch (doc_id % 10 = 0) to shards exported for the
+        # rest of the corpus: positions continue after each shard's tail
+        from binlog_processer_spark.operators.mix import (
+            shard_assign_incremental,
+            shard_manifest,
+        )
+
+        d = _docs(spark, sf_dir)
+        exported = d.filter(F.col("doc_id") % 10 != 0)
+        batch = d.filter(F.col("doc_id") % 10 == 0)
+        return shard_assign_incremental(
+            batch, shard_manifest(exported, n_shards=16), n_shards=16
+        )
+
+    q["mix_shard_incremental"] = mix_shard_incremental
+
+    def ann_embedding_qa(spark, sf_dir):
+        # hygiene gate before any index build; the synthetic embeddings
+        # are clean, so the query deterministically poisons vec_id%7 with
+        # a leading NaN and vec_id%11 with an all-zero vector (same
+        # expression in the oracle)
+        from binlog_processer_spark.operators.similarity import embedding_qa
+
+        e = _embs(spark, sf_dir).select(
+            "vec_id",
+            F.expr(
+                "CASE WHEN vec_id % 11 = 0 THEN"
+                " transform(cast(embedding as array<double>), x -> 0.0d)"
+                " WHEN vec_id % 7 = 0 THEN"
+                " concat(array(cast('NaN' as double)),"
+                " slice(cast(embedding as array<double>), 2,"
+                " size(embedding) - 1))"
+                " ELSE cast(embedding as array<double>) END"
+            ).alias("embedding"),
+        )
+        return embedding_qa(e)
+
+    q["ann_embedding_qa"] = ann_embedding_qa
+
+    def text_encoding_qa(spark, sf_dir):
+        # the synthetic corpus is clean ASCII, so the query plants decode
+        # tombstones: U+FFFD + a C0 control on doc_id%6, a non-ASCII tail
+        # on doc_id%9 (same literals in the oracle)
+        from binlog_processer_spark.functions.text import encoding_qa
+
+        inj = (
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" ��x\x01"))
+            .when(F.col("doc_id") % 9 == 0, F.lit(" café世界"))
+            .otherwise(F.lit(""))
+        )
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), inj).alias(
+                "text"
+            ),
+        )
+        return encoding_qa(d)
+
+    q["text_encoding_qa"] = text_encoding_qa
+
     def dedup_containment(spark, sf_dir):
         # asymmetric quote-inclusion dedup; the corpus has no verbatim
         # inclusions, so the query plants deterministic 8-word snippets of
@@ -1928,6 +1989,68 @@ grid AS (
         "  AS target_share_bp,"
         " cast(floor(rate * 10000) AS bigint) AS rate_bp,"
         " cast(floor(rate * tokens) AS bigint) AS kept_tokens FROM r"
+    )
+
+    o["mix_shard_incremental"] = (
+        "WITH pre AS (SELECT doc_id, md5(cast(doc_id AS string)) AS h,"
+        " cast(cast(('0x' || substr(md5(cast(doc_id AS string)), 1, 8))"
+        "  AS ubigint) % 16 AS bigint) AS shard_id FROM documents),"
+        " base AS (SELECT shard_id, count(*) AS n_docs FROM pre"
+        "  WHERE doc_id % 10 <> 0 GROUP BY 1),"
+        " newb AS (SELECT doc_id, shard_id,"
+        "  cast(row_number() OVER (PARTITION BY shard_id ORDER BY h) - 1"
+        "   AS bigint) AS rn FROM pre WHERE doc_id % 10 = 0)"
+        " SELECT newb.doc_id, newb.shard_id,"
+        " cast(coalesce(base.n_docs, 0) + rn AS bigint) AS pos"
+        " FROM newb LEFT JOIN base ON newb.shard_id = base.shard_id"
+    )
+
+    _qa_emb = (
+        "CASE WHEN vec_id % 11 = 0 THEN"
+        " list_transform(cast(embedding AS double[]), x -> 0.0)"
+        " WHEN vec_id % 7 = 0 THEN"
+        " list_concat([cast('NaN' AS double)],"
+        " cast(embedding AS double[])[2:])"
+        " ELSE cast(embedding AS double[]) END"
+    )
+    _qa_nan = "len(list_filter(emb, x -> isnan(x)))"
+    _qa_norm = "cast(round(sqrt(list_dot_product(emb, emb)) * 10000) AS bigint)"
+    o["ann_embedding_qa"] = (
+        f"WITH e AS (SELECT vec_id, {_qa_emb} AS emb FROM embeddings)"
+        " SELECT vec_id, cast(len(emb) AS int) AS dim,"
+        f" cast({_qa_nan} AS bigint) AS n_nan,"
+        " cast(len(list_filter(emb, x -> x = 0.0)) AS bigint) AS n_zero,"
+        f" CASE WHEN {_qa_nan} > 0 THEN NULL ELSE {_qa_norm} END"
+        "  AS norm_bp,"
+        f" CASE WHEN {_qa_nan} > 0 THEN false ELSE {_qa_norm} > 0 END"
+        "  AS usable FROM e"
+    )
+
+    _rc = "�"  # U+FFFD replacement char, kept out of raw literals
+    _enc_inj = (
+        f"CASE WHEN doc_id % 6 = 0 THEN ' {_rc}{_rc}x\x01'"
+        " WHEN doc_id % 9 = 0 THEN ' café世界' ELSE '' END"
+    )
+    o["text_encoding_qa"] = (
+        "WITH t AS (SELECT doc_id,"
+        f" concat(coalesce(text, ''), {_enc_inj}) AS tx FROM documents)"
+        " SELECT doc_id, cast(length(tx) AS bigint) AS n_chars,"
+        " cast(length(tx) - length(regexp_replace(tx, '�', '', 'g'))"
+        "  AS bigint) AS n_repl,"
+        " cast(length(tx) - length(regexp_replace(tx,"
+        "  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS bigint)"
+        "  AS n_ctrl,"
+        " CASE WHEN length(tx) = 0 THEN cast(10000 AS bigint)"
+        "  ELSE cast(floor(length(regexp_replace(tx,"
+        "  '[^\\x20-\\x7E\\t\\n\\r]', '', 'g')) * 10000 / length(tx))"
+        "  AS bigint) END AS ascii_bp,"
+        " (length(tx) = length(regexp_replace(tx, '�', '', 'g')))"
+        " AND (length(tx) = length(regexp_replace(tx,"
+        "  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))"
+        " AND (CASE WHEN length(tx) = 0 THEN cast(10000 AS bigint)"
+        "  ELSE cast(floor(length(regexp_replace(tx,"
+        "  '[^\\x20-\\x7E\\t\\n\\r]', '', 'g')) * 10000 / length(tx))"
+        "  AS bigint) END >= 9000) AS ok FROM t"
     )
 
     _cont_base = (

@@ -263,6 +263,53 @@ def pii_scrub(
     )
 
 
+# Java-regex ∩ RE2 character classes (hex escapes, ranges — no shorthand
+# that differs across engines). C0 controls except \t \n \r.
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+_NON_ASCII_KEEP = "[^\\x20-\\x7E\\t\\n\\r]"
+_REPLACEMENT_CHAR = "�"
+
+
+def encoding_qa(
+    df: DataFrame, text_col: str = "text", min_ascii_bp: int = 9000
+) -> DataFrame:
+    """Mojibake / encoding-noise report — the decode-sanity gate a crawl
+    pipeline runs right after charset conversion: U+FFFD replacement-char
+    count (the tombstone every failed decode leaves), stray C0 control
+    characters (binary bleeding into text), and the printable-ASCII ratio
+    in basis points, plus the resulting keep verdict.
+
+    Counts are length-differences under literal/class regexp_replace —
+    ONE codegen projection, no UDF, no shuffle; character classes live in
+    the Java-regex ∩ RE2 subset and lengths are codepoint-based in both
+    engines, so the report is oracle-exact.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("bigint")
+    n_repl = (
+        F.length(t) - F.length(F.regexp_replace(t, _REPLACEMENT_CHAR, ""))
+    ).cast("bigint")
+    n_ctrl = (
+        F.length(t) - F.length(F.regexp_replace(t, _CTRL_CLASS, ""))
+    ).cast("bigint")
+    ascii_n = F.length(F.regexp_replace(t, _NON_ASCII_KEEP, ""))
+    ascii_bp = (
+        F.when(n_chars == 0, F.lit(10000))
+        .otherwise(F.floor(ascii_n * 10000 / n_chars))
+        .cast("bigint")
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        ascii_bp.alias("ascii_bp"),
+        (
+            (n_repl == 0) & (n_ctrl == 0) & (ascii_bp >= min_ascii_bp)
+        ).alias("ok"),
+    )
+
+
 def apply_filter_funnel(
     df: DataFrame, stages: list[tuple[str, Column]] | None = None
 ) -> DataFrame:

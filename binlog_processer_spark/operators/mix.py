@@ -311,6 +311,44 @@ def shard_assign(
     )
 
 
+def shard_assign_incremental(
+    df: DataFrame,
+    manifest: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append a NEW batch to an already-exported shard set without
+    touching it: each new document keeps its md5-derived shard (stable
+    by construction) and takes the next positions AFTER the shard's
+    recorded tail — ``pos = manifest.n_docs + rank-among-new`` — so
+    existing shard files stay immutable (the daily-ingest shape; a full
+    re-shard of 10^12 rows to admit a 10^8 batch re-pays the corpus).
+
+    ``manifest`` is ``shard_manifest`` output for the exported set
+    (n_shards rows → broadcast; never a fact-table join). The batch pays
+    one shuffle by shard_id, same as the append write. New docs order by
+    md5 among THEMSELVES — append semantics, deliberately not the
+    interleaved order a from-scratch run would give.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard_id").orderBy(h.asc())
+    base = manifest.select(
+        "shard_id", F.col("n_docs").cast("bigint").alias("__base")
+    )
+    return (
+        df.select(id_col, _shard_id(id_col, n_shards))
+        .withColumn("__rn", F.row_number().over(w).cast("bigint") - 1)
+        .join(F.broadcast(base), "shard_id", "left")
+        .select(
+            id_col,
+            "shard_id",
+            (F.coalesce(F.col("__base"), F.lit(0)) + F.col("__rn")).alias(
+                "pos"
+            ),
+        )
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int = 16,

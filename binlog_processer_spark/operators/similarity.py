@@ -80,6 +80,42 @@ DEFAULT_PLANES = 32
 DEFAULT_BANDS = 4
 
 
+def embedding_qa(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-column hygiene report — the gate an ANN/semantic-dedup
+    stage runs BEFORE building any index, since one NaN or zero vector
+    silently poisons every cosine it touches: per-vector dimension, NaN
+    and exact-zero element counts, L2 norm in fixed-point basis points
+    (NULL when NaN-poisoned), and the final usability verdict.
+
+    Pure codegen (higher-order array folds, one projection, no UDF, no
+    shuffle) — a map-only pass that pipelines into the index build at any
+    scale. Norm uses the same left-fold + round(·1e4) fixed-point as the
+    ANN score gates, so it is engine-reproducible.
+    """
+    e = f"cast({vec_col} as array<double>)"
+    n_nan = F.expr(f"size(filter({e}, x -> isnan(x)))").cast("bigint")
+    n_zero = F.expr(f"size(filter({e}, x -> x = 0.0d))").cast("bigint")
+    norm = NORM.format(a=e)
+    return embeddings.select(
+        "vec_id",
+        F.expr(f"size({e})").cast("int").alias("dim"),
+        n_nan.alias("n_nan"),
+        n_zero.alias("n_zero"),
+        F.when(
+            n_nan > 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.expr(f"cast(round(({norm}) * 10000) as bigint)"))
+        .alias("norm_bp"),
+        # CASE-guarded: NaN must never reach the bigint cast (engines
+        # disagree on casting NaN — Spark saturates, DuckDB errors)
+        F.when(n_nan > 0, F.lit(False))
+        .otherwise(F.expr(f"cast(round(({norm}) * 10000) as bigint) > 0"))
+        .alias("usable"),
+    )
+
+
 def rademacher_planes(
     n_planes: int, dim: int, seed: str = "signlsh-v2"
 ) -> list[list[int]]:

@@ -354,3 +354,28 @@ def test_containment_catches_quote_inclusion(spark):
     assert (
         ngram_jaccard_pairs(d, n=3, min_jaccard_bp=9000).count() == 0
     )
+
+
+def test_encoding_qa_flags_mojibake(spark):
+    from binlog_processer_spark.functions.text import encoding_qa
+
+    d = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "bad � decode � here"),
+            (3, "ctrl\x01char\x1f"),
+            (4, "tabs\tand\nnewlines are fine"),
+            (5, "café du 世界"),
+            (6, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in encoding_qa(d).collect()}
+    assert out[1].ok and out[1].n_repl == 0 and out[1].ascii_bp == 10000
+    assert out[2].n_repl == 2 and not out[2].ok
+    assert out[3].n_ctrl == 2 and not out[3].ok
+    assert out[4].ok  # \t \n are not control noise
+    assert out[5].n_repl == 0 and out[5].ascii_bp < 10000
+    assert out[6].n_chars == 0 and out[6].ascii_bp == 10000 and out[6].ok
+    plan = encoding_qa(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

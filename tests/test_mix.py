@@ -323,3 +323,32 @@ def test_rebalance_exact_target_shares(spark):
 
     with pytest.raises(ValueError):
         rebalance_report(d, targets={})
+
+
+def test_shard_assign_incremental_appends_after_tail(spark):
+    from binlog_processer_spark.operators.mix import (
+        shard_assign,
+        shard_assign_incremental,
+        shard_manifest,
+    )
+
+    d = _docs(spark, 300).withColumn("n_chars", F.col("n_tok"))
+    exported = d.filter(F.col("doc_id") < 200)
+    batch = d.filter(F.col("doc_id") >= 200)
+    man = shard_manifest(exported, n_shards=8)
+    inc = shard_assign_incremental(batch, man, n_shards=8).collect()
+    base = {r.shard_id: r.n_docs for r in man.collect()}
+    full = {
+        r.doc_id: r.shard_id for r in shard_assign(d, n_shards=8).collect()
+    }
+    by_shard = {}
+    for r in inc:
+        # shard choice identical to a from-scratch assignment
+        assert full[r.doc_id] == r.shard_id
+        # every new position lands strictly after the exported tail
+        assert r.pos >= base.get(r.shard_id, 0)
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    # and positions are dense from the tail onward
+    for s, poss in by_shard.items():
+        b = base.get(s, 0)
+        assert sorted(poss) == list(range(b, b + len(poss)))

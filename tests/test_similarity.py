@@ -248,3 +248,24 @@ def test_int8_topk_recall_vs_exact(spark):
     # int8 keeps ~2 decimal digits of each coordinate: top-5 overlap
     # should be near-total on any non-adversarial set
     assert len(exact & quant) >= 4, (exact, quant)
+
+
+def test_embedding_qa_verdicts(spark):
+    from binlog_processer_spark.operators.similarity import embedding_qa
+
+    d = spark.createDataFrame(
+        [
+            (1, [0.6, 0.8, 0.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [float("nan"), 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_qa(d).collect()}
+    assert out[1].usable and out[1].norm_bp == 10000 and out[1].n_zero == 1
+    assert out[1].dim == 3
+    assert not out[2].usable and out[2].norm_bp == 0
+    assert not out[3].usable and out[3].norm_bp is None
+    assert out[3].n_nan == 1
+    plan = embedding_qa(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
