@@ -1,0 +1,144 @@
+"""spark-submit entry point for corpus quality assurance.
+
+The pre-training-data QA gate: one job that publishes the hygiene
+reports every corpus release ships with — encoding sanity (mojibake /
+control chars), PII redaction counts, the quality-filter funnel, and
+(optionally) embedding-column health — each as a snapshot table, plus a
+per-document verdict table and a one-line JSON summary.
+
+Usage::
+
+    spark-submit --py-files dist/engine.zip jobs/run_qa.py \
+        --docs /path/to/documents.parquet --output /path/to/qa_wh \
+        [--embeddings /path/to/embeddings.parquet] [--inject-noise]
+
+Every report is a map-only scan of the corpus (codegen projections, no
+UDFs, no shuffles); the verdict table joins the three per-doc REPORTS
+(each doc_id + a few ints — tiny next to the corpus text) rather than
+re-reading text. ``--inject-noise`` plants the same deterministic
+corruption the contract queries use (U+FFFD/control tails, doc_id-derived
+PII) so a smoke run exercises every gate on a clean corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.functions.text import (
+    apply_filter_funnel,
+    encoding_qa,
+    filter_funnel,
+    pii_scrub,
+)
+from binlog_processer_spark.operators.similarity import embedding_qa
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def _inject(docs):
+    """Deterministic corruption for smoke runs: decode tombstones on
+    doc_id%6, a PII tail on doc_id%4 (mirrors the contract queries)."""
+    noise = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(" ��x\x01"))
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), noise)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="QA warehouse dir")
+    ap.add_argument("--embeddings", help="optional embeddings parquet path")
+    ap.add_argument(
+        "--inject-noise",
+        action="store_true",
+        help="plant deterministic mojibake/PII so every gate is exercised",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("binlog-qa")
+    docs = spark.read.parquet(args.docs)
+    if args.inject_noise:
+        docs = _inject(docs)
+
+    enc_t = SnapshotTable(os.path.join(args.output, "encoding"))
+    pii_t = SnapshotTable(os.path.join(args.output, "pii"))
+    funnel_t = SnapshotTable(os.path.join(args.output, "funnel"))
+    verdict_t = SnapshotTable(os.path.join(args.output, "doc_qa"))
+
+    enc_t.write(encoding_qa(docs), mode="overwrite")
+    pii_t.write(pii_scrub(docs), mode="overwrite")
+    funnel_t.write(filter_funnel(docs), mode="overwrite")
+
+    enc = enc_t.read(spark)
+    pii = pii_t.read(spark)
+    kept = apply_filter_funnel(docs).select(
+        "doc_id", F.lit(True).alias("funnel_keep")
+    )
+    verdict = (
+        enc.select("doc_id", F.col("ok").alias("encoding_ok"))
+        .join(
+            pii.select(
+                "doc_id",
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+                .alias("pii_hits"),
+            ),
+            "doc_id",
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "encoding_ok",
+            "pii_hits",
+            F.coalesce("funnel_keep", F.lit(False)).alias("funnel_keep"),
+            (
+                F.col("encoding_ok")
+                & F.coalesce("funnel_keep", F.lit(False))
+            ).alias("qa_pass"),
+        )
+    )
+    verdict_t.write(verdict, mode="overwrite")
+    verdict = verdict_t.read(spark)
+
+    out = {
+        "docs_in": docs.count(),
+        "encoding_bad": verdict.filter(~F.col("encoding_ok")).count(),
+        "pii_docs": verdict.filter(F.col("pii_hits") > 0).count(),
+        "funnel_kept": verdict.filter(F.col("funnel_keep")).count(),
+        "qa_pass": verdict.filter(F.col("qa_pass")).count(),
+    }
+    if args.embeddings:
+        emb_t = SnapshotTable(os.path.join(args.output, "embedding_qa"))
+        emb_t.write(
+            embedding_qa(spark.read.parquet(args.embeddings)),
+            mode="overwrite",
+        )
+        eq = emb_t.read(spark)
+        out["vectors_in"] = eq.count()
+        out["vectors_unusable"] = eq.filter(~F.col("usable")).count()
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

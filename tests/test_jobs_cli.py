@@ -190,3 +190,30 @@ def test_dedup_cli_full_then_incremental(tmp_path, spark):
     assert inc["pairs_total"] == 30
     assert inc["clustered_docs"] == 54
     assert inc["kept_total"] == 472
+
+
+def test_qa_cli_gates_and_verdict(tmp_path, spark):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, "the of and a to in is for on with clean words " * 3, "en",
+             "s0", 100)
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "qa_wh")
+    m = _run(["jobs/run_qa.py", "--docs", docs, "--output", wh,
+              "--inject-noise"])
+    assert m["docs_in"] == 40
+    # doc_id%6 -> mojibake (7 of 40); doc_id%4 minus %6 overlap -> PII
+    assert m["encoding_bad"] == 7
+    assert m["pii_docs"] == 6  # %4 (10 docs) minus the 4 %12-overlap
+    # docs {0,12,24,36} that took the mojibake arm instead
+    assert m["qa_pass"] <= m["funnel_kept"] <= m["docs_in"]
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    verdict = SnapshotTable(wh + "/doc_qa").read(spark)
+    bad = {r.doc_id for r in verdict.filter("NOT encoding_ok").collect()}
+    assert bad == {i for i in range(40) if i % 6 == 0}
