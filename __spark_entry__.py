@@ -988,6 +988,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_encoding_qa"] = text_encoding_qa
 
+    def mix_pack_tokens(spark, sf_dir):
+        # materialized packed sequences over the PRE-TOKENIZED corpus
+        # (BASELINE input shape: doc_id, tokens, n_tok, source) — one
+        # event per doc (r = 0); arrays surface as md5 digests
+        from binlog_processer_spark.operators.mix import materialize_packed
+
+        d = _corpus(spark, sf_dir).filter(F.col("r") == 0).select(
+            "doc_id", "source", "tokens",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+        )
+        m = materialize_packed(d, max_tokens=512, shards=2)
+        return m.select(
+            "source", "shard", "seq", "n_docs", "n_tok",
+            _md5_arr("tokens").alias("tokens_md5"),
+        )
+
+    q["mix_pack_tokens"] = mix_pack_tokens
+
     def dedup_containment(spark, sf_dir):
         # asymmetric quote-inclusion dedup; the corpus has no verbatim
         # inclusions, so the query plants deterministic 8-word snippets of
@@ -2024,6 +2042,25 @@ grid AS (
         "  AS norm_bp,"
         f" CASE WHEN {_qa_nan} > 0 THEN false ELSE {_qa_norm} > 0 END"
         "  AS usable FROM e"
+    )
+
+    o["mix_pack_tokens"] = _oracle_full(
+        "SELECT source, shard, seq, count(*) AS n_docs,"
+        " cast(sum(n_tok) AS bigint) AS n_tok,"
+        " md5(array_to_string(list_transform(flatten(list_transform("
+        "  list_sort(list(struct_pack(o := off, t := tokens))),"
+        "  x -> x.t)), v -> cast(v AS varchar)), ',')) AS tokens_md5"
+        " FROM (SELECT source, shard, tokens, n_tok,"
+        "  cast(floor(off / 512) AS bigint) AS seq, off FROM"
+        "  (SELECT source, doc_id, tokens, cast(n_tok AS bigint) AS n_tok,"
+        "   cast(cast(('0x' || substr(md5(doc_id), 1, 8)) AS ubigint) % 2"
+        "    AS bigint) AS shard,"
+        "   sum(cast(n_tok AS bigint)) OVER (PARTITION BY source,"
+        "    cast(cast(('0x' || substr(md5(doc_id), 1, 8)) AS ubigint) % 2"
+        "     AS bigint) ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
+        "    - cast(n_tok AS bigint) AS off"
+        "   FROM corpus WHERE r = 0))"
+        " GROUP BY 1, 2, 3"
     )
 
     _rc = "�"  # U+FFFD replacement char, kept out of raw literals

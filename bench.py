@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "text_pii_scrub",
     "mix_shard_assign",
+    "mix_pack_tokens",
 ]
 
 

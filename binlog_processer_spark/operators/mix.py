@@ -63,6 +63,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     strat_col: str | None = "source",
     shards: int = 1,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget sequences (pretraining
     sequence packing): within each (stratum, shard), documents are laid
@@ -91,6 +92,10 @@ def pack_sequences(
         F.col(id_col),
         F.col(tok_col).cast("bigint").alias("n_tok"),
         shard,
+        # carried payload columns (e.g. the token arrays themselves) ride
+        # the SAME shuffle as the placement window — materialization never
+        # pays a second join back to the corpus
+        *(carry_cols or []),
     )
     keys = ([strat_col] if strat_col else []) + ["shard"]
     w = (
@@ -204,6 +209,57 @@ def sequence_boundaries(
             )
             .cast("bigint")
             .alias("fill_bp"),
+        )
+    )
+
+
+def materialize_packed(
+    df: DataFrame,
+    max_tokens: int,
+    tokens_col: str = "tokens",
+    tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    strat_col: str | None = "source",
+    shards: int = 1,
+) -> DataFrame:
+    """Materialize the packed sequences themselves — the trainer's final
+    artifact on the tokens axis: per (stratum, shard, seq) the flattened
+    token array in document order, with doc count and true token length
+    (a sequence may overrun ``max_tokens`` by the greedy tail; trainers
+    crop, and ``sequence_boundaries`` carries the mask offsets).
+
+    Cost model at 10^12 tokens: the token payload moves through exactly
+    ONE shuffle — it rides the placement window's partitioning via
+    ``pack_sequences(carry_cols=...)`` (never a second join back to the
+    corpus), then one hash aggregate whose groups are bounded by
+    ``max_tokens`` (plus one doc tail), so no group outgrows memory
+    regardless of corpus size. Flattening is sort_array over in-group
+    (offset, tokens) structs — per group, never global.
+    """
+    packed = pack_sequences(
+        df,
+        max_tokens,
+        tok_col=tok_col,
+        id_col=id_col,
+        strat_col=strat_col,
+        shards=shards,
+        carry_cols=[tokens_col],
+    )
+    keys = ([strat_col] if strat_col else []) + ["shard", "seq"]
+    s = F.struct(
+        F.col("offset").alias("o"), F.col(tokens_col).alias("t")
+    )
+    return (
+        packed.select(*keys, s.alias("__s"), "n_tok")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tok"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list("__s")), lambda x: x["t"]
+                )
+            ).alias("tokens"),
         )
     )
 

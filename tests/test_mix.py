@@ -352,3 +352,33 @@ def test_shard_assign_incremental_appends_after_tail(spark):
     for s, poss in by_shard.items():
         b = base.get(s, 0)
         assert sorted(poss) == list(range(b, b + len(poss)))
+
+
+def test_materialize_packed_token_order_and_single_shuffle(spark):
+    from binlog_processer_spark.operators.mix import materialize_packed
+
+    d = spark.createDataFrame(
+        [
+            (f"d{i}", "s0", list(range(i * 10, i * 10 + 4)), 4)
+            for i in range(6)
+        ],
+        "doc_id string, source string, tokens array<int>, n_tok long",
+    )
+    out = {
+        (r.source, r.shard, r.seq): r
+        for r in materialize_packed(d, max_tokens=8, shards=1).collect()
+    }
+    # doc order is doc_id-lexicographic: d0,d1,..,d5 -> 2 docs per 8-token seq
+    s0 = out[("s0", 0, 0)]
+    assert s0.tokens == [0, 1, 2, 3, 10, 11, 12, 13]
+    assert s0.n_docs == 2 and s0.n_tok == 8
+    assert out[("s0", 0, 2)].tokens == [40, 41, 42, 43, 50, 51, 52, 53]
+    # token payload crosses exactly ONE Exchange: the groupBy reuses the
+    # placement window's (stratum, shard) hash partitioning
+    plan = (
+        materialize_packed(d, max_tokens=8, shards=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
