@@ -1006,6 +1006,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_pack_tokens"] = mix_pack_tokens
 
+    def _events(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def session_funnel(spark, sf_dir):
+        from binlog_processer_spark.operators.sessions import (
+            funnel_conversion,
+        )
+
+        return funnel_conversion(
+            _events(spark, sf_dir), steps=["view", "click", "purchase"]
+        )
+
+    q["session_funnel"] = session_funnel
+
+    def session_retention(spark, sf_dir):
+        from binlog_processer_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        # date→timestamp for the driver canon (pandas date objects hash
+        # differently from datetime64 on the DuckDB side)
+        return retention_cohorts(_events(spark, sf_dir), max_day=30).select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "day_offset", "active_users", "cohort_users", "retention_bp",
+        )
+
+    q["session_retention"] = session_retention
+
     def dedup_containment(spark, sf_dir):
         # asymmetric quote-inclusion dedup; the corpus has no verbatim
         # inclusions, so the query plants deterministic 8-word snippets of
@@ -2061,6 +2089,50 @@ grid AS (
         "    - cast(n_tok AS bigint) AS off"
         "   FROM corpus WHERE r = 0))"
         " GROUP BY 1, 2, 3"
+    )
+
+    o["session_funnel"] = (
+        "WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events"
+        "  WHERE event_type = 'view' GROUP BY 1),"
+        " s1 AS (SELECT e.user_id, min(ts) AS t1 FROM events e"
+        "  JOIN s0 USING (user_id)"
+        "  WHERE event_type = 'click' AND ts > t0 GROUP BY 1),"
+        " s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e"
+        "  JOIN s1 USING (user_id)"
+        "  WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1),"
+        " c AS (SELECT (SELECT count(*) FROM s0) AS c0,"
+        "  (SELECT count(*) FROM s1) AS c1,"
+        "  (SELECT count(*) FROM s2) AS c2)"
+        " SELECT cast(0 AS int) AS step_idx, 'view' AS step,"
+        "  cast(c0 AS bigint) AS users_reached,"
+        "  cast(CASE WHEN c0 = 0 THEN 0 ELSE floor(c0 * 10000 / c0) END"
+        "   AS bigint) AS conversion_bp FROM c"
+        " UNION ALL SELECT 1, 'click', cast(c1 AS bigint),"
+        "  cast(CASE WHEN c0 = 0 THEN 0 ELSE floor(c1 * 10000 / c0) END"
+        "   AS bigint) FROM c"
+        " UNION ALL SELECT 2, 'purchase', cast(c2 AS bigint),"
+        "  cast(CASE WHEN c0 = 0 THEN 0 ELSE floor(c2 * 10000 / c0) END"
+        "   AS bigint) FROM c"
+    )
+    o["session_retention"] = (
+        "WITH f AS (SELECT user_id, cast(min(ts) AS date) AS cohort_day"
+        "  FROM events GROUP BY 1),"
+        " a AS (SELECT DISTINCT user_id, cast(ts AS date) AS day"
+        "  FROM events),"
+        " j AS (SELECT f.cohort_day,"
+        "  datediff('day', f.cohort_day, a.day) AS day_offset"
+        "  FROM a JOIN f USING (user_id)"
+        "  WHERE datediff('day', f.cohort_day, a.day) <= 30),"
+        " sizes AS (SELECT cohort_day, count(*) AS cohort_users"
+        "  FROM f GROUP BY 1)"
+        " SELECT cast(j.cohort_day AS timestamp) AS cohort_day,"
+        " cast(day_offset AS int) AS day_offset,"
+        " cast(count(*) AS bigint) AS active_users,"
+        " cast(cohort_users AS bigint) AS cohort_users,"
+        " cast(floor(count(*) * 10000 / cohort_users) AS bigint)"
+        "  AS retention_bp"
+        " FROM j JOIN sizes USING (cohort_day)"
+        " GROUP BY 1, 2, cohort_users"
     )
 
     _rc = "�"  # U+FFFD replacement char, kept out of raw literals

@@ -108,3 +108,98 @@ def session_window_agg(
         )
         .drop("session_window")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel over an event stream: for steps [A, B, C],
+    how many users performed A, then B strictly AFTER their first A, then
+    C strictly after that reach time — the conversion report every
+    telemetry stack publishes.
+
+    Relational chained-minima plan (the production pattern): step i is
+    one filtered scan aggregated to per-user first-reach times, joined to
+    step i-1's reach frame ON THE USER KEY. Every join input is a
+    per-user aggregate (|users| rows, not |events|), co-partitioned by
+    the same key, so k steps cost k column-pruned scans + k user-keyed
+    hash joins — no window over the event stream, no per-user event
+    collection (hot users never blow a group). Output: one row per step
+    with users_reached and conversion from step 0 in basis points.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    counts = [reach.count()]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(reach, user_col)
+            .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        # carry the reach time forward for the next step's strictly-after
+        reach = nxt
+        counts.append(nxt.count())
+    spark = events.sparkSession
+    base = counts[0]
+    rows = [
+        (i, s, counts[i], (counts[i] * 10000) // base if base else 0)
+        for i, s in enumerate(steps)
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, users_reached bigint, conversion_bp bigint"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_day: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort_day, day_offset) the distinct users active that many days
+    later and retention in basis points of cohort size.
+
+    One per-user min aggregate + one user-keyed join back to events +
+    one bounded (cohorts × offsets) aggregate — the join's small side is
+    |users| rows and shares the event shuffle's key. Day-0 retention is
+    10000 by construction (every user is active on their cohort day).
+    """
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    act = (
+        events.select(user_col, F.to_date(ts_col).alias("day"))
+        .distinct()
+        .join(first, user_col)
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= max_day)
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "active_users",
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.floor(F.col("active_users") * 10000 / F.col("cohort_users"))
+            .cast("bigint")
+            .alias("retention_bp"),
+        )
+    )

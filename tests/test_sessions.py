@@ -66,3 +66,63 @@ def test_one_shuffle_per_sessionization(spark):
     # one exchange moves each key's events once; the groupBy reuses the
     # window's hash partitioning instead of shuffling again
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_conversion_orders_steps(spark):
+    from datetime import datetime as dt
+
+    from binlog_processer_spark.operators.sessions import funnel_conversion
+
+    def t(m):
+        return dt(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 completes A->B->C in order
+        (1, t(0), "A"), (1, t(1), "B"), (1, t(2), "C"),
+        # u2 does B before A: reaches A only (B never strictly after A)
+        (2, t(0), "B"), (2, t(1), "A"),
+        # u3 does A then C (skips B): reaches A only
+        (3, t(0), "A"), (3, t(5), "C"),
+        # u4 never does A: contributes nothing
+        (4, t(0), "B"), (4, t(1), "C"),
+    ]
+    e = spark.createDataFrame(
+        [(u, ts, ty) for u, ts, ty in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {r.step: r for r in funnel_conversion(e, ["A", "B", "C"]).collect()}
+    assert out["A"].users_reached == 3 and out["A"].conversion_bp == 10000
+    assert out["B"].users_reached == 1
+    assert out["C"].users_reached == 1
+    assert out["C"].conversion_bp == 3333
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_conversion(e, ["A"])
+
+
+def test_retention_cohorts_day0_full(spark):
+    from datetime import datetime as dt
+
+    from binlog_processer_spark.operators.sessions import retention_cohorts
+
+    e = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10), "x"),
+            (1, dt(2024, 1, 3, 10), "x"),   # day-2 return
+            (2, dt(2024, 1, 1, 11), "x"),
+            (3, dt(2024, 1, 2, 9), "x"),
+            (3, dt(2024, 1, 2, 23), "x"),   # same-day dup: one active row
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (str(r.cohort_day), r.day_offset): r
+        for r in retention_cohorts(e).collect()
+    }
+    d0 = out[("2024-01-01", 0)]
+    assert d0.active_users == 2 and d0.retention_bp == 10000
+    assert out[("2024-01-01", 2)].active_users == 1
+    assert out[("2024-01-01", 2)].retention_bp == 5000
+    d1 = out[("2024-01-02", 0)]
+    assert d1.active_users == 1 and d1.cohort_users == 1
