@@ -1034,6 +1034,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_retention"] = session_retention
 
+    def events_props_stats(spark, sf_dir):
+        # schema-on-read JSON extraction + per-type rollup; a deterministic
+        # third of payloads is corrupted to exercise the quarantine lane
+        from binlog_processer_spark.functions.jsoncol import props_stats
+
+        e = _events(spark, sf_dir).withColumn(
+            "props",
+            F.when(F.col("event_id") % 3 == 0, F.lit("{not json"))
+            .when(F.col("event_id") % 5 == 0, F.lit("{}"))
+            .otherwise(F.col("props")),
+        )
+        return props_stats(e, field="k", field_type="int")
+
+    q["events_props_stats"] = events_props_stats
+
     def dedup_containment(spark, sf_dir):
         # asymmetric quote-inclusion dedup; the corpus has no verbatim
         # inclusions, so the query plants deterministic 8-word snippets of
@@ -2133,6 +2148,23 @@ grid AS (
         "  AS retention_bp"
         " FROM j JOIN sizes USING (cohort_day)"
         " GROUP BY 1, 2, cohort_users"
+    )
+
+    o["events_props_stats"] = (
+        "WITH e AS (SELECT event_type,"
+        " CASE WHEN event_id % 3 = 0 THEN '{not json'"
+        "  WHEN event_id % 5 = 0 THEN '{}' ELSE props END AS p"
+        " FROM events),"
+        " x AS (SELECT event_type, json_valid(p) AS ok,"
+        " CASE WHEN json_valid(p) THEN"
+        "  cast(json_extract_string(p, '$.k') AS int) END AS k FROM e)"
+        " SELECT event_type, cast(count(*) AS bigint) AS n,"
+        " cast(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS bigint) AS n_bad,"
+        " cast(sum(CASE WHEN ok AND k IS NULL THEN 1 ELSE 0 END)"
+        "  AS bigint) AS n_null,"
+        " cast(sum(k) AS bigint) AS k_sum,"
+        " cast(min(k) AS bigint) AS k_min,"
+        " cast(max(k) AS bigint) AS k_max FROM x GROUP BY 1"
     )
 
     _rc = "�"  # U+FFFD replacement char, kept out of raw literals
