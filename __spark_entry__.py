@@ -1068,6 +1068,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment"] = dedup_containment
 
+    def dedup_containment_kept(spark, sf_dir):
+        # the containment decision applied: planted snippets must all be
+        # dropped, their parents all kept
+        from binlog_processer_spark.functions.text import WORDS
+        from binlog_processer_spark.operators.dedup import (
+            containment_pairs,
+            drop_contained,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        snip = d.filter(F.expr(f"size({WORDS}) >= 20")).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(f"array_join(slice({WORDS}, 1, 8), ' ')").alias("text"),
+        )
+        base = d.unionByName(snip)
+        pairs = containment_pairs(base, n=3, min_containment_bp=8000)
+        return drop_contained(base, pairs).select("doc_id")
+
+    q["dedup_containment_kept"] = dedup_containment_kept
+
     def mix_shard_manifest(spark, sf_dir):
         from binlog_processer_spark.operators.mix import shard_manifest
 
@@ -2219,6 +2239,32 @@ grid AS (
         "  JOIN sizes sb ON sb.doc_id = doc_b)"
         " SELECT * FROM scored"
         " WHERE greatest(cont_a_bp, cont_b_bp) >= 8000"
+    )
+
+    o["dedup_containment_kept"] = (
+        f"WITH base AS ({_cont_base}),"
+        f" sh AS (SELECT doc_id, unnest(list_distinct({_dsh})) AS shingle"
+        f"  FROM base WHERE len({DW}) >= 3),"
+        " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),"
+        " hot AS (SELECT shingle FROM sh GROUP BY 1"
+        "  HAVING count(*) > 128),"
+        " shj AS (SELECT * FROM sh WHERE shingle NOT IN"
+        "  (SELECT shingle FROM hot)),"
+        " common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "  count(*) AS common FROM shj a JOIN shj b"
+        "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        " scored AS (SELECT doc_a, doc_b,"
+        "  cast(floor(common * 10000 / sa.n_sh) AS bigint) AS ca,"
+        "  cast(floor(common * 10000 / sb.n_sh) AS bigint) AS cb"
+        "  FROM common JOIN sizes sa ON sa.doc_id = doc_a"
+        "  JOIN sizes sb ON sb.doc_id = doc_b),"
+        " dropped AS (SELECT DISTINCT CASE"
+        "  WHEN ca >= 8000 AND cb >= 8000 THEN greatest(doc_a, doc_b)"
+        "  WHEN ca >= 8000 THEN doc_a WHEN cb >= 8000 THEN doc_b END"
+        "  AS doc_id FROM scored"
+        "  WHERE ca >= 8000 OR cb >= 8000)"
+        " SELECT doc_id FROM base"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"
     )
 
     o["mix_pack_boundaries"] = (

@@ -383,6 +383,35 @@ def containment_pairs(
     )
 
 
+def drop_contained(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_containment_bp: int = 8000,
+) -> DataFrame:
+    """Apply the containment decision: remove the CONTAINED side of every
+    flagged pair and keep the container — the asymmetric counterpart of
+    ``keep_representatives`` (which keeps min-id per near-dup cluster;
+    here the short quote goes, the long document stays, information is
+    never lost).
+
+    The contained side is the one whose containment score clears the
+    bar (higher score = smaller shingle set inside the other); a
+    both-directions tie (mutual near-containment) drops the HIGHER
+    doc_id, keeping the rule total and deterministic. One bounded
+    projection over the pair list + one left-anti join against the
+    corpus — pairs are LSH/DF-cap bounded, never corpus-scale.
+    """
+    a_in = F.col("cont_a_bp") >= min_containment_bp
+    b_in = F.col("cont_b_bp") >= min_containment_bp
+    drop = pairs.select(
+        F.when(a_in & b_in, F.greatest("doc_a", "doc_b"))
+        .when(a_in, F.col("doc_a"))
+        .when(b_in, F.col("doc_b"))
+        .alias("doc_id")
+    ).where(F.col("doc_id").isNotNull()).distinct()
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def _loop_checkpointer(df: DataFrame):
     """(checkpoint, free) helpers for iterative-loop lineage truncation.
 

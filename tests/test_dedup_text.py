@@ -379,3 +379,28 @@ def test_encoding_qa_flags_mojibake(spark):
     assert out[6].n_chars == 0 and out[6].ascii_bp == 10000 and out[6].ok
     plan = encoding_qa(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_drop_contained_keeps_container(spark):
+    from binlog_processer_spark.operators.dedup import (
+        containment_pairs,
+        drop_contained,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(10, 18))
+    d = spark.createDataFrame(
+        [(1, long_words), (2, snippet), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = containment_pairs(d, n=3, min_containment_bp=9000)
+    kept = sorted(r.doc_id for r in drop_contained(d, pairs).collect())
+    assert kept == [1, 3]  # the quote goes, the container and bystander stay
+    # mutual containment (identical docs) drops the higher id
+    d2 = spark.createDataFrame(
+        [(7, long_words), (9, long_words)], "doc_id long, text string"
+    )
+    p2 = containment_pairs(d2, n=3, min_containment_bp=9000)
+    assert sorted(
+        r.doc_id for r in drop_contained(d2, p2).collect()
+    ) == [7]
