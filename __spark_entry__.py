@@ -2258,11 +2258,11 @@ grid AS (
         "  cast(floor(common * 10000 / sb.n_sh) AS bigint) AS cb"
         "  FROM common JOIN sizes sa ON sa.doc_id = doc_a"
         "  JOIN sizes sb ON sb.doc_id = doc_b),"
+        " flagged AS (SELECT * FROM scored"
+        "  WHERE greatest(ca, cb) >= 8000),"
         " dropped AS (SELECT DISTINCT CASE"
-        "  WHEN ca >= 8000 AND cb >= 8000 THEN greatest(doc_a, doc_b)"
-        "  WHEN ca >= 8000 THEN doc_a WHEN cb >= 8000 THEN doc_b END"
-        "  AS doc_id FROM scored"
-        "  WHERE ca >= 8000 OR cb >= 8000)"
+        "  WHEN ca > cb THEN doc_a WHEN cb > ca THEN doc_b"
+        "  ELSE greatest(doc_a, doc_b) END AS doc_id FROM flagged)"
         " SELECT doc_id FROM base"
         " WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"
     )

@@ -31,6 +31,16 @@ def extract_props(
     """
     if not fields:
         raise ValueError("fields must name at least one JSON field")
+    clash = (set(fields) | {"__corrupt", "__p", "props_ok"}) & set(
+        events.columns
+    )
+    clash |= set(fields) & {"__corrupt", "__p", "props_ok"}
+    if clash:
+        # a colliding alias would yield duplicate output columns and an
+        # AMBIGUOUS_REFERENCE at first use — fail loudly instead
+        raise ValueError(
+            f"extracted field names collide with input columns: {sorted(clash)}"
+        )
     # PERMISSIVE from_json yields an all-null struct (not a NULL struct)
     # for malformed payloads, so "did it parse" needs the corrupt-record
     # lane: the raw string lands in __corrupt iff the parse failed

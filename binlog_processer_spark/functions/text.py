@@ -231,6 +231,7 @@ def pii_scrub(
     df: DataFrame,
     text_col: str = "text",
     patterns: list[tuple[str, str, str]] | None = None,
+    include_text: bool = False,
 ) -> DataFrame:
     """PII redaction for training text — the scrub every published-corpus
     pipeline runs before tokens leave the building (C4 and RefinedWeb both
@@ -241,9 +242,10 @@ def pii_scrub(
     ``regexp_replace``, all in ONE projection — no UDF, no shuffle; at
     10^12 rows this is a map-only pass that pipelines into whatever write
     follows. Returns per-doc ``n_<kind>`` counts, the redacted length, and
-    an md5 fingerprint of the redacted text (the value a downstream
-    dedup/audit joins on — the raw redacted text stays in the corpus
-    table, not in the report).
+    an md5 fingerprint of the redacted text; ``include_text=True`` adds
+    the redacted text itself as ``clean_text`` (what a release writes
+    back for flagged docs — the default report carries only counts + fp
+    so it stays narrow).
     """
     pats = patterns if patterns is not None else PII_PATTERNS
     clean = F.coalesce(F.col(text_col), F.lit(""))
@@ -260,6 +262,7 @@ def pii_scrub(
         *counts,
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean).alias("clean_fp"),
+        *([clean.alias("clean_text")] if include_text else []),
     )
 
 

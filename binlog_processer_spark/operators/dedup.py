@@ -383,32 +383,34 @@ def containment_pairs(
     )
 
 
-def drop_contained(
-    docs: DataFrame,
-    pairs: DataFrame,
-    min_containment_bp: int = 8000,
-) -> DataFrame:
+def drop_contained(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Apply the containment decision: remove the CONTAINED side of every
     flagged pair and keep the container — the asymmetric counterpart of
     ``keep_representatives`` (which keeps min-id per near-dup cluster;
     here the short quote goes, the long document stays, information is
     never lost).
 
-    The contained side is the one whose containment score clears the
-    bar (higher score = smaller shingle set inside the other); a
-    both-directions tie (mutual near-containment) drops the HIGHER
-    doc_id, keeping the rule total and deterministic. One bounded
-    projection over the pair list + one left-anti join against the
-    corpus — pairs are LSH/DF-cap bounded, never corpus-scale.
+    The contained side is the one with the HIGHER containment score (a
+    higher fraction of its shingles lives inside the other doc — it is
+    the smaller/quoted one); an exact score tie (mutual containment,
+    e.g. identical docs) drops the higher doc_id. Deliberately
+    threshold-free: ``containment_pairs`` already applied the bar when
+    it emitted the pair, and re-applying an independent threshold here
+    could reclassify a one-direction pair as mutual and drop the
+    container. One bounded projection over the pair list + one
+    left-anti join against the corpus — pairs are LSH/DF-cap bounded,
+    never corpus-scale.
     """
-    a_in = F.col("cont_a_bp") >= min_containment_bp
-    b_in = F.col("cont_b_bp") >= min_containment_bp
-    drop = pairs.select(
-        F.when(a_in & b_in, F.greatest("doc_a", "doc_b"))
-        .when(a_in, F.col("doc_a"))
-        .when(b_in, F.col("doc_b"))
-        .alias("doc_id")
-    ).where(F.col("doc_id").isNotNull()).distinct()
+    ca, cb = F.col("cont_a_bp"), F.col("cont_b_bp")
+    drop = (
+        pairs.select(
+            F.when(ca > cb, F.col("doc_a"))
+            .when(cb > ca, F.col("doc_b"))
+            .otherwise(F.greatest("doc_a", "doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
     return docs.join(drop, "doc_id", "left_anti")
 
 

@@ -26,6 +26,14 @@ def _hash_frac8(col: Column) -> Column:
     return F.substring(F.md5(col.cast("string")), 1, 8)
 
 
+def _md5_prefix_int(col: Column) -> Column:
+    """``_hash_frac8`` as a uint32-range bigint — THE determinism-critical
+    hash behind packing shards, export shards, and shard manifests. One
+    definition on purpose: three hand-kept spellings of this expression
+    would eventually fork shard assignment from the manifests."""
+    return F.conv(_hash_frac8(col), 16, 10).cast("bigint")
+
+
 def rate_threshold(rate: float) -> str:
     """8-hex-digit acceptance threshold for a [0,1] sampling rate."""
     if not 0.0 <= rate <= 1.0:
@@ -83,10 +91,7 @@ def pack_sequences(
     (stratum, shard, seq, offset) placement."""
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
-    shard = (
-        F.conv(_hash_frac8(F.col(id_col)), 16, 10).cast("bigint")
-        % shards
-    ).alias("shard")
+    shard = (_md5_prefix_int(F.col(id_col)) % shards).alias("shard")
     out = df.select(
         *([strat_col] if strat_col else []),
         F.col(id_col),
@@ -131,27 +136,44 @@ def rebalance_report(
     unpartitioned window over that aggregate — nothing row-scale
     shuffles. Shares/rates surface in floored basis points; pair with
     ``stratified_sample`` (same md5 determinism) to apply the rates.
+
+    A targeted source ABSENT from ``df`` still gets an output row
+    (tokens 0, rate 0) — the target is then unachievable and the report
+    must show the miss, not silently renormalize over the sources that
+    happen to exist. Zero-token sources are excluded from the binding
+    constant c (c over them would be 0 and zero out the whole mix).
     """
     if not targets or any(v <= 0 for v in targets.values()):
         raise ValueError("targets must be a non-empty {source: share>0} map")
     tot_t = sum(targets.values())
-    tgt = F.lit(None).cast("double")
-    for s, v in sorted(targets.items()):
-        tgt = F.when(F.col(strat_col) == s, F.lit(v / tot_t)).otherwise(tgt)
-    tok = df.groupBy(strat_col).agg(
-        F.sum(tok_col).cast("bigint").alias("tokens")
+    tgt_rows = df.sparkSession.createDataFrame(
+        [(s, v / tot_t) for s, v in sorted(targets.items())],
+        f"{strat_col} string, __tgt double",
+    )
+    tok = (
+        df.groupBy(strat_col)
+        .agg(F.sum(tok_col).cast("bigint").alias("tokens"))
+        .join(tgt_rows, strat_col, "full_outer")
+        .select(
+            strat_col,
+            F.coalesce("tokens", F.lit(0)).cast("bigint").alias("tokens"),
+            "__tgt",
+        )
     )
     w = Window.partitionBy()  # bounded: n_sources rows
     ratio = F.when(
-        F.col("__tgt").isNotNull(), F.col("tokens") / F.col("__tgt")
+        F.col("__tgt").isNotNull() & (F.col("tokens") > 0),
+        F.col("tokens") / F.col("__tgt"),
     )
     out = (
-        tok.withColumn("__tgt", tgt)
-        .withColumn("__c", F.min(ratio).over(w))
+        tok.withColumn("__c", F.min(ratio).over(w))
         .withColumn("__total", F.sum("tokens").over(w))
         .withColumn(
             "__rate",
-            F.when(F.col("__tgt").isNull(), F.lit(0.0)).otherwise(
+            F.when(
+                F.col("__tgt").isNull() | (F.col("tokens") == 0),
+                F.lit(0.0),
+            ).otherwise(
                 F.least(
                     F.lit(1.0),
                     F.col("__c") * F.col("__tgt") / F.col("tokens"),
@@ -162,7 +184,8 @@ def rebalance_report(
     return out.select(
         strat_col,
         "tokens",
-        F.floor(F.col("tokens") * 10000 / F.col("__total"))
+        F.when(F.col("__total") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("tokens") * 10000 / F.col("__total")))
         .cast("bigint")
         .alias("cur_share_bp"),
         F.floor(F.coalesce(F.col("__tgt"), F.lit(0.0)) * 10000)
@@ -332,17 +355,14 @@ def _shard_id(id_col: str, n_shards: int) -> Column:
     DuckDB reproduces it as ``('0x' || substr(md5(id), 1, 8))::BIGINT %
     n`` (hex prefix, not Spark's murmur ``hash()``, whose seed/algorithm
     is engine-private)."""
-    return (
-        F.expr(
-            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8),"
-            " 16, 10) as bigint)"
-        )
-        % n_shards
-    ).alias("shard_id")
+    return (_md5_prefix_int(F.col(id_col)) % n_shards).alias("shard_id")
 
 
 def shard_assign(
-    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic training-shard export assignment: (id, shard_id,
     pos) — which output shard each document lands in and its stable
@@ -353,16 +373,18 @@ def shard_assign(
 
     Scale plan: ONE shuffle, partitioned by shard_id — exactly the
     shuffle the export write needs anyway, so assignment and write
-    share it. Within-shard order is md5 hex (uniform ⇒ no sort skew).
-    Parallelism equals n_shards: production exports use thousands of
-    shards (n_shards ≥ executor cores), so a window per shard is the
-    natural unit — don't call this with n_shards=2 on a 1000-core
-    cluster and expect speed.
+    share it: pass the payload columns via ``carry_cols`` and they ride
+    this same shuffle (a second corpus join to fetch them back would
+    re-pay the payload movement). Within-shard order is md5 hex
+    (uniform ⇒ no sort skew). Parallelism equals n_shards: production
+    exports use thousands of shards (n_shards ≥ executor cores), so a
+    window per shard is the natural unit — don't call this with
+    n_shards=2 on a 1000-core cluster and expect speed.
     """
     h = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy("shard_id").orderBy(h.asc())
     return (
-        df.select(id_col, _shard_id(id_col, n_shards))
+        df.select(id_col, _shard_id(id_col, n_shards), *(carry_cols or []))
         .withColumn("pos", F.row_number().over(w).cast("bigint") - 1)
     )
 
@@ -421,10 +443,7 @@ def shard_manifest(
     bounded output (n_shards rows). Collision-detecting in practice
     (a dropped or duplicated doc shifts the sum), not cryptographic.
     """
-    pre = F.expr(
-        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8),"
-        " 16, 10) as bigint)"
-    )
+    pre = _md5_prefix_int(F.col(id_col))
     return (
         df.select(
             _shard_id(id_col, n_shards),

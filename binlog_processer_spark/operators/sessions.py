@@ -133,11 +133,18 @@ def funnel_conversion(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    # each reach frame is persisted before its count: the count action and
+    # the next step's join both consume it, and without the persist step i
+    # re-executes steps 0..i-1 from raw events (O(k^2) stream scans).
+    # Frames are per-user aggregates — |users| rows, safe to cache.
+    handles = []
     reach = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t0"))
+        .persist()
     )
+    handles.append(reach)
     counts = [reach.count()]
     for i, step in enumerate(steps[1:], start=1):
         nxt = (
@@ -146,10 +153,14 @@ def funnel_conversion(
             .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{i}"))
+            .persist()
         )
+        handles.append(nxt)
         # carry the reach time forward for the next step's strictly-after
         reach = nxt
         counts.append(nxt.count())
+    for h in handles:
+        h.unpersist()
     spark = events.sparkSession
     base = counts[0]
     rows = [

@@ -109,8 +109,10 @@ def embedding_qa(
         .otherwise(F.expr(f"cast(round(({norm}) * 10000) as bigint)"))
         .alias("norm_bp"),
         # CASE-guarded: NaN must never reach the bigint cast (engines
-        # disagree on casting NaN — Spark saturates, DuckDB errors)
-        F.when(n_nan > 0, F.lit(False))
+        # disagree on casting NaN — Spark saturates, DuckDB errors), and a
+        # NULL vector must come out False, not NULL — a three-valued
+        # verdict slips through every `filter(~usable)` downstream
+        F.when(F.col(vec_col).isNull() | (n_nan > 0), F.lit(False))
         .otherwise(F.expr(f"cast(round(({norm}) * 10000) as bigint) > 0"))
         .alias("usable"),
     )

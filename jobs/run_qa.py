@@ -86,7 +86,17 @@ def main() -> None:
     verdict_t = SnapshotTable(os.path.join(args.output, "doc_qa"))
 
     enc_t.write(encoding_qa(docs), mode="overwrite")
-    pii_t.write(pii_scrub(docs), mode="overwrite")
+    pii_full = pii_scrub(docs, include_text=True)
+    pii_t.write(pii_full.drop("clean_text"), mode="overwrite")
+    # the redaction itself, for every flagged doc — the artifact a release
+    # swaps in for the original text (counts alone can't scrub anything)
+    red_t = SnapshotTable(os.path.join(args.output, "redacted"))
+    red_t.write(
+        pii_full.filter(
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+        ).select("doc_id", "clean_text"),
+        mode="overwrite",
+    )
     funnel_t.write(filter_funnel(docs), mode="overwrite")
 
     enc = enc_t.read(spark)
@@ -110,6 +120,8 @@ def main() -> None:
             "encoding_ok",
             "pii_hits",
             F.coalesce("funnel_keep", F.lit(False)).alias("funnel_keep"),
+            # PII hits do NOT fail a doc: the redacted table carries its
+            # scrubbed text, so it ships redacted rather than dropped
             (
                 F.col("encoding_ok")
                 & F.coalesce("funnel_keep", F.lit(False))
@@ -123,6 +135,7 @@ def main() -> None:
         "docs_in": docs.count(),
         "encoding_bad": verdict.filter(~F.col("encoding_ok")).count(),
         "pii_docs": verdict.filter(F.col("pii_hits") > 0).count(),
+        "redacted_rows": red_t.read(spark).count(),
         "funnel_kept": verdict.filter(F.col("funnel_keep")).count(),
         "qa_pass": verdict.filter(F.col("qa_pass")).count(),
     }

@@ -45,3 +45,18 @@ def test_props_stats_rollup_and_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_extract_props_rejects_column_collisions(spark):
+    import pytest
+
+    from binlog_processer_spark.functions.jsoncol import extract_props
+
+    e = spark.createDataFrame(
+        [(1, "a", '{"k": 1}')],
+        "event_id long, event_type string, props string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        extract_props(e, {"event_type": "string"})
+    with pytest.raises(ValueError, match="collide"):
+        extract_props(e, {"props_ok": "boolean"})

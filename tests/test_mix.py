@@ -382,3 +382,20 @@ def test_materialize_packed_token_order_and_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_rebalance_absent_targeted_source_is_visible(spark):
+    from binlog_processer_spark.operators.mix import rebalance_report
+
+    d = spark.createDataFrame(
+        [("s0", 600)], "source string, n_tok long"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    out = {
+        r.source: r
+        for r in rebalance_report(d, targets={"s0": 0.5, "sX": 0.5}).collect()
+    }
+    # the absent targeted source appears with zero tokens and rate 0 —
+    # the unachievable target is reported, never silently renormalized
+    assert out["sX"].tokens == 0 and out["sX"].rate_bp == 0
+    assert out["sX"].target_share_bp == 5000 and out["sX"].kept_tokens == 0
+    assert out["s0"].rate_bp == 10000  # s0 is trivially binding

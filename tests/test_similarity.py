@@ -269,3 +269,15 @@ def test_embedding_qa_verdicts(spark):
     assert out[3].n_nan == 1
     plan = embedding_qa(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_embedding_qa_null_vector_is_unusable(spark):
+    from binlog_processer_spark.operators.similarity import embedding_qa
+
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_qa(d).collect()}
+    assert out[2].usable is False  # False, not NULL: ~usable must catch it
+    assert out[1].usable is True
