@@ -1,0 +1,168 @@
+"""spark-submit entry point for an end-to-end training-data release.
+
+The whole tokens-axis curation pipeline as ONE job — what a data team
+runs to turn a raw document corpus into trainer-ready shards:
+
+  1. hygiene gates  — encoding QA verdict + quality-filter funnel
+  2. dedup          — MinHash-LSH pairs → connected components → keep
+                      one representative per cluster
+  3. mix            — closed-form rebalance to target token shares,
+                      applied with the deterministic md5 sampler
+  4. pack           — fixed-budget sequence packing, materialized token
+                      arrays (single payload shuffle) + boundary masks
+  5. manifest       — per-shard export manifest for loader verification
+
+Usage::
+
+    spark-submit --py-files dist/engine.zip jobs/run_release.py \
+        --docs /path/to/documents.parquet --output /path/to/release_wh \
+        [--targets src0=0.5,src1=0.3,src2=0.2] [--max-tokens 2048] \
+        [--pack-shards 4]
+
+Every stage's output is a snapshot table under --output (``kept``,
+``mix_report``, ``packed``, ``boundaries``, ``shard_manifest``), so any
+stage can be audited or resumed from; one JSON summary line at the end.
+Token arrays are synthesized from text with the corpus module's
+deterministic hash tokenizer when the input carries no ``tokens``
+column (the 10^12-row production input is already pre-tokenized).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.corpus import _DIALECTS, tokens_expr
+from binlog_processer_spark.functions.text import (
+    apply_filter_funnel,
+    encoding_qa,
+)
+from binlog_processer_spark.operators._cache import unpin_all
+from binlog_processer_spark.operators.dedup import (
+    connected_components,
+    keep_representatives,
+    minhash_lsh_pairs,
+)
+from binlog_processer_spark.operators.mix import (
+    materialize_packed,
+    pack_sequences,
+    rebalance_report,
+    sequence_boundaries,
+    shard_manifest,
+    stratified_sample,
+)
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def _parse_targets(spec: str | None) -> dict[str, float] | None:
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--targets", help="source=share[,source=share...]")
+    ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--pack-shards", type=int, default=4)
+    ap.add_argument("--export-shards", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = get_spark("binlog-release")
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+
+    # 1. hygiene gates: encoding verdict (tiny per-doc report joined
+    # back) + the funnel's codegen keep filter
+    enc_ok = encoding_qa(docs).filter("ok").select("doc_id")
+    eligible = apply_filter_funnel(docs).join(enc_ok, "doc_id")
+    n_eligible = eligible.count()
+
+    # 2. dedup on the eligible corpus
+    pairs = minhash_lsh_pairs(eligible)
+    comp = connected_components(pairs)
+    kept = keep_representatives(
+        eligible.select("doc_id", "source"), comp
+    ).join(eligible, ["doc_id", "source"])
+
+    # tokens: pass through a pre-tokenized column, else synthesize with
+    # the deterministic hash tokenizer (same expression family as the
+    # corpus generator)
+    if "tokens" not in kept.columns:
+        kept = kept.withColumn(
+            "tokens", F.expr(tokens_expr("text", _DIALECTS["spark"]))
+        )
+    kept = kept.withColumn(
+        "n_tok", F.size("tokens").cast("bigint")
+    ).persist()
+    kept_t = SnapshotTable(os.path.join(args.output, "kept"))
+    kept_t.write(kept.select("doc_id", "source", "tokens", "n_tok"))
+    n_kept = kept.count()
+
+    # 3. mix: report + applied rates (rates are n_sources scalars — the
+    # one intentionally driver-sized hop)
+    targets = _parse_targets(args.targets)
+    if targets:
+        report = rebalance_report(kept, targets)
+        SnapshotTable(os.path.join(args.output, "mix_report")).write(report)
+        rates = {
+            r[0]: r.rate_bp / 10000.0
+            for r in report.select(F.col("source"), F.col("rate_bp")).collect()
+        }
+        mixed = stratified_sample(kept, rates, default_rate=0.0)
+    else:
+        mixed = kept
+
+    # 4. pack + materialize + boundaries
+    packed = materialize_packed(
+        mixed, args.max_tokens, shards=args.pack_shards
+    )
+    SnapshotTable(os.path.join(args.output, "packed")).write(packed)
+    bounds = sequence_boundaries(
+        pack_sequences(
+            mixed, args.max_tokens, shards=args.pack_shards,
+        ),
+        args.max_tokens,
+    )
+    SnapshotTable(os.path.join(args.output, "boundaries")).write(bounds)
+
+    # 5. export manifest over the mixed docs
+    man = shard_manifest(
+        mixed.withColumn("n_chars", F.col("n_tok")),
+        n_shards=args.export_shards,
+        size_col="n_chars",
+    )
+    SnapshotTable(os.path.join(args.output, "shard_manifest")).write(man)
+
+    packed_rd = SnapshotTable(os.path.join(args.output, "packed")).read(spark)
+    summary = {
+        "docs_in": n_in,
+        "eligible": n_eligible,
+        "kept_after_dedup": n_kept,
+        "mixed_docs": mixed.count(),
+        "sequences": packed_rd.count(),
+        "tokens_total": (packed_rd.agg(F.sum("n_tok")).collect()[0][0] or 0),
+        "pack_shards": args.pack_shards,
+        "export_shards": args.export_shards,
+    }
+    kept.unpersist()
+    unpin_all()
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -217,3 +217,48 @@ def test_qa_cli_gates_and_verdict(tmp_path, spark):
     verdict = SnapshotTable(wh + "/doc_qa").read(spark)
     bad = {r.doc_id for r in verdict.filter("NOT encoding_ok").collect()}
     assert bad == {i for i in range(40) if i % 6 == 0}
+
+
+def test_release_cli_end_to_end_consistency(tmp_path, spark):
+    docs = str(tmp_path / "docs.parquet")
+    # three sources, enough stopwords to satisfy the funnel, 20-40 words
+    spark.createDataFrame(
+        [
+            (i, "the a of and to in is for on with "
+             + " ".join(f"w{i}x{j}" for j in range(10 + i % 20)),
+             "en", f"s{i % 3}", 200)
+            for i in range(120)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "rel_wh")
+    m = _run([
+        "jobs/run_release.py", "--docs", docs, "--output", wh,
+        "--targets", "s0=0.4,s1=0.3,s2=0.3", "--max-tokens", "64",
+        "--pack-shards", "2",
+    ])
+    assert m["docs_in"] == 120
+    assert 0 < m["kept_after_dedup"] <= m["eligible"] <= 120
+    assert 0 < m["mixed_docs"] <= m["kept_after_dedup"]
+    assert m["sequences"] > 0 and m["tokens_total"] > 0
+
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    packed = SnapshotTable(wh + "/packed").read(spark)
+    bounds = SnapshotTable(wh + "/boundaries").read(spark)
+    man = SnapshotTable(wh + "/shard_manifest").read(spark)
+    # packed and boundaries describe the same sequence set, doc for doc
+    assert packed.count() == bounds.count() == m["sequences"]
+    assert (
+        bounds.agg(F.sum("n_docs")).collect()[0][0]
+        == packed.agg(F.sum("n_docs")).collect()[0][0]
+        == m["mixed_docs"]
+    )
+    # every packed token array has exactly its recorded length
+    assert (
+        packed.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+    )
+    # manifest covers every mixed doc exactly once
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == m["mixed_docs"]
