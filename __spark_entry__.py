@@ -1034,6 +1034,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_retention"] = session_retention
 
+    def sink_ingestion_lag(spark, sf_dir):
+        # CDC freshness: commit-to-event latency shape per sink
+        return agg.ingestion_lag(_kept(spark, sf_dir))
+
+    q["sink_ingestion_lag"] = sink_ingestion_lag
+
     def events_props_stats(spark, sf_dir):
         # schema-on-read JSON extraction + per-type rollup; a deterministic
         # third of payloads is corrupted to exercise the quarantine lane
@@ -2124,6 +2130,24 @@ grid AS (
         "    - cast(n_tok AS bigint) AS off"
         "   FROM corpus WHERE r = 0))"
         " GROUP BY 1, 2, 3"
+    )
+
+    _lag = "(epoch(commit_ts) - epoch(create_ts))"
+    o["sink_ingestion_lag"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " cast(count(*) AS bigint) AS n,"
+        f" cast(floor(avg({_lag})) AS bigint) AS mean_lag_s,"
+        f" cast(max({_lag}) AS bigint) AS max_lag_s,"
+        f" cast(sum(CASE WHEN {_lag} < 60 THEN 1 ELSE 0 END) AS bigint)"
+        "  AS lt_1m,"
+        f" cast(sum(CASE WHEN {_lag} >= 60 AND {_lag} < 3600 THEN 1"
+        "  ELSE 0 END) AS bigint) AS lt_1h,"
+        f" cast(sum(CASE WHEN {_lag} >= 3600 AND {_lag} < 86400 THEN 1"
+        "  ELSE 0 END) AS bigint) AS lt_1d,"
+        f" cast(sum(CASE WHEN {_lag} >= 86400 THEN 1 ELSE 0 END)"
+        "  AS bigint) AS ge_1d"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
     )
 
     o["session_funnel"] = (

@@ -79,6 +79,32 @@ def watermarks(events: DataFrame) -> DataFrame:
     )
 
 
+def ingestion_lag(events: DataFrame) -> DataFrame:
+    """CDC freshness report per sink: the distribution of commit-to-event
+    latency (commit_ts − create_ts) — the metric that tells you a
+    downstream table is minutes vs hours behind its source, and the
+    first thing paged on when replication stalls. Reported as count,
+    floored mean, max, and a lag histogram in coarse buckets
+    (<1m / <1h / <1d / ≥1d), all from ONE bounded hash aggregate —
+    exact mean/max, bucketed shape instead of exact percentiles (a
+    per-sink sort at 10^12 rows buys precision nobody pages on).
+    """
+    lag = F.col("commit_ts").cast("long") - F.col("create_ts").cast("long")
+    b = lambda lo, hi: F.sum(  # noqa: E731 — tiny local bucket counter
+        ((lag >= lo) & (lag < hi)).cast("int")
+    ).cast("bigint")
+    big = 1 << 62
+    return events.groupBy("database_name", "table_name").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(F.avg(lag)).cast("bigint").alias("mean_lag_s"),
+        F.max(lag).cast("bigint").alias("max_lag_s"),
+        b(F.lit(-big), F.lit(60)).alias("lt_1m"),
+        b(F.lit(60), F.lit(3600)).alias("lt_1h"),
+        b(F.lit(3600), F.lit(86400)).alias("lt_1d"),
+        b(F.lit(86400), F.lit(big)).alias("ge_1d"),
+    )
+
+
 def windowed_histogram(events: DataFrame, duration: str = "1 day") -> DataFrame:
     """Per-sink tumbling-window op histogram (reference day-partition
     granularity, TimeBasedPartitioner.java:15-38, as an event-time window)."""

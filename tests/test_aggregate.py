@@ -119,3 +119,25 @@ def test_watermarks_and_histogram(spark):
         assert v == oracle[k]
     hist = agg.windowed_histogram(df).toPandas()
     assert (hist.insert_cnt + hist.update_cnt + hist.delete_cnt).sum() == len(pdf)
+
+
+def test_ingestion_lag_buckets_and_mean(spark):
+    from datetime import datetime as dt
+
+    from binlog_processer_spark.operators.aggregate import ingestion_lag
+
+    base = dt(2024, 1, 2, 0, 0, 0)
+
+    def ev(lag_s):
+        return ("db1", "t1", dt.fromtimestamp(base.timestamp() + lag_s), base)
+
+    d = spark.createDataFrame(
+        [ev(10), ev(59), ev(60), ev(7200), ev(100000), ev(-5)],
+        "database_name string, table_name string,"
+        " commit_ts timestamp, create_ts timestamp",
+    )
+    r = ingestion_lag(d).collect()[0]
+    # buckets: <1m counts negatives too; boundaries are half-open
+    assert (r.lt_1m, r.lt_1h, r.lt_1d, r.ge_1d) == (3, 1, 1, 1)
+    assert r.n == 6 and r.max_lag_s == 100000
+    assert r.mean_lag_s == (10 + 59 + 60 + 7200 + 100000 - 5) // 6
