@@ -571,9 +571,45 @@ def scaling_run(
     scaling_report()
 
 
+def _headline_block() -> str:
+    """Default-mode pipeline history as a BASELINE.md section. Context the
+    numbers live in: r1 recorded 13.57 s and r2 15.19 s on this input
+    (sf0.1, ~1M events); the r2 regression was attributed by A/B
+    (metrics-on 9.79 s vs metrics-off 10.04 s medians, n=3 — parse-latency
+    stamping ruled out; residual was host noise), and r3 recovered it."""
+    try:
+        with open("BENCH/headline_runs.jsonl") as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        return ""
+    if not runs:
+        return ""
+    recent = runs[-8:]
+    secs = sorted(r["pipeline_sec"] for r in recent)
+    med = secs[len(secs) // 2]
+    rows = "\n".join(
+        f"| {r['ts']} | {r['pipeline_sec']} | {r.get('cpus', '?')} |"
+        f" {r.get('load_1m', '?')} |"
+        for r in recent
+    )
+    return (
+        "\n## Headline pipeline time (default bench: sf0.1-scale corpus,"
+        " quiet-gated)\n\n"
+        "Round context: r1 13.57 s → r2 15.19 s (regression; A/B attributed"
+        " — metrics-on 9.79 s vs metrics-off 10.04 s medians ruled out the"
+        " parse-latency stamping, residual was host noise) → r3 recovered.\n"
+        f"Recent runs (last {len(recent)}; median **{med} s**):\n\n"
+        "| unix ts | pipeline (s) | cpus | host load |\n|---|---|---|---|\n"
+        + rows + "\n"
+    )
+
+
 def scaling_report() -> None:
     """Rebuild BENCH/BASELINE.md from the pair history: one section per
     (levels, pinned) regime, each using that regime's LATEST campaign.
+    Default-mode headline history (BENCH/headline_runs.jsonl) is
+    re-rendered too, so regeneration never erases the round-over-round
+    recovery evidence.
     The headline is the pinned regime (the faithful N-core-executor
     model); unpinned history stays disclosed as the host-ceiling regime."""
     with open("BENCH/scaling_pairs.jsonl") as f:
@@ -627,6 +663,7 @@ def scaling_report() -> None:
             "not a cherry-pick. The unpinned local[4]/local[16] history is\n"
             "retained last for continuity with earlier rounds.\n\n"
             + "\n".join(sections)
+            + _headline_block()
             + "\nMethodology. Two parallelism levels on one box stand in for\n"
             "N vs 4N executor clusters per the driver's instruction; input,\n"
             "code, and configs are identical at both levels of a pair. Each\n"
@@ -992,6 +1029,22 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         **pipe,
     }
+    # durable headline history: the scaling report rewrites BASELINE.md
+    # wholesale, so default-mode results persist in a sidecar the report
+    # re-renders (keeps the round-over-round recovery evidence alive)
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/headline_runs.jsonl", "a") as f:
+            f.write(json.dumps({
+                "ts": int(time.time()),
+                "pipeline_sec": pipe["pipeline_sec"],
+                "cpus": pipe_cpus,
+                "n_events": pipe["n_events"],
+                "load_1m": os.getloadavg()[0],
+                "phase_sec": pipe.get("phase_sec", {}),
+            }) + "\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
