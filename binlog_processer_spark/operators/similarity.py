@@ -602,20 +602,21 @@ def cosine_topk_np(
             for qi, qid in enumerate(q_ids):
                 s = sims[qi]
                 mask = c_ids != qid
-                # tie-break equal scores by vec_id ASC (lexsort: last key is
-                # primary) — the per-batch partial top-k then selects under
-                # EXACTLY the final window's ordering, so batch-partial +
-                # global reduce equals the global top-k even when a tie
-                # straddles a batch's k-cut (and matches the SQL oracle)
-                idx = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                sel_ids = c_ids[mask][idx]
+                # the partial top-k must select under EXACTLY the final
+                # window's total order — (cosine_bp DESC, vec_id ASC), on
+                # the ROUNDED score — so batch-partial + global reduce
+                # equals the global top-k. Sorting by the raw float here
+                # is wrong: two candidates that round to the same bp can
+                # straddle the batch's k-cut in raw-score order, dropping
+                # the one the final/oracle ordering ranks first (caught by
+                # the sf0.1 oracle sweep: one rank flip in 100).
+                bp = np.round(s[mask] * 10000).astype(np.int64)
+                idx = np.lexsort((c_ids[mask], -bp))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "vec_id": sel_ids,
-                        "cosine_bp": np.round(s[mask][idx] * 10000).astype(
-                            np.int64
-                        ),
+                        "vec_id": c_ids[mask][idx],
+                        "cosine_bp": bp[idx],
                     }
                 )
 

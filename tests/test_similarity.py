@@ -281,3 +281,18 @@ def test_embedding_qa_null_vector_is_unusable(spark):
     out = {r.vec_id: r for r in embedding_qa(d).collect()}
     assert out[2].usable is False  # False, not NULL: ~usable must catch it
     assert out[1].usable is True
+
+
+def test_blas_topk_partial_cut_uses_rounded_order(spark):
+    from binlog_processer_spark.operators.similarity import cosine_topk_np
+
+    # candidates 2 and 3 round to the SAME basis-point score (9999) but
+    # 3 has the higher raw float; under the final (bp DESC, vec_id ASC)
+    # order the k=1 winner is vec_id 2 — a partial top-k that cuts by raw
+    # score would drop it inside the batch and emit 3
+    d = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [1.0, 0.011]), (3, [1.0, 0.0109])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    out = cosine_topk_np(d, query_ids=[0], k=1).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in out] == [(0, 2, 1)]
