@@ -262,3 +262,38 @@ def test_release_cli_end_to_end_consistency(tmp_path, spark):
     )
     # manifest covers every mixed doc exactly once
     assert man.agg(F.sum("n_docs")).collect()[0][0] == m["mixed_docs"]
+
+
+def test_scrub_cli_detect_quarantine_replay(tmp_path):
+    """End-to-end scrub surface: corrupt one routed data file on disk,
+    run_scrub quarantines + rewrites + unmarks its source files, and the
+    next run_pipeline replays exactly those sources back to a warehouse
+    that verifies clean."""
+    wh = str(tmp_path / "wh")
+    m = _run(["jobs/run_pipeline.py", "--generate", "2000", "--output", wh])
+    assert m["rows_routed"] > 0
+
+    # clean scan first
+    scan = _run(["jobs/run_scrub.py", "--warehouse", wh, "--dry-run"])
+    assert scan["files_corrupt"] == 0 and scan["files_scanned"] > 0
+
+    # truncate one parquet footer
+    import glob
+
+    victim = sorted(
+        glob.glob(os.path.join(wh, "routed", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    with open(victim, "r+b") as f:
+        f.truncate(max(1, os.path.getsize(victim) // 2))
+
+    scrub = _run(["jobs/run_scrub.py", "--warehouse", wh])
+    assert scrub["files_corrupt"] == 1
+    assert scrub["affected_file_ids"]
+    assert "rewrite_snapshot" in scrub
+
+    # replay the unmarked sources; warehouse must re-verify clean
+    m2 = _run(["jobs/run_pipeline.py", "--generate", "2000", "--output", wh])
+    assert m2["files_processed"] == len(scrub["affected_file_ids"])
+    clean = _run(["jobs/run_verify.py", "--warehouse", wh])
+    assert clean["findings_total"] == 0
