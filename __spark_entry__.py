@@ -1040,6 +1040,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sink_ingestion_lag"] = sink_ingestion_lag
 
+    def multimodal_resize(spark, sf_dir):
+        # second multimodal gate: the resize kernel's REAL dim math plus
+        # the byte-stride stub payload, surfaced as length + md5 (the
+        # corpus text is ASCII, so the oracle mirrors the byte stride as
+        # a char stride)
+        from binlog_processer_spark.multimodal import (
+            resize_plan,
+            synthesize_media,
+        )
+
+        m = resize_plan(
+            synthesize_media(_docs(spark, sf_dir)), max_dim=256
+        )
+        return m.select(
+            "doc_id", "src_width", "src_height", "dst_width", "dst_height",
+            F.length("payload").cast("bigint").alias("out_len"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
+    q["multimodal_resize"] = multimodal_resize
+
     def events_props_stats(spark, sf_dir):
         # schema-on-read JSON extraction + per-type rollup; a deterministic
         # third of payloads is corrupted to exercise the quarantine lane
@@ -2148,6 +2169,32 @@ grid AS (
         "  AS bigint) AS ge_1d"
         " FROM kept GROUP BY 1, 2",
         _X_ENRICHED,
+    )
+
+    # resize oracle mirrors the dim math exactly (same double op order)
+    # and the byte-stride stub as a char stride (ASCII corpus text)
+    _rs_scale = "(256.0 / greatest(w, h))"
+    o["multimodal_resize"] = (
+        "WITH m AS (SELECT doc_id, coalesce(text, '') AS t,"
+        " cast(doc_id % 64 * 16 + 64 AS int) AS w,"
+        " cast(doc_id % 48 * 16 + 64 AS int) AS h"
+        " FROM documents WHERE doc_id % 3 = 0),"
+        " d AS (SELECT doc_id, t, w, h,"
+        " CASE WHEN greatest(w, h) <= 256 THEN w ELSE"
+        f"  greatest(cast(floor(w * {_rs_scale}) AS int), 1) END AS dw,"
+        " CASE WHEN greatest(w, h) <= 256 THEN h ELSE"
+        f"  greatest(cast(floor(h * {_rs_scale}) AS int), 1) END AS dh"
+        " FROM m),"
+        " s AS (SELECT doc_id, w, h, dw, dh,"
+        " CASE WHEN greatest(w, h) <= 256 THEN t ELSE"
+        "  array_to_string(list_transform(range(1, length(t) + 1,"
+        "   greatest((w * h) // greatest(dw * dh, 1), 1)),"
+        "   i -> substring(t, cast(i AS int), 1)), '') END AS p"
+        " FROM d)"
+        " SELECT doc_id, w AS src_width, h AS src_height,"
+        " dw AS dst_width, dh AS dst_height,"
+        " cast(length(p) AS bigint) AS out_len, md5(p) AS payload_md5"
+        " FROM s"
     )
 
     o["session_funnel"] = (
