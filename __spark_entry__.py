@@ -1061,6 +1061,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_resize"] = multimodal_resize
 
+    def multimodal_frames(spark, sf_dir):
+        # third multimodal gate: the frame-sampling slice plan, surfaced
+        # as frame count + digest-of-frame-digests
+        from binlog_processer_spark.multimodal import (
+            frame_sample_plan,
+            synthesize_media,
+        )
+
+        f = frame_sample_plan(
+            synthesize_media(_docs(spark, sf_dir)), every_n=10
+        )
+        return f.select(
+            "doc_id",
+            F.size("frames").cast("bigint").alias("n_frames"),
+            F.expr(
+                "md5(concat_ws('|', transform(frames, x -> md5(x))))"
+            ).alias("frames_md5"),
+        )
+
+    q["multimodal_frames"] = multimodal_frames
+
     def events_props_stats(spark, sf_dir):
         # schema-on-read JSON extraction + per-type rollup; a deterministic
         # third of payloads is corrupted to exercise the quarantine lane
@@ -2195,6 +2216,18 @@ grid AS (
         " dw AS dst_width, dh AS dst_height,"
         " cast(length(p) AS bigint) AS out_len, md5(p) AS payload_md5"
         " FROM s"
+    )
+
+    o["multimodal_frames"] = (
+        "WITH m AS (SELECT doc_id, coalesce(text, '') AS t"
+        " FROM documents WHERE doc_id % 3 = 2),"
+        " f AS (SELECT doc_id, list_transform(range(1,"
+        "  greatest(cast(floor(length(t) / 10) AS int), 1) + 1),"
+        "  i -> substring(t, cast((i - 1) * 10 + 1 AS int), 10)) AS frames"
+        " FROM m)"
+        " SELECT doc_id, cast(len(frames) AS bigint) AS n_frames,"
+        " md5(array_to_string(list_transform(frames, x -> md5(x)), '|'))"
+        "  AS frames_md5 FROM f"
     )
 
     o["session_funnel"] = (
