@@ -1443,6 +1443,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_windowed_histogram"] = streaming_windowed_histogram
 
+    def streaming_session_stats(spark, sf_dir):
+        """Native session_window under a watermark, append mode: only
+        sessions whose end (last event + gap) the final watermark passed
+        emit — the oracle mirrors the relational sessionization plus that
+        cutoff."""
+        from binlog_processer_spark.functions.parse import parse_raw as pr
+        from binlog_processer_spark.streaming.windowed import (
+            session_counts_stream,
+        )
+
+        d = _stream_raw_dir(spark, sf_dir)
+        raw = spark.readStream.schema("raw string").parquet(d + "/raw")
+        good = pr(raw).filter(F.col("status") == "OK")
+        out = session_counts_stream(good)
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("q_session_stats")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table("q_session_stats")
+
+    q["streaming_session_stats"] = streaming_session_stats
+
     def streaming_dedup_ingest(spark, sf_dir):
         """At-least-once delivery: one whole binlog segment (every
         file_id ending '-f2') is re-delivered as a second raw file;
@@ -2752,6 +2778,22 @@ grid AS (
         # append mode: a window emits only once the event-time watermark
         # (global max commit_ts − 2h) passes its END
         " HAVING date_trunc('day', commit_ts) + to_days(1) <="
+        " (SELECT max(commit_ts) - to_hours(2) FROM corpus)"
+    )
+    o["streaming_session_stats"] = _oracle_full(
+        "SELECT source, doc_id, cast(count(*) AS bigint) AS n_events,"
+        " min(commit_ts) AS session_start, max(commit_ts) AS session_end"
+        " FROM (SELECT *, cast(sum(brk) OVER (PARTITION BY source, doc_id"
+        "  ORDER BY commit_ts, event_seq ROWS UNBOUNDED PRECEDING)"
+        "  AS bigint) AS sid FROM"
+        "  (SELECT c.*, CASE WHEN cast(epoch(commit_ts) AS bigint) -"
+        "   cast(epoch(lag(commit_ts) OVER (PARTITION BY source, doc_id"
+        "   ORDER BY commit_ts, event_seq)) AS bigint) > 240*60"
+        "   THEN 1 ELSE 0 END AS brk FROM corpus c) t) s"
+        " GROUP BY source, doc_id, sid"
+        # append mode: a session emits once the final event-time watermark
+        # (global max commit_ts − 2h) passes its window END (last + gap)
+        " HAVING max(commit_ts) + to_minutes(240) <="
         " (SELECT max(commit_ts) - to_hours(2) FROM corpus)"
     )
     o["streaming_stateful_totals"] = _oracle_full(

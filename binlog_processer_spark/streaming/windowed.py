@@ -56,3 +56,30 @@ def windowed_op_counts_stream(
             "win_watermark",
         )
     )
+
+
+def session_counts_stream(
+    events: DataFrame,
+    gap: str = "240 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Streaming gap-sessionization via native ``session_window`` — the
+    form operators/sessions.py documents as the streaming carryover, here
+    actually under a watermark: Spark merges a key's events into variable-
+    length windows (end = last event + gap, touching windows merge), holds
+    each open session in the state store, and in append mode emits a
+    session exactly once — when the event-time watermark passes its end.
+    State is bounded by open sessions inside the watermark horizon, not by
+    the stream's history (the 10^12-event requirement).
+    """
+    return (
+        events.withWatermark("commit_ts", watermark)
+        .groupBy(*keys, F.session_window("commit_ts", gap).alias("win"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("commit_ts").alias("session_start"),
+            F.max("commit_ts").alias("session_end"),
+        )
+        .select(*keys, "n_events", "session_start", "session_end")
+    )
