@@ -1040,6 +1040,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sink_ingestion_lag"] = sink_ingestion_lag
 
+    def drift_rate_anomalies(spark, sf_dir):
+        # k-sigma daily-rate flags in exact integer arithmetic
+        from binlog_processer_spark.operators.drift import rate_anomalies
+
+        return rate_anomalies(_kept(spark, sf_dir))
+
+    q["drift_rate_anomalies"] = drift_rate_anomalies
+
     def multimodal_resize(spark, sf_dir):
         # second multimodal gate: the resize kernel's REAL dim math plus
         # the byte-stride stub payload, surfaced as length + md5 (the
@@ -2198,6 +2206,19 @@ grid AS (
         "    - cast(n_tok AS bigint) AS off"
         "   FROM corpus WHERE r = 0))"
         " GROUP BY 1, 2, 3"
+    )
+
+    o["drift_rate_anomalies"] = _oracle_full(
+        "SELECT key AS source, cast(day AS timestamp) AS day, cnt,"
+        " (n_days * cnt - s) * (n_days * cnt - s) >"
+        "  4 * (n_days * sq - s * s) AS is_anomaly"
+        " FROM daily JOIN stats USING (key)",
+        _X_ENRICHED
+        + ", daily AS (SELECT source AS key, cast(commit_ts AS date)"
+        "  AS day, cast(count(*) AS bigint) AS cnt FROM kept GROUP BY 1, 2),"
+        " stats AS (SELECT key, cast(count(*) AS bigint) AS n_days,"
+        "  cast(sum(cnt) AS bigint) AS s,"
+        "  cast(sum(cnt * cnt) AS bigint) AS sq FROM daily GROUP BY 1)",
     )
 
     _lag = "(epoch(commit_ts) - epoch(create_ts))"

@@ -101,3 +101,52 @@ def distribution_drift(
         "source",
         F.round(jsd * 1_000_000).cast("bigint").alias("jsd_ppm"),
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    key_col: str = "source",
+    ts_col: str = "commit_ts",
+    k: int = 2,
+) -> DataFrame:
+    """Event-rate anomaly flags — the alerting primitive over a telemetry
+    stream: per (key, day) event counts, with a day flagged when its
+    count sits more than ``k`` standard deviations from the key's own
+    mean daily rate.
+
+    The k-sigma test runs in EXACT integer arithmetic — anomaly iff
+    (n·cnt − sum)² > k²·(n·sumsq − sum²)·... both sides expand the
+    variance without ever forming a float mean or sqrt:
+
+        |cnt − sum/n| > k·sqrt(sumsq/n − (sum/n)²)
+        ⇔ (n·cnt − sum)² > k²·(n·sumsq − sum²)  [n > 0]
+
+    so the verdict is engine-reproducible with no float fold order or
+    sqrt rounding in sight. Two bounded hash aggregates (days × keys,
+    then keys) + one broadcast-sized join back. Overflow headroom:
+    bigint squares cap at ~3·10^9 events/day/key; beyond that switch
+    the squares to decimal(38,0) — noted rather than paid, since
+    per-key-per-day counts at that size mean the key needs splitting
+    anyway.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (
+        events.groupBy(F.col(key_col).alias("key"), day)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    stats = daily.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq"),
+    )
+    j = daily.join(F.broadcast(stats), "key")
+    lhs = (F.col("n_days") * F.col("cnt") - F.col("s"))
+    rhs = F.lit(k * k) * (
+        F.col("n_days") * F.col("sq") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        F.col("key").alias(key_col),
+        F.col("day").cast("timestamp").alias("day"),
+        "cnt",
+        (lhs * lhs > rhs).alias("is_anomaly"),
+    )

@@ -53,3 +53,27 @@ def test_percentiles_interpolated_exact(spark):
     r = sink_token_percentiles(df).collect()[0]
     # continuous quantile over 1..100: p = 1 + q*99
     assert (r.p50_c, r.p95_c, r.p99_c) == (5050, 9505, 9901)
+
+
+def test_rate_anomalies_exact_sigma_flags(spark):
+    from datetime import datetime as dt
+
+    from binlog_processer_spark.operators.drift import rate_anomalies
+
+    rows = []
+    # source 'a': 10 events/day for 9 days, then a 100-event burst
+    for d in range(9):
+        rows += [("a", dt(2024, 1, 1 + d, h % 24)) for h in range(10)]
+    rows += [("a", dt(2024, 1, 10, h % 24)) for h in range(100)]
+    # source 'b': flat 5/day — nothing flagged (zero variance days equal)
+    for d in range(10):
+        rows += [("b", dt(2024, 1, 1 + d, h % 24)) for h in range(5)]
+    e = spark.createDataFrame(rows, "source string, commit_ts timestamp")
+    out = {
+        (r.source, str(r.day)[:10]): r.is_anomaly
+        for r in rate_anomalies(e).collect()
+    }
+    assert out[("a", "2024-01-10")] is True
+    assert not any(
+        v for (s, d), v in out.items() if not (s == "a" and d == "2024-01-10")
+    )
