@@ -1224,6 +1224,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_list"] = dedup_keep_list
 
+    def dedup_source_report(spark, sf_dir):
+        # the release artifact on top of the keep decision: per-source
+        # docs in / kept / removed basis points (which sources carry the
+        # duplication burden)
+        from binlog_processer_spark.operators.dedup import (
+            connected_components,
+            keep_representatives,
+        )
+
+        docs = _docs(spark, sf_dir)
+        comp = connected_components(minhash_lsh_pairs(docs, k=8, bands=4))
+        kept = keep_representatives(docs, comp).groupBy("source").agg(
+            F.count("*").cast("bigint").alias("kept")
+        )
+        return (
+            docs.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("docs_in"))
+            .join(kept, "source", "left")
+            .select(
+                "source",
+                "docs_in",
+                F.coalesce("kept", F.lit(0)).cast("bigint").alias("kept"),
+                F.floor(
+                    (F.col("docs_in") - F.coalesce("kept", F.lit(0)))
+                    * 10000
+                    / F.col("docs_in")
+                )
+                .cast("bigint")
+                .alias("removed_bp"),
+            )
+        )
+
+    q["dedup_source_report"] = dedup_source_report
+
     def dedup_minhash_incremental(spark, sf_dir):
         # daily-ingest shape: docs with doc_id%5==0 arrive as the NEW
         # batch against a band index built from the rest — only pairs
@@ -2067,6 +2101,19 @@ grid AS (
         " SELECT doc_id, source FROM documents"
         " WHERE doc_id NOT IN"
         "  (SELECT doc_id FROM comp WHERE component_id <> doc_id)"
+    )
+    o["dedup_source_report"] = _comp_ctes + (
+        ", keptr AS (SELECT source, cast(count(*) AS bigint) AS kept"
+        "  FROM documents WHERE doc_id NOT IN"
+        "  (SELECT doc_id FROM comp WHERE component_id <> doc_id)"
+        "  GROUP BY 1),"
+        " tot AS (SELECT source, cast(count(*) AS bigint) AS docs_in"
+        "  FROM documents GROUP BY 1)"
+        " SELECT source, docs_in,"
+        " cast(coalesce(kept, 0) AS bigint) AS kept,"
+        " cast(floor((docs_in - coalesce(kept, 0)) * 10000 / docs_in)"
+        "  AS bigint) AS removed_bp"
+        " FROM tot LEFT JOIN keptr USING (source)"
     )
 
     def _simbit(j: int) -> str:
