@@ -215,6 +215,13 @@ def sequence_boundaries(
     One hash aggregate over the packed relation (keys = sequence identity,
     map-side combinable, output rows = corpus_tokens/max_tokens): the
     boundary arrays are sorted per group, never globally.
+
+    Coordinates: boundaries are WINDOW-relative (offset − seq·budget). A
+    first boundary > 0 means the window's head belongs to the previous
+    sequence's overrun tail; a loader cutting the MATERIALIZED token
+    array (`materialize_packed`, whose origin is the first member doc)
+    subtracts the first boundary — tests pin that cutting at the deltas
+    reconstructs every member document exactly.
     """
     keys = ([strat_col] if strat_col else []) + ["shard", "seq"]
     rel = F.col("offset") - F.col("seq") * max_tokens

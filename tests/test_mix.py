@@ -399,3 +399,48 @@ def test_rebalance_absent_targeted_source_is_visible(spark):
     assert out["sX"].tokens == 0 and out["sX"].rate_bp == 0
     assert out["sX"].target_share_bp == 5000 and out["sX"].kept_tokens == 0
     assert out["s0"].rate_bp == 10000  # s0 is trivially binding
+
+
+def test_materialized_tokens_align_with_boundaries(spark):
+    """The trainer-facing invariant across the two pack artifacts: cutting
+    each materialized sequence at its boundary offsets reconstructs the
+    member documents' token arrays exactly."""
+    from binlog_processer_spark.operators.mix import (
+        materialize_packed,
+        pack_sequences,
+        sequence_boundaries,
+    )
+
+    docs = {
+        f"d{i}": list(range(i * 100, i * 100 + 3 + (i % 4)))
+        for i in range(12)
+    }
+    d = spark.createDataFrame(
+        [(k, "s0", v, len(v)) for k, v in docs.items()],
+        "doc_id string, source string, tokens array<int>, n_tok long",
+    )
+    mat = {
+        (r.source, r.shard, r.seq): r.tokens
+        for r in materialize_packed(d, max_tokens=10, shards=2).collect()
+    }
+    bnd = {
+        (r.source, r.shard, r.seq): r.boundaries
+        for r in sequence_boundaries(
+            pack_sequences(d, 10, shards=2), 10
+        ).collect()
+    }
+    assert set(mat) == set(bnd)
+    all_cut = []
+    for key, toks in mat.items():
+        # boundaries are in-WINDOW offsets; the materialized array's
+        # origin is the first member's offset (an overrun tail from the
+        # previous sequence may own the window's first tokens), so cuts
+        # are boundary deltas from the first boundary
+        b0 = int(bnd[key][0])
+        cuts = [int(b) - b0 for b in bnd[key]] + [len(toks)]
+        all_cut += [
+            toks[cuts[i]:cuts[i + 1]] for i in range(len(cuts) - 1)
+        ]
+    # every input document appears exactly once across all cuts
+    want = sorted(map(tuple, docs.values()))
+    assert sorted(map(tuple, all_cut)) == want
