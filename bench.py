@@ -57,6 +57,8 @@ HEADLINE = [
     "text_pii_scrub",
     "mix_shard_assign",
     "mix_pack_tokens",
+    "dedup_containment",
+    "session_funnel",
 ]
 
 

@@ -1,7 +1,8 @@
-"""spark-submit surface smoke: the three CLI entry points end-to-end in
-subprocesses (resolve → verify → repair), sharing one warehouse — the
-reference's BinlogMain / TiDBCheckByFile / HiveRepairByDataBase trio
-(SURVEY.md §3) as --py-files-shippable jobs."""
+"""spark-submit surface smoke: the CLI entry points end-to-end in
+subprocesses — the reference's BinlogMain / TiDBCheckByFile /
+HiveRepairByDataBase trio (SURVEY.md §3) plus the maintenance (scrub,
+compact), corpus (dedup, qa), and release surfaces, all as
+--py-files-shippable jobs."""
 
 import json
 import os
