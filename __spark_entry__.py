@@ -2117,7 +2117,8 @@ grid AS (
     )
 
     def _simbit(j: int) -> str:
-        # mirror dedup.simhash_word_hash: second md5 salt for bits >= 32
+        # mirror dedup.simhash_signatures' per-bit scheme: parity of one
+        # hex char of md5(w), second md5 salt ('~') for bits >= 32
         src = "md5(w)" if j < 32 else "md5(w || '~')"
         vote = (
             f"list_sum(list_transform({DW}, w -> CASE WHEN"
@@ -2157,6 +2158,10 @@ grid AS (
     # keep iff substr(md5(id),1,8) < format(rate*16^8,'08x'), compared as
     # strings (uniform hex digits → exact rate, no dialect-bound hex casts)
     def _thr(rate: float) -> str:
+        # mirror mix.rate_threshold exactly, incl. the rate-1.0 "g"
+        # keep-all sentinel (above every hex digit)
+        if rate >= 1.0:
+            return "g"
         return format(min(int(rate * 16**8), 16**8 - 1), "08x")
 
     o["mix_stratified_sample"] = (

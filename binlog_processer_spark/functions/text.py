@@ -59,9 +59,20 @@ _MEAN_WLEN_BP = (
 
 def bpe_tokens_col() -> Column:
     """BPE-ish token count of ``text`` as a reusable Column (the
-    pre-tokenizer-regex counter from ``token_count_cols``)."""
-    return F.expr(
-        f"size(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}', 0))"
+    pre-tokenizer-regex counter from ``token_count_cols``).
+
+    Built through the Column API, NOT an F.expr SQL string: Spark's SQL
+    literal parser unescapes ``\\s`` to ``s``, which silently removed
+    whitespace from the negated class — punctuation runs then swallowed
+    the spaces between them and undercounted (' ! ?' counted as ONE
+    token), while the DuckDB oracle kept the intended pattern.
+    """
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(BPE_PATTERN),
+            F.lit(0),
+        )
     ).cast("int")
 
 

@@ -103,6 +103,15 @@ def minhash_bands(docs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     join sides (measured 47s of driver codegen/recompute at 5k docs vs
     ~4s cached); registered for caller-driven cleanup (_cache.unpin_all).
     """
+    if bands < 1 or bands > k or k % bands != 0:
+        # r = k // bands = 0 would hash md5('') for EVERY doc — every band
+        # collides and the LSH join degenerates to the O(n^2) cross join
+        # banding exists to prevent; a non-dividing bands silently drops
+        # the trailing signatures. Fail loudly instead (CLI passes --k /
+        # --bands through unvalidated).
+        raise ValueError(
+            f"bands ({bands}) must divide k ({k}) and be in [1, k]"
+        )
     r = k // bands
     sig = minhash_signatures(docs, k)
     band_cols = []
@@ -147,14 +156,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-
-
-def simhash_word_hash(j: int, var: str = "w") -> str:
-    """Hex char feeding bit j: chars 1..32 of md5(w) for the first 32 bits,
-    chars 1..32 of md5(w || '~') for bits 32..63 — 64 independent bits from
-    two md5 evaluations, identical in Spark and DuckDB."""
-    src = f"md5({var})" if j < 32 else f"md5({var} || '~')"
-    return f"substr({src}, {(j % 32) + 1}, 1)"
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -266,27 +267,16 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_jaccard_bp: int = 5000,
-    max_df: int = 128,
-) -> DataFrame:
-    """Jaccard over word n-grams, relationally:
-
-    explode distinct shingles → self-join on shingle → common counts →
-    jaccard = common / (|A| + |B| - common). Output in basis points (int)
-    for exact cross-engine comparison.
-
-    ``max_df`` caps shingle document frequency BEFORE the self-join: one
-    stop-shingle shared by k docs contributes k² join rows, so an uncapped
-    join is quadratic in the hottest shingle — the 100 TB scale-killer. A
-    shingle above the cap is dropped from candidate generation only; the
-    jaccard DENOMINATOR still uses full per-doc shingle counts, so surviving
-    pairs' scores shift at most by the dropped commons (a standard
-    stop-shingle recall trade, like DF-capped stop-words in IR). Pass
-    ``max_df=None`` to disable.
-    """
-    # persist: the exploded shingle relation feeds four plan branches
-    # (sizes, both join sides, the DF cap) — uncached, each re-explodes
+def _shingle_commons(
+    docs: DataFrame, n: int, max_df: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate plumbing for the set-overlap dedups
+    (``ngram_jaccard_pairs`` / ``containment_pairs``): the pinned
+    exploded-shingle relation reduced to per-doc sizes and per-pair
+    common counts, with the DF-capped hot-shingle anti-join applied to
+    candidate generation only (sizes stay full). One definition so the
+    cap semantics and pair canonicalization (doc_a < doc_b) can never
+    fork between the scorers."""
     sh = pin(shingles(docs, n))  # registered: _cache.unpin_all releases it
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     joinable = sh
@@ -312,6 +302,29 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("common"))
     )
+    return sizes, common
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_jaccard_bp: int = 5000,
+    max_df: int = 128,
+) -> DataFrame:
+    """Jaccard over word n-grams, relationally:
+
+    explode distinct shingles → self-join on shingle → common counts →
+    jaccard = common / (|A| + |B| - common). Output in basis points (int)
+    for exact cross-engine comparison.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: one
+    stop-shingle shared by k docs contributes k² join rows, so an uncapped
+    join is quadratic in the hottest shingle — the 100 TB scale-killer. A
+    shingle above the cap is dropped from candidate generation only; the
+    jaccard DENOMINATOR still uses full per-doc shingle counts, so surviving
+    pairs' scores shift at most by the dropped commons (a standard
+    stop-shingle recall trade, like DF-capped stop-words in IR). Pass
+    ``max_df=None`` to disable.
+    """
+    sizes, common = _shingle_commons(docs, n, max_df)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -338,35 +351,13 @@ def containment_pairs(
     Jaccard misses the quote-inclusion case — a short document embedded
     verbatim inside a much longer one scores |A|/|B| ≈ 0 by Jaccard but
     1.0 by containment of the short side; dedup pipelines run both (the
-    long doc stays, the contained snippet goes). Same relational shape as
-    ``ngram_jaccard_pairs`` (exploded distinct shingles, DF-capped
-    self-join, full-denominator sizes) with per-direction scores; a pair
-    survives if EITHER direction clears the threshold. Basis-point ints
-    for exact cross-engine comparison.
+    long doc stays, the contained snippet goes). Shares
+    ``_shingle_commons`` with ``ngram_jaccard_pairs`` (exploded distinct
+    shingles, DF-capped self-join, full-denominator sizes) and differs
+    only in the score: per-direction basis-point containments, a pair
+    surviving if EITHER direction clears the threshold.
     """
-    sh = pin(shingles(docs, n))  # registered: _cache.unpin_all releases it
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = joinable.alias("a"), joinable.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
+    sizes, common = _shingle_commons(docs, n, max_df)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     cont_a = F.floor(F.col("common") * 10000 / F.col("na")).cast("bigint")

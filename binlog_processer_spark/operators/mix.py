@@ -35,9 +35,16 @@ def _md5_prefix_int(col: Column) -> Column:
 
 
 def rate_threshold(rate: float) -> str:
-    """8-hex-digit acceptance threshold for a [0,1] sampling rate."""
+    """Acceptance threshold for a [0,1] sampling rate, compared as a
+    string against the 8-hex md5 prefix. rate 1.0 returns ``"g"`` —
+    lexicographically above every hex digit — because capping at
+    ``ffffffff`` with a strict ``<`` silently dropped the ~1-in-2^32
+    docs whose prefix is exactly ``ffffffff`` (hundreds of rows at
+    10^12 scale) from a supposed keep-everything stratum."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        return "g"
     return format(min(int(rate * 16**8), 16**8 - 1), "08x")
 
 
@@ -314,8 +321,12 @@ def contamination(
     )
     return (
         train_sh.join(hold_sh, "shingle")
+        # count(*), not countDistinct: shingles() is already distinct per
+        # (doc_id, shingle) and the broadcast side is .distinct(), so the
+        # join output has no per-doc duplicates — a distinct-aggregate here
+        # pays a second dedup phase for identical numbers
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("shared_shingles"))
+        .agg(F.count("*").cast("bigint").alias("shared_shingles"))
     )
 
 

@@ -138,29 +138,33 @@ def funnel_conversion(
     # re-executes steps 0..i-1 from raw events (O(k^2) stream scans).
     # Frames are per-user aggregates — |users| rows, safe to cache.
     handles = []
-    reach = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t0"))
-        .persist()
-    )
-    handles.append(reach)
-    counts = [reach.count()]
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(reach, user_col)
-            .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+    try:
+        reach = (
+            events.filter(F.col(type_col) == steps[0])
             .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t{i}"))
+            .agg(F.min(ts_col).alias("t0"))
             .persist()
         )
-        handles.append(nxt)
-        # carry the reach time forward for the next step's strictly-after
-        reach = nxt
-        counts.append(nxt.count())
-    for h in handles:
-        h.unpersist()
+        handles.append(reach)
+        counts = [reach.count()]
+        for i, step in enumerate(steps[1:], start=1):
+            nxt = (
+                events.filter(F.col(type_col) == step)
+                .join(reach, user_col)
+                .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"t{i}"))
+                .persist()
+            )
+            handles.append(nxt)
+            # carry the reach time forward: next step is strictly-after
+            reach = nxt
+            counts.append(nxt.count())
+    finally:
+        # unpersist even when a mid-funnel count fails — these persists
+        # bypass the _cache pin registry, so a leak here outlives retries
+        for h in handles:
+            h.unpersist()
     spark = events.sparkSession
     base = counts[0]
     rows = [

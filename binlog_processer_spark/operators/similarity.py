@@ -190,6 +190,13 @@ def _banded(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
     self-joins/broadcasts would otherwise duplicate the n_planes-wide dot
     -product expression tree into every branch (driver codegen blowup —
     same fix as dedup.minhash_lsh_pairs)."""
+    if bands < 1 or bands > n_planes or n_planes % bands != 0:
+        # r = 0 would make every band slice empty → constant band hash →
+        # all-pairs degeneration (same guard as dedup.minhash_bands)
+        raise ValueError(
+            f"bands ({bands}) must divide n_planes ({n_planes})"
+            " and be in [1, n_planes]"
+        )
     r = n_planes // bands
     # plan-size persist, registered for caller-driven cleanup (_cache.unpin_all)
     return pin(
@@ -585,9 +592,23 @@ def cosine_topk_np(
         .select("vec_id", "embedding")
         .collect()
     )
+    out_schema = "query_id bigint, vec_id bigint, cosine_bp bigint"
+    if not q_rows:
+        # np.linalg.norm(axis=1) on the empty 1-D array raises; the SQL
+        # paths return an empty frame for a no-match query set — match them
+        empty = embeddings.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).limit(0)
+
+    def _safe_norms(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        # zero-norm vectors: dividing yields NaN scores whose int64 cast is
+        # garbage (INT64_MIN); leave them as zero vectors → cosine 0
+        n[n == 0.0] = 1.0
+        return n
+
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat /= _safe_norms(q_mat)
 
     def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -597,7 +618,7 @@ def cosine_topk_np(
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            c /= _safe_norms(c)
             sims = q_mat @ c.T  # (nq, nc)
             for qi, qid in enumerate(q_ids):
                 s = sims[qi]

@@ -140,6 +140,12 @@ def heavy_hitters(
     so its map-side output is tasks x |candidates| — nothing anywhere
     is proportional to the token stream.
     """
+    if not 1 <= int(min_support_ppm) <= 1_000_000:
+        # 0 divides by zero; > 10^6 silently gives capacity 0 (empty
+        # output). For an unpruned table use token_frequencies(ppm=0).
+        raise ValueError(
+            f"min_support_ppm {min_support_ppm} outside [1, 1000000]"
+        )
     phi_inv = 1_000_000 // int(min_support_ppm)
     capacity = 2 * phi_inv
     cand = (

@@ -51,7 +51,11 @@ def test_sample_is_a_pure_filter_no_shuffle(spark):
 
 def test_rate_threshold_bounds(spark):
     assert rate_threshold(0.0) == "00000000"
-    assert rate_threshold(1.0) == "ffffffff"
+    # keep-all sentinel: above every hex digit, so a strict `<` keeps even
+    # a doc whose md5 prefix is exactly ffffffff
+    assert rate_threshold(1.0) == "g"
+    # just-below-1 rates stay hex (strictly below the sentinel)
+    assert rate_threshold(1 - 2**-33) == "ffffffff"
     import pytest
 
     with pytest.raises(ValueError):
