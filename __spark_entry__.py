@@ -606,6 +606,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_idf_score"] = doc_idf_score
 
+    def token_bm25_topk(spark, sf_dir):
+        # lexical top-k retrieval over the token stream; the query ids are
+        # the corpus token-hashes of 'scan'/'merge' (common) and 'dup'
+        # (rare) so idf spread is exercised
+        from binlog_processer_spark.operators.tokens import bm25_topk
+
+        return bm25_topk(_kept(spark, sf_dir), [6141, 8648, 14689], k=25)
+
+    q["token_bm25_topk"] = token_bm25_topk
+
     def text_repetition(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import repetition_stats
 
@@ -884,6 +894,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return shard_assign(_docs(spark, sf_dir), n_shards=16)
 
     q["mix_shard_assign"] = mix_shard_assign
+
+    def mix_epoch_order(spark, sf_dir):
+        # fresh deterministic traversal order per training epoch — a pure
+        # projection (zero shuffle): shard stays the stable md5 home,
+        # order_key = md5(epoch || '|' || id) re-permutes every epoch
+        from binlog_processer_spark.operators.mix import epoch_order
+
+        return epoch_order(_docs(spark, sf_dir), epoch=3, n_shards=16)
+
+    q["mix_epoch_order"] = mix_epoch_order
 
     def mix_pack_boundaries(spark, sf_dir):
         # per-packed-sequence doc-boundary offsets (attention-mask input);
@@ -1788,6 +1808,31 @@ grid AS (
         " GROUP BY source, doc_id",
         _X_ENRICHED,
     )
+    # BM25 (Lucene idf variant) in milli-points over exact-bigint inputs;
+    # float expressions textually mirror tokens.bm25_topk's operation
+    # order (incl. the ((tf*2.2)/denom) grouping) so both engines round
+    # identically; deterministic cut via full-key tiebreak
+    o["token_bm25_topk"] = _oracle_full(
+        "SELECT source, doc_id, event_seq,"
+        " cast(round(sum("
+        "  ln(1.0 + (n_seq - df_cnt + 0.5) / (df_cnt + 0.5))"
+        "  * ((tf * 2.2)"
+        "     / (tf + 1.2 * (0.25 + 0.75 * (dl * n_seq) / total_tok)))"
+        " ) * 1000) AS bigint) AS score_m"
+        " FROM tf JOIN dfs USING (token) CROSS JOIN stats"
+        " GROUP BY source, doc_id, event_seq"
+        " ORDER BY score_m DESC, source, doc_id, event_seq LIMIT 25",
+        _X_ENRICHED + ","
+        + " stats AS (SELECT cast(count(*) AS bigint) AS n_seq,"
+        "   cast(sum(n_tok) AS bigint) AS total_tok FROM kept),"
+        " tf AS (SELECT source, doc_id, event_seq, dl, token,"
+        "   cast(count(*) AS bigint) AS tf FROM"
+        "   (SELECT source, doc_id, event_seq, n_tok AS dl,"
+        "    unnest(tokens) AS token FROM kept)"
+        "  WHERE token IN (6141, 8648, 14689) GROUP BY 1, 2, 3, 4, 5),"
+        " dfs AS (SELECT token, cast(count(*) AS bigint) AS df_cnt"
+        "   FROM tf GROUP BY token)",
+    )
     o["vocab_stats"] = _oracle_full(
         "SELECT a.source, a.n_rows, a.total_tok, b.distinct_tok FROM"
         " (SELECT source, cast(count(*) AS bigint) AS n_rows,"
@@ -2506,6 +2551,14 @@ grid AS (
         " count(*) AS n_docs,"
         " cast(sum(coalesce(n_chars, 0)) AS bigint) AS bytes_total,"
         " cast(sum(pre) AS bigint) AS id_checksum FROM d GROUP BY 1"
+    )
+    # per-epoch deterministic order: mirror mix.epoch_order (epoch=3)
+    o["mix_epoch_order"] = (
+        "SELECT doc_id,"
+        f" cast({_duck_pre} % 16 AS bigint) AS shard_id,"
+        " cast(3 AS int) AS epoch,"
+        " md5('3|' || cast(doc_id AS string)) AS order_key"
+        " FROM documents"
     )
 
     _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -541,3 +541,43 @@ def holdout_carve(
         .filter(F.col("__rn") <= k)
         .select(strat_col, id_col)
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order WITHOUT re-shuffling data:
+    ``(id, shard_id, epoch, order_key)`` where shard_id is the stable
+    md5 home (identical to ``shard_assign`` — data stays where the
+    export put it) and ``order_key = md5(epoch || '|' || id)`` is a
+    fresh uniform permutation every epoch.
+
+    Multi-epoch pretraining needs a different traversal order each
+    epoch, reproducible across restarts, loader ranks, and engines.
+    Physically re-shuffling 10^12 sequences per epoch re-pays the
+    corpus; this derives the order as a PURE PROJECTION — zero shuffle,
+    zero state, computable at load time by any worker that can hash.
+    A loader (or a downstream ``sortWithinPartitions("order_key")``
+    materialization, same pattern as ``materialize_packed``) sorts each
+    shard independently; epoch-over-epoch the sort permutes because the
+    seed is baked into the hash input, while shard membership — and so
+    file placement — never moves.
+
+    The ``epoch|id`` input means order keys across epochs are
+    independent md5 draws: no correlation between an id's rank in epoch
+    e and e+1 (the failure mode of seed-XOR schemes on weak hashes).
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch {epoch} must be >= 0")
+    key = F.md5(
+        F.concat(F.lit(f"{int(epoch)}|"), F.col(id_col).cast("string"))
+    )
+    return df.select(
+        id_col,
+        _shard_id(id_col, n_shards),
+        F.lit(int(epoch)).cast("int").alias("epoch"),
+        key.alias("order_key"),
+    )

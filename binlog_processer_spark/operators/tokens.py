@@ -542,3 +542,110 @@ def vocab_stats(kept: DataFrame) -> DataFrame:
     return per_row.join(per_tok, "source").select(
         "source", "n_rows", "total_tok", "distinct_tok"
     )
+
+
+def bm25_topk(
+    kept: DataFrame,
+    query_tokens: list[int],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k sequences for a bag of query token
+    ids, scored with the Lucene non-negative idf variant
+
+        score = Σ_t  ln(1 + (N − df + ½)/(df + ½))
+                   · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    published in milli-points (bigint). This is token-space retrieval —
+    the lexical complement of the embedding-space ANN in
+    ``similarity.cosine_topk`` — used for targeted corpus probes
+    ("which training sequences mention these ids") and as the sparse arm
+    of contamination sweeps.
+
+    Scale plan (the naive plan explodes 10^15 token occurrences):
+
+    - ``arrays_overlap`` against the literal query array prunes
+      non-matching sequences BEFORE any explode — the corpus-wide scan
+      stays a codegen filter over the array column.
+    - the explode that follows is over ``filter(tokens, t -> t IN q)``,
+      so only occurrences OF QUERY TOKENS are materialized (bounded by
+      the posting lists, not the token stream).
+    - df comes from the tf relation itself (one groupBy of a tiny
+      relation) and joins back broadcast; N and Σdl are one column-pruned
+      1-row aggregate (exact bigints, so dl/avgdl = dl·N/Σdl is a fixed
+      double expression both engines evaluate identically — no
+      cross-partition float reduction feeds the score).
+    - global top-k is ``orderBy(...).limit(k)`` — Catalyst plans
+      TakeOrderedAndProject (per-partition heaps + driver merge of k·p
+      rows), never a full sort shuffle.
+
+    Ties: scores are rounded to milli then ordered with a full key
+    tiebreak, so the cut is engine-deterministic. The per-sequence sum
+    over ≤|q| doubles is the only order-sensitive float reduction (same
+    accepted tolerance as ``doc_idf_score``).
+    """
+    from binlog_processer_spark.operators._cache import pin
+
+    qs = sorted({int(t) for t in query_tokens})
+    if not qs:
+        raise ValueError("query_tokens must be non-empty")
+    qlit = F.array(*[F.lit(t) for t in qs])
+    # n_tok == size(tokens) by the input contract; preferring the int
+    # column keeps the stats pass off the array bytes (see _total_tokens)
+    dl_col = F.col("n_tok") if "n_tok" in kept.columns else F.size("tokens")
+    stats = kept.agg(
+        F.count("*").cast("bigint").alias("n_seq"),
+        F.sum(dl_col).cast("bigint").alias("total_tok"),
+    )
+    cand = kept.filter(F.arrays_overlap(F.col("tokens"), qlit))
+    # pin: tf feeds both the df derivation and the score join; uncached,
+    # each branch would re-scan + re-explode the corpus (unpin_all releases)
+    tf = pin(
+        cand.select(
+            "source",
+            "doc_id",
+            "event_seq",
+            dl_col.alias("dl"),
+            F.explode(
+                F.filter("tokens", lambda t: F.array_contains(qlit, t))
+            ).alias("token"),
+        )
+        .groupBy("source", "doc_id", "event_seq", "dl", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfs = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_cnt"))
+    # fixed-shape double expression over exact bigint inputs: identical
+    # operation order in the DuckDB oracle (__spark_entry__) — keep in sync
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_seq") - F.col("df_cnt") + F.lit(0.5))
+        / (F.col("df_cnt") + F.lit(0.5))
+    )
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("dl") * F.col("n_seq"))
+            / F.col("total_tok")
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("source", "doc_id", "event_seq")
+        .agg(
+            F.round(F.sum(idf * norm) * 1000)
+            .cast("bigint")
+            .alias("score_m")
+        )
+        .orderBy(
+            F.col("score_m").desc(),
+            F.col("source"),
+            F.col("doc_id"),
+            F.col("event_seq"),
+        )
+        .limit(int(k))
+    )

@@ -448,3 +448,50 @@ def test_materialized_tokens_align_with_boundaries(spark):
     # every input document appears exactly once across all cuts
     want = sorted(map(tuple, docs.values()))
     assert sorted(map(tuple, all_cut)) == want
+
+
+def test_epoch_order_permutes_per_epoch_and_keeps_shards(spark):
+    from binlog_processer_spark.operators.mix import epoch_order, shard_assign
+
+    docs = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "doc_id string"
+    )
+    e3a = epoch_order(docs, epoch=3, n_shards=16).collect()
+    e3b = epoch_order(docs, epoch=3, n_shards=16).collect()
+    e4 = epoch_order(docs, epoch=4, n_shards=16).collect()
+    # reproducible within an epoch
+    assert sorted(map(tuple, e3a)) == sorted(map(tuple, e3b))
+    # order keys are a fresh permutation across epochs: relative order of
+    # at least one same-shard pair flips (md5 draws are independent)
+    k3 = {r.doc_id: (r.shard_id, r.order_key) for r in e3a}
+    k4 = {r.doc_id: (r.shard_id, r.order_key) for r in e4}
+    # shard home never moves epoch-over-epoch, and matches shard_assign
+    assert {d: s for d, (s, _) in k3.items()} == {d: s for d, (s, _) in k4.items()}
+    sa = {r.doc_id: r.shard_id for r in shard_assign(docs, n_shards=16).collect()}
+    assert {d: s for d, (s, _) in k3.items()} == sa
+    flips = 0
+    by_shard: dict = {}
+    for d, (s, _) in k3.items():
+        by_shard.setdefault(s, []).append(d)
+    for s, members in by_shard.items():
+        for a, b in zip(members, members[1:]):
+            if (k3[a][1] < k3[b][1]) != (k4[a][1] < k4[b][1]):
+                flips += 1
+    assert flips > 0
+    # keys are unique (a bijective sort key within each shard)
+    assert len({v for _, v in k3.items()}) == len(k3)
+
+
+def test_epoch_order_is_pure_projection(spark):
+    import pytest
+
+    from binlog_processer_spark.operators.mix import epoch_order
+
+    docs = spark.createDataFrame([(str(i),) for i in range(50)], "doc_id string")
+    plan = (
+        epoch_order(docs, epoch=1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    with pytest.raises(ValueError):
+        epoch_order(docs, epoch=-1)

@@ -213,3 +213,61 @@ def test_doc_unigram_logprob(spark):
            for r in doc_unigram_logprob(df).collect()}
     assert got["d1"] == round(-log(0.75) * 1000)
     assert got["d2"] == round((-log(0.75) - log(0.25)) / 2 * 1000)
+
+
+def _seq_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id string, event_seq long, tokens array<int>"
+    )
+
+
+def test_bm25_topk_exact_scores_and_cut(spark):
+    import math
+
+    import pytest
+
+    from binlog_processer_spark.operators.tokens import bm25_topk
+
+    # 4 sequences; query {1 (in 3 docs), 9 (in 1 doc)} — the rare term
+    # must dominate, tf must saturate, non-matching docs must not appear
+    rows = [
+        ("a", "d1", 1, [1, 9, 2]),        # both terms, short
+        ("a", "d2", 2, [1, 1, 1, 2, 2]),  # common term thrice, longer
+        ("a", "d3", 3, [1, 2]),           # common term once
+        ("a", "d4", 4, [5, 6]),           # no query terms
+    ]
+    got = bm25_topk(_seq_df(spark, rows), [1, 9], k=10).collect()
+    assert [r.doc_id for r in got][:1] == ["d1"]  # rare-term doc wins
+    assert {r.doc_id for r in got} == {"d1", "d2", "d3"}
+
+    # exact milli score of d1: N=4, avgdl=12/4=3, dl=3
+    def term(tf, df, dl, n=4, total=12, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * (dl * n) / total)))
+
+    d1 = round((term(1, 3, 3) + term(1, 1, 3)) * 1000)
+    assert got[0].score_m == d1
+    # rows beyond k are cut deterministically
+    assert len(bm25_topk(_seq_df(spark, rows), [1, 9], k=2).collect()) == 2
+    with pytest.raises(ValueError):
+        bm25_topk(_seq_df(spark, rows), [])
+
+
+def test_bm25_plan_topk_not_full_sort(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a full sort shuffle, and all joins must be broadcast — at
+    10^12 sequences a sort-merge join or global Sort here is the
+    scale-killer."""
+    from binlog_processer_spark.operators._cache import unpin_all
+    from binlog_processer_spark.operators.tokens import bm25_topk
+
+    rows = [
+        ("s", "d%d" % i, i, [i % 5, 1 + i % 3, 9])
+        for i in range(200)
+    ]
+    df = _seq_df(spark, rows).repartition(8)
+    plan = bm25_topk(df, [1, 9], k=5)._jdf.queryExecution().executedPlan().toString()
+    unpin_all()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
