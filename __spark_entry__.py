@@ -1328,6 +1328,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_recall(spark, sf_dir):
+        # recall@5 acceptance gate: how much of the exact top-5 the
+        # banded sign-LSH arm recovers, per query
+        from binlog_processer_spark.operators.similarity import topk_recall
+
+        embs = _embs(spark, sf_dir)
+        return topk_recall(
+            cosine_topk(embs, query_ids=list(range(10)), k=5),
+            cosine_topk_lsh(embs, query_ids=list(range(10)), k=5),
+            k=5,
+        )
+
+    q["ann_recall"] = ann_recall
+
     def ann_blas_topk(spark, sf_dir):
         # gated on the RANK SET (query_id, vec_id, rank) — the float-origin
         # score column is dropped: numpy matmul and the SQL fold sum in
@@ -2699,6 +2713,43 @@ grid AS (
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
         " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 5"
+    )
+    # recall@5 of the banded sign-LSH arm against the exact ranking —
+    # composes the two arms above into one statement (similarity.topk_recall)
+    o["ann_recall"] = (
+        f"WITH sigs AS (SELECT vec_id, {_sig} AS sig FROM embeddings),"
+        f" bands AS (SELECT vec_id, b.band_id,"
+        f"  substr(sig, b.band_id * {_r} + 1, {_r}) AS band"
+        f"  FROM sigs CROSS JOIN (VALUES {_band_vals}) b(band_id)),"
+        " qb AS (SELECT vec_id AS query_id, band_id, band FROM bands"
+        "  WHERE vec_id < 10),"
+        " cand AS (SELECT DISTINCT qb.query_id, v.vec_id FROM bands v"
+        "  JOIN qb ON v.band_id = qb.band_id AND v.band = qb.band"
+        "  AND v.vec_id <> qb.query_id),"
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb"
+        "  FROM embeddings WHERE vec_id < 10),"
+        " scored_a AS (SELECT c.query_id, c.vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM cand c JOIN embeddings ON embeddings.vec_id = c.vec_id"
+        "  JOIN q ON q.query_id = c.query_id),"
+        " sel_a AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "  OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC)"
+        "  AS rank FROM scored_a) WHERE rank <= 5),"
+        " scored_e AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),"
+        " sel_e AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "  OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC)"
+        "  AS rank FROM scored_e) WHERE rank <= 5),"
+        " ne AS (SELECT query_id, count(*) AS n_exact FROM sel_e"
+        "  GROUP BY 1),"
+        " hits AS (SELECT a.query_id, count(*) AS hits FROM sel_a a"
+        "  JOIN sel_e e ON a.query_id = e.query_id"
+        "  AND a.vec_id = e.vec_id GROUP BY 1)"
+        " SELECT ne.query_id,"
+        " cast(floor(coalesce(hits, 0) * 10000 / n_exact) AS bigint)"
+        " AS recall_bp"
+        " FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
     )
     _cos_vc = (
         "list_dot_product(cast(embedding AS double[]), cast(c_emb AS double[]))"

@@ -59,6 +59,7 @@ HEADLINE = [
     "mix_pack_tokens",
     "dedup_containment",
     "session_funnel",
+    "token_bm25_topk",
 ]
 
 

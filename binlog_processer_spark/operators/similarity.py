@@ -652,3 +652,46 @@ def cosine_topk_np(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_bp", "rank")
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN ranking against the exact one:
+    per query, the fraction (basis points) of the exact top-k the
+    approximate method recovered. The acceptance gate every ANN
+    deployment needs before swapping the brute-force path out — run it
+    on a sampled query set whenever planes/centroids/probe parameters
+    change.
+
+    Inputs are the (query_id, vec_id, rank) outputs of ``cosine_topk``
+    (exact arm) and any approximate arm (``cosine_topk_lsh`` /
+    ``ivf_topk`` / ``cosine_topk_int8``). Both are top-k results —
+    n_queries × k rows, orders of magnitude below the corpus — so the
+    hit join is a join of two SMALL relations; nothing here rescans
+    embeddings. The denominator is the per-query EXACT result size
+    (≤ k: a small corpus or an id-excluding query yields fewer), so a
+    method that returns everything available still scores 10000, and
+    queries the approximate arm missed entirely score 0 (left join,
+    not inner).
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    hits = (
+        a.join(e, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        e.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.floor(
+                F.coalesce(F.col("hits"), F.lit(0))
+                * 10000
+                / F.col("n_exact")
+            )
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )

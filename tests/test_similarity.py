@@ -296,3 +296,39 @@ def test_blas_topk_partial_cut_uses_rounded_order(spark):
     ).coalesce(1)
     out = cosine_topk_np(d, query_ids=[0], k=1).collect()
     assert [(r.query_id, r.vec_id, r.rank) for r in out] == [(0, 2, 1)]
+
+
+def test_topk_recall_denominator_and_missing_queries(spark):
+    from binlog_processer_spark.operators.similarity import topk_recall
+
+    schema = "query_id bigint, vec_id bigint, rank int"
+    exact = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),      # full top-3
+            (2, 20, 1), (2, 21, 2),                  # short corpus: only 2
+            (3, 30, 1), (3, 31, 2), (3, 32, 3),
+        ],
+        schema,
+    )
+    approx = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 12, 2), (1, 99, 3),      # 2 of 3 hit
+            (2, 20, 1), (2, 21, 2),                  # all available hit
+            # query 3 entirely missed by the approximate arm
+        ],
+        schema,
+    )
+    got = {
+        r.query_id: r.recall_bp
+        for r in topk_recall(exact, approx, k=3).collect()
+    }
+    assert got == {1: 6666, 2: 10000, 3: 0}
+    # rank filter: rows beyond k on either side must not count
+    approx_deep = approx.union(
+        spark.createDataFrame([(3, 30, 4)], schema)  # hit, but past k
+    )
+    got = {
+        r.query_id: r.recall_bp
+        for r in topk_recall(exact, approx_deep, k=3).collect()
+    }
+    assert got[3] == 0
