@@ -616,6 +616,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_bm25_topk"] = token_bm25_topk
 
+    _PROFILE_COLS = [
+        "source", "database_name", "op", "doc_id",
+        "event_seq", "n_tok", "commit_ts",
+    ]
+
+    def profile_report(spark, sf_dir):
+        # Deequ-style per-column completeness/cardinality/range summary
+        from binlog_processer_spark.operators.profile import profile_columns
+
+        return profile_columns(_kept(spark, sf_dir), _PROFILE_COLS)
+
+    q["profile_report"] = profile_report
+
+    def profile_key_unique(spark, sf_dir):
+        # exactly-once key assertion on the event identity
+        from binlog_processer_spark.operators.profile import key_uniqueness
+
+        return key_uniqueness(
+            _kept(spark, sf_dir),
+            ["database_name", "table_name", "doc_id", "event_seq"],
+        )
+
+    q["profile_key_unique"] = profile_key_unique
+
     def text_repetition(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import repetition_stats
 
@@ -1820,6 +1844,28 @@ grid AS (
         "             FROM kept) GROUP BY token) d USING (token)"
         " CROSS JOIN (SELECT count(*) AS n_rows FROM kept) t"
         " GROUP BY source, doc_id",
+        _X_ENRICHED,
+    )
+    # per-column profile: one UNION ALL arm per profiled column, min/max
+    # cast to varchar AFTER aggregation (mirrors operators/profile.py)
+    _prof_arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,"
+        f" cast(count(*) - count({c}) AS bigint) AS n_null,"
+        f" cast(count(DISTINCT {c}) AS bigint) AS n_distinct,"
+        f" cast(min({c}) AS varchar) AS min_s,"
+        f" cast(max({c}) AS varchar) AS max_s FROM kept"
+        for c in [
+            "source", "database_name", "op", "doc_id",
+            "event_seq", "n_tok", "commit_ts",
+        ]
+    )
+    o["profile_report"] = _oracle_full(_prof_arms, _X_ENRICHED)
+    o["profile_key_unique"] = _oracle_full(
+        "SELECT cast(sum(c) AS bigint) AS n_rows,"
+        " cast(count(*) AS bigint) AS n_keys,"
+        " cast(sum(c) - count(*) AS bigint) AS dup_rows FROM"
+        " (SELECT count(*) AS c FROM kept"
+        "  GROUP BY database_name, table_name, doc_id, event_seq)",
         _X_ENRICHED,
     )
     # BM25 (Lucene idf variant) in milli-points over exact-bigint inputs;

@@ -1,0 +1,58 @@
+"""Table profiler: per-column stats, key uniqueness, single-agg plans."""
+
+import pytest
+
+from binlog_processer_spark.operators.profile import (
+    key_uniqueness,
+    profile_columns,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("a", 2, 10),
+            ("b", 2, 20),
+            (None, 3, 20),
+        ],
+        "k string, v int, w int",
+    )
+
+
+def test_profile_columns_stats(spark):
+    got = {r.col_name: r for r in profile_columns(_df(spark), ["k", "v", "w"]).collect()}
+    assert set(got) == {"k", "v", "w"}
+    k = got["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct, k.min_s, k.max_s) == (4, 1, 2, "a", "b")
+    v = got["v"]
+    assert (v.n_null, v.n_distinct, v.min_s, v.max_s) == (0, 3, "1", "3")
+    w = got["w"]
+    assert (w.n_null, w.n_distinct, w.min_s, w.max_s) == (1, 2, "10", "20")
+    with pytest.raises(ValueError):
+        profile_columns(_df(spark), [])
+    with pytest.raises(ValueError):
+        profile_columns(_df(spark), ["nope"])
+
+
+def test_profile_is_one_aggregate_job(spark):
+    """All per-column stats come out of ONE agg (Expand + partial
+    aggregate) — a per-column job loop would rescan the corpus k times."""
+    plan = (
+        profile_columns(_df(spark), ["k", "v", "w"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one Expand feeding one aggregate chain; no join, no union of scans
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_key_uniqueness_pass_and_violation(spark):
+    df = _df(spark)
+    ok = key_uniqueness(df, ["k", "v"]).collect()[0]
+    assert (ok.n_rows, ok.n_keys, ok.dup_rows) == (4, 4, 0)
+    dup = df.union(df.limit(1))
+    bad = key_uniqueness(dup, ["k", "v"]).collect()[0]
+    assert (bad.n_rows, bad.n_keys, bad.dup_rows) == (5, 4, 1)
+    with pytest.raises(ValueError):
+        key_uniqueness(df, [])
