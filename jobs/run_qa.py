@@ -2,8 +2,9 @@
 
 The pre-training-data QA gate: one job that publishes the hygiene
 reports every corpus release ships with — encoding sanity (mojibake /
-control chars), PII redaction counts, the quality-filter funnel, and
-(optionally) embedding-column health — each as a snapshot table, plus a
+control chars), PII redaction counts, the quality-filter funnel, a
+per-column profile + id-uniqueness summary, and (optionally)
+embedding-column health — each as a snapshot table, plus a
 per-document verdict table and a one-line JSON summary.
 
 Usage::
@@ -36,6 +37,10 @@ from binlog_processer_spark.functions.text import (
     encoding_qa,
     filter_funnel,
     pii_scrub,
+)
+from binlog_processer_spark.operators.profile import (
+    key_uniqueness,
+    profile_columns,
 )
 from binlog_processer_spark.operators.similarity import embedding_qa
 from binlog_processer_spark.session import get_spark
@@ -139,6 +144,18 @@ def main() -> None:
         "funnel_kept": verdict.filter(F.col("funnel_keep")).count(),
         "qa_pass": verdict.filter(F.col("qa_pass")).count(),
     }
+
+    # column-level profile + id-uniqueness — the Deequ-style summary a
+    # release publishes next to the hygiene gates (operators/profile.py)
+    prof_cols = [
+        c for c in ("doc_id", "source", "lang", "n_chars") if c in docs.columns
+    ]
+    prof_t = SnapshotTable(os.path.join(args.output, "profile"))
+    prof_t.write(profile_columns(docs, prof_cols), mode="overwrite")
+    out["profile_cols"] = len(prof_cols)
+    out["id_dup_rows"] = int(
+        key_uniqueness(docs, ["doc_id"]).collect()[0]["dup_rows"]
+    )
     if args.embeddings:
         emb_t = SnapshotTable(os.path.join(args.output, "embedding_qa"))
         emb_t.write(
