@@ -640,6 +640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["profile_key_unique"] = profile_key_unique
 
+    def sink_skew_report(spark, sf_dir):
+        # hot-key diagnostic: which sinks would need the salted path
+        from binlog_processer_spark.operators.skew import key_skew_report
+
+        return key_skew_report(
+            _kept(spark, sf_dir), ["database_name", "table_name"], top=8
+        )
+
+    q["sink_skew_report"] = sink_skew_report
+
     def text_repetition(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import repetition_stats
 
@@ -1860,6 +1870,18 @@ grid AS (
         ]
     )
     o["profile_report"] = _oracle_full(_prof_arms, _X_ENRICHED)
+    # hot-key share in ppm, deterministic rank tiebreak on the key
+    o["sink_skew_report"] = _oracle_full(
+        "SELECT database_name, table_name, cnt,"
+        " cast(floor(cnt * 1000000 / total) AS bigint) AS share_ppm,"
+        " cast(row_number() OVER (ORDER BY cnt DESC, database_name,"
+        " table_name) AS int) AS rank"
+        " FROM (SELECT database_name, table_name,"
+        "       cast(count(*) AS bigint) AS cnt FROM kept GROUP BY 1, 2)"
+        " CROSS JOIN (SELECT cast(count(*) AS bigint) AS total FROM kept)"
+        " ORDER BY cnt DESC, database_name, table_name LIMIT 8",
+        _X_ENRICHED,
+    )
     o["profile_key_unique"] = _oracle_full(
         "SELECT cast(sum(c) AS bigint) AS n_rows,"
         " cast(count(*) AS bigint) AS n_keys,"

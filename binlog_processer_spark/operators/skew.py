@@ -13,7 +13,7 @@ the join side; this helper covers aggregations, which AQE does not re-salt.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,3 +49,47 @@ def salted_sink_counts(routed: DataFrame, keys: list[str], n_salts: int = 16) ->
         "delete_cnt": F.sum(F.when(F.col("op") == "Delete", 1).otherwise(0)),
     }
     return salted_agg(routed, keys, aggs, n_salts=n_salts)
+
+
+def key_skew_report(
+    df: DataFrame, keys: list[str], top: int = 10
+) -> DataFrame:
+    """Hot-key diagnostic: the top-N heaviest key groups with their row
+    share — the measurement that decides WHEN the salted paths above (or
+    a bigger n_salts) are worth their second aggregation phase, and the
+    alert a routing pipeline fires when one table starts swallowing the
+    corpus.
+
+    Output: key columns + (cnt, share_ppm, rank), rank 1 = heaviest,
+    deterministic tiebreak on the key columns. share_ppm is integer
+    arithmetic (cnt * 10^6 / total, floored) so engines agree exactly.
+
+    Scale plan: one map-side-combinable groupBy on the key (the same
+    shuffle any per-key count pays — cardinality-bounded, not
+    row-bounded), a broadcast 1-row total, and the global cut via
+    orderBy + limit (TakeOrderedAndProject: per-partition heaps of N,
+    never a full sort). Nothing is proportional to the row count after
+    the first aggregate.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if top < 1:
+        raise ValueError(f"top {top} must be >= 1")
+    per_key = df.groupBy(*keys).agg(F.count("*").cast("bigint").alias("cnt"))
+    total = df.agg(F.count("*").cast("bigint").alias("__total"))
+    w = Window.orderBy(
+        F.col("cnt").desc(), *[F.col(k).asc() for k in keys]
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+        .limit(int(top))
+        .select(
+            *keys,
+            "cnt",
+            F.floor(F.col("cnt") * 1_000_000 / F.col("__total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

@@ -141,3 +141,39 @@ def test_ingestion_lag_buckets_and_mean(spark):
     assert (r.lt_1m, r.lt_1h, r.lt_1d, r.ge_1d) == (3, 1, 1, 1)
     assert r.n == 6 and r.max_lag_s == 100000
     assert r.mean_lag_s == (10 + 59 + 60 + 7200 + 100000 - 5) // 6
+
+
+def test_key_skew_report_ranks_and_shares(spark):
+    import pytest
+
+    from binlog_processer_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, ["k"], top=2).collect()
+    assert [(r.k, r.cnt, r.share_ppm, r.rank) for r in got] == [
+        ("hot", 6, 600000, 1),
+        ("warm", 3, 300000, 2),
+    ]
+    # tie broken by key ascending, deterministically
+    df2 = spark.createDataFrame([("b",), ("a",)], "k string")
+    got = key_skew_report(df2, ["k"], top=2).collect()
+    assert [(r.k, r.rank) for r in got] == [("a", 1), ("b", 2)]
+    with pytest.raises(ValueError):
+        key_skew_report(df, [], top=2)
+    with pytest.raises(ValueError):
+        key_skew_report(df, ["k"], top=0)
+
+
+def test_key_skew_report_topk_not_full_sort(spark):
+    from binlog_processer_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 50),) for i in range(500)], "k string"
+    ).repartition(8)
+    plan = (
+        key_skew_report(df, ["k"], top=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
