@@ -666,6 +666,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_surprisal"] = text_surprisal
 
+    def text_surprisal2(spark, sf_dir):
+        # context-aware rung: mean bigram conditional surprisal
+        from binlog_processer_spark.operators.tokens import (
+            doc_bigram_logprob,
+        )
+
+        return doc_bigram_logprob(_kept(spark, sf_dir))
+
+    q["text_surprisal2"] = text_surprisal2
+
     def dedup_token_spans(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import duplicated_spans
 
@@ -1941,6 +1951,25 @@ grid AS (
         "             FROM kept) t"
         " GROUP BY source, doc_id, event_seq",
         _X_ENRICHED,
+    )
+    # bigram conditional surprisal in milli-nats; prefix counts derived
+    # from the bigram table itself so p(w2|w1) normalizes exactly
+    o["text_surprisal2"] = _oracle_full(
+        "SELECT source, doc_id, event_seq,"
+        " cast(round(avg(-ln(cnt2 / cnt1)) * 1000) AS bigint)"
+        " AS surprisal2_mn"
+        " FROM occ JOIN f USING (gram)"
+        " GROUP BY source, doc_id, event_seq",
+        _X_ENRICHED + ","
+        " occ AS (SELECT source, doc_id, event_seq,"
+        "  unnest(list_transform(range(1, greatest(len(tokens), 1)),"
+        "  i -> array_to_string(tokens[i:i+1], '-'))) AS gram FROM kept),"
+        " b AS (SELECT gram, cast(count(*) AS bigint) AS cnt2 FROM occ"
+        "  GROUP BY gram),"
+        " p AS (SELECT string_split(gram, '-')[1] AS w1,"
+        "  cast(sum(cnt2) AS bigint) AS cnt1 FROM b GROUP BY 1),"
+        " f AS (SELECT gram, cnt2, cnt1 FROM b"
+        "  JOIN p ON string_split(b.gram, '-')[1] = p.w1)",
     )
     # within-document duplicate-3-gram fraction (Gopher repetition filter);
     # grams rendered as '-'-joined decimal strings in both engines

@@ -649,3 +649,61 @@ def bm25_topk(
         )
         .limit(int(k))
     )
+
+
+def doc_bigram_logprob(kept: DataFrame) -> DataFrame:
+    """Per-document mean bigram surprisal: mean over bigram OCCURRENCES
+    of −ln p(w2 | w1), the conditional estimated from the corpus itself
+    as c(w1,w2) / c_prefix(w1), published in milli-nats (bigint). The
+    context-aware rung above ``doc_unigram_logprob`` on the CCNet-style
+    quality ladder: token-salad noise that fools unigram frequencies
+    (plausible tokens, impossible transitions) scores high here.
+
+    The conditional normalizes EXACTLY because the prefix count is
+    derived from the bigram table itself (c_prefix(w1) = Σ_w2 c(w1,w2),
+    i.e. w1 occurrences in non-final position) — no separate unigram
+    pass, no off-by-one against final tokens. Documents shorter than 2
+    tokens contribute no bigram and drop out of the output.
+
+    Scale plan: the exploded bigram stream is pinned (it feeds the count
+    table and the scoring join; unpin_all releases). The count table is
+    bigram-vocabulary-bounded after map-side combine; the prefix rollup
+    is unigram-vocabulary-bounded and broadcast back onto it. The final
+    scoring join is left UNHINTED — a natural-text bigram vocabulary
+    usually still broadcasts, but an unbounded id space must fall back
+    to a shuffled hash join, and AQE makes that call from measured
+    sizes instead of a wrong hint.
+    """
+    from binlog_processer_spark.operators._cache import pin
+
+    occ = pin(
+        kept.select(
+            "source",
+            "doc_id",
+            "event_seq",
+            F.explode(_gram_strings(2)).alias("gram"),
+        )
+    )
+    b = occ.groupBy("gram").agg(F.count("*").cast("bigint").alias("cnt2"))
+    pre = (
+        b.groupBy(F.substring_index("gram", "-", 1).alias("__w1"))
+        .agg(F.sum("cnt2").cast("bigint").alias("cnt1"))
+    )
+    f = (
+        b.join(
+            F.broadcast(pre),
+            F.substring_index(F.col("gram"), "-", 1) == F.col("__w1"),
+        )
+        .select("gram", "cnt2", "cnt1")
+    )
+    return (
+        occ.join(f, "gram")
+        .groupBy("source", "doc_id", "event_seq")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt2") / F.col("cnt1"))) * 1000
+            )
+            .cast("bigint")
+            .alias("surprisal2_mn")
+        )
+    )

@@ -271,3 +271,30 @@ def test_bm25_plan_topk_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_doc_bigram_logprob_exact_conditionals(spark):
+    import math
+
+    from binlog_processer_spark.operators._cache import unpin_all
+    from binlog_processer_spark.operators.tokens import doc_bigram_logprob
+
+    rows = [
+        ("a", "d1", 1, [1, 2, 3]),
+        ("a", "d2", 2, [1, 2]),
+        ("a", "d3", 3, [1, 3]),
+        ("a", "d4", 4, [7]),       # no bigram -> absent from output
+    ]
+    got = {
+        r.doc_id: r.surprisal2_mn
+        for r in doc_bigram_logprob(_seq_df(spark, rows)).collect()
+    }
+    unpin_all()
+    # corpus bigrams: 1-2 x2, 2-3 x1, 1-3 x1; prefix counts: 1->3, 2->1
+    # d1: mean(-ln(2/3), -ln(1/1)); d2: -ln(2/3); d3: -ln(1/3)
+    assert got == {
+        "d1": round(((-math.log(2 / 3)) + 0.0) / 2 * 1000),
+        "d2": round(-math.log(2 / 3) * 1000),
+        "d3": round(-math.log(1 / 3) * 1000),
+    }
+    assert "d4" not in got
