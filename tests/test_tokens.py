@@ -298,3 +298,39 @@ def test_doc_bigram_logprob_exact_conditionals(spark):
         "d3": round(-math.log(1 / 3) * 1000),
     }
     assert "d4" not in got
+
+
+def test_bm25_invariances(spark):
+    """Score is invariant to token order within a document, and a
+    byte-identical duplicate document scores identically (corpus stats
+    shift together)."""
+    from binlog_processer_spark.operators._cache import unpin_all
+    from binlog_processer_spark.operators.tokens import bm25_topk
+
+    base = [
+        ("a", "d1", 1, [5, 1, 9, 1, 3]),
+        ("a", "d2", 2, [2, 2, 1, 4, 6, 8]),
+        ("a", "d3", 3, [9, 9, 7]),
+    ]
+    shuffled = [
+        ("a", "d1", 1, [1, 9, 5, 3, 1]),
+        ("a", "d2", 2, [1, 8, 6, 4, 2, 2]),
+        ("a", "d3", 3, [7, 9, 9]),
+    ]
+    s1 = {
+        (r.doc_id): r.score_m
+        for r in bm25_topk(_seq_df(spark, base), [1, 9], k=10).collect()
+    }
+    unpin_all()
+    s2 = {
+        (r.doc_id): r.score_m
+        for r in bm25_topk(_seq_df(spark, shuffled), [1, 9], k=10).collect()
+    }
+    unpin_all()
+    assert s1 == s2 and s1  # order within a doc never matters
+
+    dup = base + [("b", "d1", 9, [5, 1, 9, 1, 3])]
+    s3 = bm25_topk(_seq_df(spark, dup), [1, 9], k=10).collect()
+    unpin_all()
+    by_key = {(r.source, r.doc_id): r.score_m for r in s3}
+    assert by_key[("a", "d1")] == by_key[("b", "d1")]
