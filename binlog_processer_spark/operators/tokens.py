@@ -520,24 +520,34 @@ def span_coverage(
     )
 
 
-def vocab_stats(kept: DataFrame) -> DataFrame:
+def vocab_stats(kept: DataFrame, approx: bool = False) -> DataFrame:
     """Per-source vocabulary report: rows, total token occurrences,
-    exact distinct token ids.
+    distinct token ids.
 
-    The distinct count is the one genuinely expensive statistic (exact
-    COUNT DISTINCT shuffles source x vocab after partial aggregation —
-    fine for bounded vocabs; swap in approx_count_distinct at unbounded
-    id spaces, documented rather than silently approximated here so the
-    oracle can gate exactly).
+    The distinct count is the one genuinely expensive statistic. Exact
+    COUNT DISTINCT shuffles source × vocab after partial aggregation —
+    fine for bounded vocabs (the default; the oracle gates it exactly).
+    ``approx=True`` swaps in ``approx_count_distinct`` (HyperLogLog++,
+    rsd 1%): the shuffle then carries one fixed-size sketch per
+    (task, source) instead of the vocabulary — THE plan for unbounded
+    id spaces (hash-composed features, n-gram ids), where the exact
+    partial aggregate is as large as the data. Sketch estimates are
+    engine-specific, so the approx path is gated by a pytest tolerance
+    test against the exact path, not by the cross-engine oracle.
     """
     per_row = kept.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.size("tokens")).cast("bigint").alias("total_tok"),
     )
+    distinct_agg = (
+        F.approx_count_distinct("token", rsd=0.01)
+        if approx
+        else F.count_distinct("token")
+    )
     per_tok = (
         kept.select("source", F.explode("tokens").alias("token"))
         .groupBy("source")
-        .agg(F.count_distinct("token").cast("bigint").alias("distinct_tok"))
+        .agg(distinct_agg.cast("bigint").alias("distinct_tok"))
     )
     return per_row.join(per_tok, "source").select(
         "source", "n_rows", "total_tok", "distinct_tok"

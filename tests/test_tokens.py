@@ -334,3 +334,23 @@ def test_bm25_invariances(spark):
     unpin_all()
     by_key = {(r.source, r.doc_id): r.score_m for r in s3}
     assert by_key[("a", "d1")] == by_key[("b", "d1")]
+
+
+def test_vocab_stats_approx_within_tolerance(spark):
+    """The HLL++ path (unbounded-vocab plan) must land within its
+    configured 1% rsd band of the exact count — wide margin: 5%."""
+    from binlog_processer_spark.operators.tokens import vocab_stats
+
+    rows = [
+        ("s%d" % (i % 2), [(i * 31 + j) % 5000 for j in range(20)])
+        for i in range(400)
+    ]
+    df = _df(spark, rows).repartition(8)
+    exact = {r.source: r.distinct_tok for r in vocab_stats(df).collect()}
+    approx = {
+        r.source: r.distinct_tok
+        for r in vocab_stats(df, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for s, ex in exact.items():
+        assert abs(approx[s] - ex) <= max(1, ex * 0.05), (s, ex, approx[s])
