@@ -1386,6 +1386,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall
 
+    def ann_recall_ivf(spark, sf_dir):
+        # same gate, IVF arm: recall@5 vs exact at 16 centroids / 4 probes
+        from binlog_processer_spark.operators.similarity import (
+            ivf_topk,
+            topk_recall,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return topk_recall(
+            cosine_topk(embs, query_ids=list(range(10)), k=5),
+            ivf_topk(
+                embs, query_ids=list(range(10)), k=5,
+                n_centroids=16, n_probe=4,
+            ),
+            k=5,
+        )
+
+    q["ann_recall_ivf"] = ann_recall_ivf
+
     def ann_blas_topk(spark, sf_dir):
         # gated on the RANK SET (query_id, vec_id, rank) — the float-origin
         # score column is dropped: numpy matmul and the SQL fold sum in
@@ -2855,8 +2874,8 @@ grid AS (
         " cast(c_emb AS double[]), cast(c_emb AS double[]))), 0.0)"
     )
     _cos_qc = _cos_vc.replace("embedding", "q_emb").replace("c_emb", "c_emb")
-    o["ann_ivf_topk"] = (
-        "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+    _ivf_ctes = (
+        "e AS (SELECT vec_id, embedding FROM embeddings),"
         " cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e"
         "  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16),"
         " assign AS (SELECT vec_id, centroid_id FROM ("
@@ -2881,8 +2900,32 @@ grid AS (
         "  JOIN q ON q.query_id = c.query_id),"
         " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
         "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
-        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+    )
+    o["ann_ivf_topk"] = (
+        "WITH " + _ivf_ctes
+        + " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 5"
+    )
+    # recall@5 of the IVF arm vs the exact ranking — second consumer of
+    # similarity.topk_recall, proving the gate generalizes across arms
+    o["ann_recall_ivf"] = (
+        "WITH " + _ivf_ctes + ","
+        " sel_a AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),"
+        " scored_e AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM e CROSS JOIN q WHERE vec_id <> query_id),"
+        " sel_e AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "  OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC)"
+        "  AS rank FROM scored_e) WHERE rank <= 5),"
+        " ne AS (SELECT query_id, count(*) AS n_exact FROM sel_e"
+        "  GROUP BY 1),"
+        " hits AS (SELECT a.query_id, count(*) AS hits FROM sel_a a"
+        "  JOIN sel_e x ON a.query_id = x.query_id"
+        "  AND a.vec_id = x.vec_id GROUP BY 1)"
+        " SELECT ne.query_id,"
+        " cast(floor(coalesce(hits, 0) * 10000 / n_exact) AS bigint)"
+        " AS recall_bp"
+        " FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
     )
     _cos_ab = (
         "list_dot_product(a.embedding, b.embedding)"
