@@ -1647,6 +1647,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup_ingest"] = streaming_dedup_ingest
 
+    def streaming_final_state(spark, sf_dir):
+        # streaming CDC apply: 4 raw files drained one per micro-batch
+        # (arbitrary file order), monotone-merged into a keyed state
+        # table — must equal batch final_state exactly, tombstones kept
+        import tempfile
+
+        from binlog_processer_spark.streaming.upsert import (
+            run_streaming_upsert,
+        )
+
+        d = tempfile.mkdtemp(prefix="blp_upsert_")
+        _corpus(spark, sf_dir).select(
+            serialize_expr().alias("raw")
+        ).repartition(4).write.mode("overwrite").parquet(d + "/raw")
+        table = run_streaming_upsert(
+            spark, d + "/raw", _routing(spark, sf_dir), d + "/out",
+            max_files_per_trigger=1,
+        )
+        return table.read(spark).select(
+            "database_name", "table_name", "doc_id", "final_op", "final_ts",
+            _md5_arr("final_tokens").alias("final_tokens_md5"),
+            F.size("final_tokens").alias("final_n_tok"),
+            "final_seq",
+        )
+
+    q["streaming_final_state"] = streaming_final_state
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -3126,6 +3153,15 @@ grid AS (
         "SELECT source, cast(count(*) AS bigint) AS n_events,"
         " cast(sum(event_seq) AS bigint) AS sum_seq"
         " FROM corpus GROUP BY source"
+    )
+    # streaming upsert-apply must land exactly on batch final_state
+    # (tombstones included) no matter the micro-batch split
+    o["streaming_final_state"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, final_op, final_ts,"
+        f" {_duck_md5_arr('final_tokens')} AS final_tokens_md5,"
+        " cast(len(final_tokens) AS int) AS final_n_tok, final_seq"
+        " FROM final_state",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
     )
     # multimodal features: the payload is utf-8 text bytes and the driver's
     # documents.text is pure ASCII at every sf (verified octet_length ==

@@ -62,3 +62,47 @@ def test_dedup_ingest_stream_keeps_distinct_events(spark, tmp_path):
     )
     sq.awaitTermination()
     assert spark.table("t_dedup_keep").count() == 4
+
+
+def test_merge_final_state_monotone_and_idempotent(spark):
+    """Out-of-order batches can't regress a key; replaying a batch is a
+    no-op; deletes persist as tombstones."""
+    from binlog_processer_spark.streaming.upsert import merge_final_state
+
+    schema = (
+        "database_name string, table_name string, doc_id string,"
+        " final_op string, final_ts timestamp, final_tokens array<int>,"
+        " final_seq bigint"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    cur = spark.createDataFrame(
+        [
+            ("db", "t", "d1", "Update", ts, [1, 2], 10),
+            ("db", "t", "d2", "Delete", ts, [3], 20),
+        ],
+        schema,
+    )
+    late = spark.createDataFrame(
+        [
+            ("db", "t", "d1", "Create", ts, [9], 5),   # older -> ignored
+            ("db", "t", "d2", "Create", ts, [8], 7),   # older than tombstone
+            ("db", "t", "d3", "Create", ts, [7], 1),   # new key -> inserted
+        ],
+        schema,
+    )
+    got = {
+        r.doc_id: (r.final_op, r.final_seq, list(r.final_tokens))
+        for r in merge_final_state(cur, late).collect()
+    }
+    assert got == {
+        "d1": ("Update", 10, [1, 2]),
+        "d2": ("Delete", 20, [3]),     # tombstone survives older Create
+        "d3": ("Create", 1, [7]),
+    }
+    # replay of the CURRENT state is a no-op (>= keeps the batch side,
+    # which equals the table side)
+    replay = {
+        r.doc_id: (r.final_op, r.final_seq)
+        for r in merge_final_state(cur, cur).collect()
+    }
+    assert replay == {"d1": ("Update", 10), "d2": ("Delete", 20)}
