@@ -102,16 +102,34 @@ def run_streaming_upsert(
             filter_system_schemas(enrich_routing(good, routing_df))
         )
         batch_state = agg.final_state(kept)
-        if state_table.current_snapshot() is not None:
-            # reading snap-N while writing snap-N+1 is safe: the commit
-            # writes a NEW snapshot dir and flips _current atomically;
-            # snap-N's data files are untouched until vacuum
-            merged = merge_final_state(
-                state_table.read(spark), batch_state
-            )
+        if state_table.current_snapshot() is None:
+            state_table.write(batch_state, mode="overwrite")
+            return
+        # file-scoped commit (the repair pattern, jobs/run_repair.py):
+        # only state files containing a batch key are rewritten; every
+        # untouched file is carried by reference in the new manifest —
+        # per-batch write cost scales with TOUCHED keys, not table size.
+        # Reading snap-N while committing snap-N+1 is safe: the commit
+        # writes a NEW snapshot dir and flips _current atomically.
+        cur = state_table.read(spark)
+        touched = batch_state.select(*KEYS).distinct()
+        hit_files = sorted(
+            r["__f"]
+            for r in cur.withColumn("__f", F.input_file_name())
+            .join(touched, KEYS, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        if hit_files:
+            cur_hit = state_table.read_files(spark, hit_files)
         else:
-            merged = batch_state
-        state_table.write(merged, mode="overwrite")
+            cur_hit = cur.limit(0)
+        # merging against only the hit files is exact: a key's rows live
+        # in whole files, and keys absent everywhere surface through the
+        # full-outer join whatever the subset (same argument as repair)
+        merged_hit = merge_final_state(cur_hit, batch_state)
+        state_table.rewrite_files(hit_files, merged_hit)
 
     q = (
         raw.writeStream.foreachBatch(process_batch)

@@ -106,3 +106,66 @@ def test_merge_final_state_monotone_and_idempotent(spark):
         for r in merge_final_state(cur, cur).collect()
     }
     assert replay == {"d1": ("Update", 10), "d2": ("Delete", 20)}
+
+
+def test_streaming_upsert_carries_untouched_files(spark, tmp_path):
+    """A micro-batch whose keys live in none of the state files must not
+    rewrite them: snapshot N+1 carries every snapshot-N file by
+    reference (same inode/mtime) and only adds the new keys' files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.functions.parse import serialize_expr
+    from binlog_processer_spark.sources.generator import (
+        generate_corpus,
+        routing_dim,
+    )
+    from binlog_processer_spark.streaming.upsert import run_streaming_upsert
+
+    corpus = generate_corpus(spark, 200, partitions=2)
+    raw = corpus.select("source", serialize_expr().alias("raw"))
+    d = str(tmp_path / "stream")
+    # two stream files with DISJOINT sources -> disjoint (db, table) keys
+    raw.filter(F.col("source") == "src0").select("raw").coalesce(1).write.mode(
+        "append"
+    ).parquet(d + "/raw")
+    raw.filter(F.col("source") != "src0").select("raw").coalesce(1).write.mode(
+        "append"
+    ).parquet(d + "/raw")
+
+    table = run_streaming_upsert(
+        spark, d + "/raw", routing_dim(spark), d + "/out",
+        max_files_per_trigger=1,
+    )
+    assert table.current_snapshot() == 1  # two commits
+    f0 = set(table.data_files(0))
+    f1 = set(table.data_files(1))
+    assert f0 and f0 <= f1, "batch 2 must carry batch 1's files untouched"
+    for p in f0:
+        assert os.path.exists(p)
+    # and the merged table equals batch final_state over the whole corpus
+    from binlog_processer_spark.operators import aggregate as agg
+    from binlog_processer_spark.operators.enrich import enrich_routing
+    from binlog_processer_spark.operators.route import (
+        filter_system_schemas,
+        split_ignored,
+    )
+
+    enriched = enrich_routing(
+        corpus.withColumn(
+            "table_key",
+            F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
+        ),
+        routing_dim(spark),
+    )
+    kept, _ = split_ignored(filter_system_schemas(enriched))
+    want = {
+        (r.database_name, r.table_name, r.doc_id): (r.final_op, r.final_seq)
+        for r in agg.final_state(kept).collect()
+    }
+    got = {
+        (r.database_name, r.table_name, r.doc_id): (r.final_op, r.final_seq)
+        for r in table.read(spark).collect()
+    }
+    assert got == want
