@@ -1,8 +1,8 @@
 """spark-submit surface smoke: the CLI entry points end-to-end in
 subprocesses — the reference's BinlogMain / TiDBCheckByFile /
-HiveRepairByDataBase trio (SURVEY.md §3) plus the maintenance (scrub,
-compact), corpus (dedup, qa), and release surfaces, all as
---py-files-shippable jobs."""
+HiveRepairByDataBase trio (SURVEY.md §3) plus the streaming apply,
+maintenance (scrub, compact), corpus (dedup, qa), and release
+surfaces, all as --py-files-shippable jobs."""
 
 import json
 import os
@@ -298,3 +298,14 @@ def test_scrub_cli_detect_quarantine_replay(tmp_path):
     assert m2["files_processed"] == len(scrub["affected_file_ids"])
     clean = _run(["jobs/run_verify.py", "--warehouse", wh])
     assert clean["findings_total"] == 0
+
+
+def test_apply_cli_resume(tmp_path):
+    wh = str(tmp_path / "apply_wh")
+    m1 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh])
+    assert m1["keys_live"] > 0 and m1["tombstones"] >= 0
+    assert m1["keys_total"] == m1["keys_live"] + m1["tombstones"]
+    # rerun: checkpoint skips every drained file — no new snapshot,
+    # identical state
+    m2 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh])
+    assert m2 == m1
