@@ -18,14 +18,15 @@ into micro-batches or in what order files arrive:
   batch. Filter ``final_op <> 'Delete'`` at read time for the live view.
 
 Scale posture: the batch side is collapsed to one row per touched key
-before the merge, so the join is |table| × |batch keys| — with AQE the
-batch side broadcasts when small. The merge itself is ONE full-outer
-join (the repair/MERGE shape, operators/repair.py), committed as a
-snapshot overwrite: at 10^12 rows the rewrite is the cost, and the
-honest fix is the same partition-scoped overwrite documented for
-repair — unchanged partitions (no touched keys) can be carried by
-reference through the manifest. Checkpointing makes the drain
-resumable; a replayed batch is idempotent under the monotone guard.
+before the merge, so the join is |hit files| × |batch keys| — with AQE
+the batch side broadcasts when small. The merge itself is ONE
+full-outer join (the repair/MERGE shape, operators/repair.py), and the
+commit is FILE-SCOPED via rewrite_files: only state files containing a
+batch key are rewritten, untouched files are carried by reference, so
+steady-state write amplification tracks touched keys, not table size.
+Checkpointing makes the drain resumable; a replayed batch is
+idempotent under the monotone guard; ``expire_tombstones`` bounds
+state growth once the checkpoint's low-water mark retires old seqs.
 """
 
 from __future__ import annotations
@@ -139,3 +140,38 @@ def run_streaming_upsert(
     )
     q.awaitTermination()
     return state_table
+
+
+def expire_tombstones(
+    spark: SparkSession, state_table: SnapshotTable, low_water_seq: int
+) -> int:
+    """Drop Delete tombstones at or below ``low_water_seq`` — the
+    bounded-state maintenance for the keyed table. A tombstone exists to
+    outvote a LATE REPLAY of an older event for its key; once the
+    stream's checkpoint guarantees nothing at or below the low-water
+    mark can ever be delivered again, those tombstones are dead weight
+    (at 10^12 keys with churn they eventually dominate the table).
+
+    File-scoped like every other commit here: only files holding an
+    expirable tombstone are rewritten; returns the new snapshot id (or
+    the current one when nothing qualifies). Live rows and tombstones
+    above the mark are untouched — expiry can never change what a merge
+    would decide for any event that can still arrive.
+    """
+    cur = state_table.read(spark)
+    expirable = (F.col("final_op") == "Delete") & (
+        F.col("final_seq") <= int(low_water_seq)
+    )
+    hit_files = sorted(
+        r["__f"]
+        for r in cur.filter(expirable)
+        .withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .collect()
+    )
+    snap = state_table.current_snapshot()
+    if not hit_files:
+        return snap if snap is not None else -1
+    survivors = state_table.read_files(spark, hit_files).filter(~expirable)
+    return state_table.rewrite_files(hit_files, survivors)

@@ -51,6 +51,11 @@ def main() -> None:
         "--max-files-per-trigger", type=int, default=1,
         help="micro-batch granularity (files per trigger; default 1)",
     )
+    ap.add_argument(
+        "--expire-below", type=int, metavar="SEQ",
+        help="after the drain, drop Delete tombstones with final_seq <= "
+             "SEQ (safe once the checkpoint can no longer replay them)",
+    )
     args = ap.parse_args()
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
@@ -74,6 +79,12 @@ def main() -> None:
         spark, raw_dir, routing_dim(spark), args.output,
         max_files_per_trigger=args.max_files_per_trigger,
     )
+    if args.expire_below is not None:
+        from binlog_processer_spark.streaming.upsert import (
+            expire_tombstones,
+        )
+
+        expire_tombstones(spark, table, args.expire_below)
     state = table.read(spark)
     live = state.filter(F.col("final_op") != "Delete")
     out = {

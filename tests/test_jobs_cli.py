@@ -309,3 +309,10 @@ def test_apply_cli_resume(tmp_path):
     # identical state
     m2 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh])
     assert m2 == m1
+    # expire every tombstone (mark above max_seq): live keys untouched
+    m3 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh,
+               "--expire-below", str(m1["max_seq"])])
+    assert m3["tombstones"] == 0
+    assert m3["keys_live"] == m1["keys_live"]
+    assert m3["keys_total"] == m1["keys_live"]
+    assert m3["snapshot"] == m1["snapshot"] + (1 if m1["tombstones"] else 0)

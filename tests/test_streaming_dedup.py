@@ -169,3 +169,57 @@ def test_streaming_upsert_carries_untouched_files(spark, tmp_path):
         for r in table.read(spark).collect()
     }
     assert got == want
+
+
+def test_expire_tombstones_file_scoped(spark, tmp_path):
+    """Tombstones at/below the low-water mark are dropped; live rows and
+    newer tombstones survive; files with no expirable tombstone are
+    carried by reference (never rewritten); a no-op call commits
+    nothing."""
+    from binlog_processer_spark.storage.table import SnapshotTable
+    from binlog_processer_spark.streaming.upsert import expire_tombstones
+
+    schema = (
+        "database_name string, table_name string, doc_id string, "
+        "final_op string, final_ts timestamp, final_tokens array<int>, "
+        "final_seq bigint"
+    )
+    ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # file A: one live row + one OLD tombstone (expirable at mark 10)
+    file_a = [
+        ("db", "t", "d1", "Update", ts, [1], 8),
+        ("db", "t", "d2", "Delete", ts, None, 5),
+    ]
+    # file B: one live row + one NEW tombstone (above the mark)
+    file_b = [
+        ("db", "t", "d3", "Create", ts, [2], 30),
+        ("db", "t", "d4", "Delete", ts, None, 20),
+    ]
+    t = SnapshotTable(str(tmp_path / "state"))
+    t.write(spark.createDataFrame(file_a, schema).coalesce(1), mode="overwrite")
+    t.rewrite_files([], spark.createDataFrame(file_b, schema).coalesce(1))
+    files_before = set(t.data_files())
+    file_a_paths = set(t.data_files(0))
+    assert len(files_before) == 2 and len(file_a_paths) == 1
+
+    snap = expire_tombstones(spark, t, low_water_seq=10)
+    assert snap == t.current_snapshot() == 2
+    got = {
+        r.doc_id: (r.final_op, r.final_seq)
+        for r in t.read(spark).collect()
+    }
+    # d2's tombstone (seq 5 <= 10) expired; d4's (seq 20 > 10) kept
+    assert got == {
+        "d1": ("Update", 8),
+        "d3": ("Create", 30),
+        "d4": ("Delete", 20),
+    }
+    # file B held no expirable tombstone -> carried by reference
+    file_b_paths = files_before - file_a_paths
+    assert file_b_paths <= set(t.data_files())
+    # file A was rewritten (old path dropped from the manifest)
+    assert not (file_a_paths & set(t.data_files()))
+
+    # nothing left at/below the mark -> no-op, no new snapshot
+    assert expire_tombstones(spark, t, low_water_seq=10) == 2
+    assert t.current_snapshot() == 2
