@@ -1674,6 +1674,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_final_state"] = streaming_final_state
 
+    def streaming_ack_lag(spark, sf_dir):
+        """Stream-stream INTERVAL join (the ad-attribution shape from the
+        Structured Streaming guide): change events paired with synthesized
+        replica apply-acks — ack lag = (event_seq % 7) minutes, docs with
+        doc_id % 11 == 3 never ack — under the bound ack_ts ∈ [commit_ts,
+        commit_ts + 5 min], so lag-6 acks must NOT attribute. One
+        availableNow batch per side keeps inner-join emission complete
+        and deterministic; tests/test_streaming_joins.py covers the
+        cross-micro-batch state case."""
+        import tempfile
+
+        from binlog_processer_spark.streaming.joins import (
+            ack_lag_join_stream,
+        )
+
+        d = tempfile.mkdtemp(prefix="blp_ackjoin_")
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "event_seq", "commit_ts"
+        )
+        k.coalesce(1).write.mode("overwrite").parquet(d + "/events")
+        k.filter(F.expr("cast(doc_id as bigint) % 11 <> 3")).select(
+            "database_name", "table_name", "doc_id", "event_seq",
+            F.expr(
+                "commit_ts + make_interval(0,0,0,0,0,"
+                " cast(event_seq % 7 as int), 0)"
+            ).alias("ack_ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/acks")
+        ev = spark.readStream.schema(
+            "database_name string, table_name string, doc_id string, "
+            "event_seq long, commit_ts timestamp"
+        ).parquet(d + "/events")
+        ak = spark.readStream.schema(
+            "database_name string, table_name string, doc_id string, "
+            "event_seq long, ack_ts timestamp"
+        ).parquet(d + "/acks")
+        sq = (
+            ack_lag_join_stream(ev, ak, max_lag_min=5)
+            .writeStream.format("memory")
+            .queryName("q_ack_lag")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table("q_ack_lag").groupBy(
+            "database_name", "table_name"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_acked"),
+            F.sum("lag_s").cast("bigint").alias("sum_lag_s"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_acked"),
+        )
+
+    q["streaming_ack_lag"] = streaming_ack_lag
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -3162,6 +3216,26 @@ grid AS (
         " cast(len(final_tokens) AS int) AS final_n_tok, final_seq"
         " FROM final_state",
         _X_ENRICHED + "," + _X_FINAL_STATE,
+    )
+    # interval-join attribution: same ack synthesis (lag = event_seq % 7
+    # minutes, doc_id % 11 == 3 never acks), same 5-minute bound
+    o["streaming_ack_lag"] = _oracle_full(
+        "SELECT k.database_name, k.table_name,"
+        " cast(count(*) AS bigint) AS n_acked,"
+        " cast(sum(date_diff('second', k.commit_ts, a.ack_ts)) AS bigint)"
+        "  AS sum_lag_s,"
+        " cast(count(DISTINCT k.doc_id) AS bigint) AS n_docs_acked"
+        " FROM kept k JOIN"
+        " (SELECT database_name, table_name, doc_id, event_seq,"
+        "   commit_ts + to_minutes(event_seq % 7) AS ack_ts"
+        "  FROM kept WHERE cast(doc_id AS bigint) % 11 <> 3) a"
+        " ON a.database_name = k.database_name"
+        " AND a.table_name = k.table_name AND a.doc_id = k.doc_id"
+        " AND a.event_seq = k.event_seq"
+        " WHERE a.ack_ts >= k.commit_ts"
+        " AND a.ack_ts <= k.commit_ts + to_minutes(5)"
+        " GROUP BY 1, 2",
+        _X_ENRICHED,
     )
     # multimodal features: the payload is utf-8 text bytes and the driver's
     # documents.text is pure ASCII at every sf (verified octet_length ==
