@@ -1728,6 +1728,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_ack_lag"] = streaming_ack_lag
 
+    def probe_point_lookup(spark, sf_dir):
+        """Bloom-file-index point lookups: documents land UNCLUSTERED in a
+        snapshot table with a doc_id bloom (every file spans the whole key
+        domain — min/max zone maps prune nothing), then each probe key is
+        served by a file-pruned read_where scan. The oracle is the plain
+        filter: pruning must never change results, only the files opened
+        (tests/test_bloom.py pins that it does prune)."""
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="blp_bloom_")
+        t = SnapshotTable(d + "/docs")
+        t.write(
+            docs.select("doc_id", "source", "text").repartition(8, "doc_id"),
+            bloom_columns=["doc_id"],
+        )
+        keys = sorted(
+            r.doc_id
+            for r in docs.filter("doc_id % 97 = 13").select("doc_id").collect()
+        )
+        parts = [
+            t.read_where(spark, {"doc_id": (int(k), int(k))}) for k in keys
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            "doc_id", "source", F.md5("text").alias("text_md5")
+        )
+
+    q["probe_point_lookup"] = probe_point_lookup
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -3236,6 +3270,11 @@ grid AS (
         " AND a.ack_ts <= k.commit_ts + to_minutes(5)"
         " GROUP BY 1, 2",
         _X_ENRICHED,
+    )
+    # bloom-pruned point lookups must equal the plain filter
+    o["probe_point_lookup"] = (
+        "SELECT doc_id, source, md5(text) AS text_md5 FROM documents"
+        " WHERE doc_id % 97 = 13"
     )
     # multimodal features: the payload is utf-8 text bytes and the driver's
     # documents.text is pure ASCII at every sf (verified octet_length ==

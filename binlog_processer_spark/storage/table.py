@@ -30,6 +30,8 @@ on partition filters.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import time
@@ -252,6 +254,151 @@ class SnapshotTable:
             }
         return out
 
+    # -- bloom file index --------------------------------------------------
+    _BLOOM_BITS_PER_KEY = 16
+    _BLOOM_K = 11  # ≈ ln2 · bits/key → fpp ≈ 0.05%
+    _BLOOM_MAX_KEYS = 2_000_000  # per file per column; beyond → not recorded
+
+    @staticmethod
+    def _bloom_bytes(v) -> bytes | None:
+        """Canonical byte form a value hashes under — the SAME at build and
+        probe time. Strings and integers only: their canonical form survives
+        JSON/pyarrow round-trips; floats/timestamps/bools do not reliably,
+        and an inconsistent canon would prune a file that matches — those
+        types are never recorded (absent ⇒ keep the file ⇒ exact)."""
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, int):
+            return str(v).encode("ascii")
+        return None
+
+    @staticmethod
+    def _bloom_seed(vb: bytes) -> tuple[int, int]:
+        """(h1, h2) double-hashing seed for a value — position i is
+        (h1 + i·h2) mod m, h2 forced odd for a full-period stride."""
+        d = hashlib.blake2b(vb, digest_size=16).digest()
+        return (
+            int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1,
+        )
+
+    @staticmethod
+    def _bloom_might_contain(entry: dict, seed: tuple[int, int]) -> bool:
+        bits = base64.b64decode(entry["b64"])
+        m, k = entry["m"], entry["k"]
+        h1, h2 = seed
+        return all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in ((h1 + i * h2) % m for i in range(k))
+        )
+
+    def _build_blooms(
+        self, rel_files: list[str], columns: list[str]
+    ) -> dict[str, dict]:
+        """Per-file per-column bloom filters over the DISTINCT values of
+        string/int columns — the point-lookup complement to the min/max zone
+        maps: a high-cardinality key spread uniformly across files has a
+        useless min/max range (every file spans the domain) but an excellent
+        bloom (each file holds few of the keys). Iceberg ships the same idea
+        as parquet bloom filters / Puffin sidecars. ~2 bytes per distinct
+        key per file at fpp ≈ 0.05%.
+
+        One column-pruned read of each NEW file at commit time, driver-side
+        (the _footer_stats posture — commit cost scales with new files only;
+        on a real cluster collect these executor-side with an
+        input_file_name() aggregate). Columns absent from a file (partition
+        columns live in the path) or of unsupported type are simply not
+        recorded — pruning keeps such files, exactness is never at risk."""
+        if fsmod.is_uri(self.root):
+            return {}
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships in env
+            return {}
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            pf = pq.ParquetFile(self._join(rel))
+            names = set(pf.schema_arrow.names)
+            per_col: dict[str, dict] = {}
+            for c in columns:
+                if c not in names:
+                    continue
+                vals = pc.unique(pf.read(columns=[c]).column(c))
+                keys: set[bytes] = set()
+                supported = True
+                for v in vals.to_pylist():
+                    vb = self._bloom_bytes(v)
+                    if vb is None:
+                        if v is not None:
+                            supported = False
+                            break
+                        continue  # nulls never match an equality probe
+                    keys.add(vb)
+                if not supported or len(keys) > self._BLOOM_MAX_KEYS:
+                    continue
+                m_bits = max(
+                    64,
+                    ((len(keys) * self._BLOOM_BITS_PER_KEY + 7) // 8) * 8,
+                )
+                bits = bytearray(m_bits // 8)
+                for vb in keys:
+                    h1, h2 = self._bloom_seed(vb)
+                    for i in range(self._BLOOM_K):
+                        p = (h1 + i * h2) % m_bits
+                        bits[p >> 3] |= 1 << (p & 7)
+                per_col[c] = {
+                    "m": m_bits,
+                    "k": self._BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def _load_blooms(self, m: dict) -> dict:
+        rel = m.get("blooms")
+        if not rel:
+            return {}
+        try:
+            return json.loads(self._fs.read_text(self._join(rel)))
+        except FileNotFoundError:
+            # expired/absent sidecar: pruning degrades, reads stay exact
+            return {}
+
+    def _bloom_manifest_keys(
+        self,
+        snap_dir: str,
+        parent_m: dict | None,
+        new_files: list[str],
+        bloom_columns: list[str] | None = None,
+        drop: set[str] | frozenset[str] = frozenset(),
+    ) -> dict:
+        """Manifest entries for the bloom index at commit: inherit the
+        parent's column contract (a table that records blooms keeps
+        recording them), carry surviving per-file entries, build blooms
+        for the new files, and write THIS snapshot's own sidecar — snap
+        dirs are self-contained because expire_snapshots deletes expired
+        dirs wholesale. Returns {} when the table records no blooms."""
+        cols = bloom_columns or (parent_m or {}).get("bloom_columns")
+        if not cols:
+            return {}
+        carried = {
+            f: e
+            for f, e in self._load_blooms(parent_m or {}).items()
+            if f not in drop
+        }
+        if new_files:
+            carried.update(self._build_blooms(new_files, cols))
+        p = fsmod.join(snap_dir, "blooms.json")
+        self._fs.write_text_atomic(p, json.dumps(carried))
+        return {
+            "bloom_columns": cols,
+            "blooms": fsmod.rel_to(p, self.root),
+        }
+
     def prune_files(
         self,
         predicates: dict[str, tuple],
@@ -261,21 +408,29 @@ class SnapshotTable:
         that MAY contain rows matching every predicate. ``predicates`` maps
         column → inclusive ``(lo, hi)`` bounds (either side ``None`` =
         unbounded; equality = ``(v, v)``). A file is dropped only when its
-        recorded zone map PROVES a predicate empty — missing stats always
-        keep the file, so the result is a superset of the matching files
-        and exactness lives in the residual filter (``read_where``).
-        No filesystem access at all: one JSON manifest read."""
+        recorded zone map PROVES a predicate empty (or, for an EQUALITY
+        predicate on a bloom-indexed column, the file's bloom proves the
+        key absent) — missing stats always keep the file, so the result
+        is a superset of the matching files and exactness lives in the
+        residual filter (``read_where``). Zone maps live in the manifest
+        (one JSON read); blooms in the snapshot's sidecar, loaded only
+        when an equality probe can use them."""
         snap = self.current_snapshot() if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(snap)
         stats = m.get("file_stats", {})
+        bloom_cols = set(m.get("bloom_columns") or [])
+        probes: dict[str, tuple[int, int]] = {}
+        for col, (lo, hi) in predicates.items():
+            if col in bloom_cols and lo is not None and lo == hi:
+                vb = self._bloom_bytes(lo)
+                if vb is not None:
+                    probes[col] = self._bloom_seed(vb)
+        blooms = self._load_blooms(m) if probes else {}
         keep: list[str] = []
         for rel in self._files_rel(m):
-            fst = stats.get(rel)
-            if fst is None:
-                keep.append(rel)
-                continue
+            fst = stats.get(rel) or {}
             skip = False
             for col, (lo, hi) in predicates.items():
                 if col not in fst:
@@ -292,6 +447,15 @@ class SnapshotTable:
                 ):
                     skip = True
                     break
+            if not skip and probes:
+                fb = blooms.get(rel, {})
+                for col, seed in probes.items():
+                    entry = fb.get(col)
+                    if entry is not None and not self._bloom_might_contain(
+                        entry, seed
+                    ):
+                        skip = True
+                        break
             if not skip:
                 keep.append(rel)
         return keep
@@ -335,6 +499,7 @@ class SnapshotTable:
         file_format: str = "parquet",
         stats_columns: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
     ) -> int:
         """``file_format``: 'parquet' (default) or 'orc' — the ORC path is the
         Hive-side S9 analogue (HiveCompareByFile.java reads ORC tables); a
@@ -348,7 +513,14 @@ class SnapshotTable:
         Without it zone maps are technically correct but prune nothing:
         every task holds rows from the whole domain, so every file's
         min/max spans the whole domain too — in-task sorting alone cannot
-        narrow a file's range, only routing can."""
+        narrow a file's range, only routing can.
+
+        ``bloom_columns``: record a per-file bloom filter over each listed
+        string/int column's distinct values (parquet tables only; see
+        ``_build_blooms``) — point-lookup pruning for high-cardinality keys
+        that zone maps cannot narrow, NO clustering required: equality
+        probes in ``prune_files``/``read_where`` skip files whose bloom
+        proves the key absent."""
         parent = self.current_snapshot()
         snap = (parent + 1) if parent is not None else 0
         snap_dir = self._join(f"snap-{snap}")
@@ -440,6 +612,15 @@ class SnapshotTable:
             manifest["file_stats"] = {
                 p: file_stats[p] for p in files if p in file_stats
             }
+        if file_format == "parquet":
+            manifest.update(
+                self._bloom_manifest_keys(
+                    snap_dir,
+                    pm if (mode == "append" and parent is not None) else None,
+                    new_files,
+                    bloom_columns=bloom_columns,
+                )
+            )
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
@@ -477,6 +658,10 @@ class SnapshotTable:
             manifest["file_stats"] = {
                 p: s for p, s in m["file_stats"].items() if p not in rel
             }
+        # self-contained sidecar: re-point "blooms" at THIS snap dir
+        # (expired parents' dirs are deleted wholesale), dropping the
+        # excluded files' entries
+        manifest.update(self._bloom_manifest_keys(snap_dir, m, [], drop=rel))
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
@@ -542,6 +727,8 @@ class SnapshotTable:
             "created_ms": int(time.time() * 1000),
             "schema": new_schema.json(),
         }
+        # carry the bloom sidecar into this (self-contained) snap dir
+        manifest.update(self._bloom_manifest_keys(snap_dir, m, []))
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
@@ -632,6 +819,12 @@ class SnapshotTable:
                 **kept_stats,
                 **self._footer_stats(sorted(new_sizes), stats_cols),
             }
+        if file_format == "parquet":
+            manifest.update(
+                self._bloom_manifest_keys(
+                    snap_dir, pm, sorted(new_sizes), drop=rel_removed
+                )
+            )
         self._write_manifest(snap_dir, manifest)
         self._commit(snap)
         return snap
