@@ -460,6 +460,56 @@ class SnapshotTable:
                 keep.append(rel)
         return keep
 
+    def prune_files_any(
+        self,
+        column: str,
+        values: list,
+        snapshot: int | None = None,
+        max_probes: int = 50_000_000,
+    ) -> list[str] | None:
+        """Files that MAY contain ANY of ``values`` in ``column`` — the
+        multi-key point-lookup planner (the streaming upsert asks 'which
+        state files hold any of this micro-batch's keys' every trigger;
+        answering it from the bloom index replaces a full table scan with
+        metadata probes). Returns a SUPERSET of the true hit set (bloom
+        fp ≈ 0.05%; files without a recorded bloom are always kept), or
+        ``None`` when the snapshot records no bloom for the column, a
+        value's type is unsupported, or the probe budget
+        (values × files) exceeds ``max_probes`` — callers fall back to
+        their scan path; correctness never depends on this planner."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(snap)
+        if column not in (m.get("bloom_columns") or []):
+            return None
+        files = self._files_rel(m)
+        seeds: list[tuple[int, int]] = []
+        for v in values:
+            vb = self._bloom_bytes(v)
+            if vb is None:
+                return None
+            seeds.append(self._bloom_seed(vb))
+        if len(seeds) * len(files) > max_probes:
+            return None
+        blooms = self._load_blooms(m)
+        keep: list[str] = []
+        for rel in files:
+            entry = (blooms.get(rel) or {}).get(column)
+            if entry is None:
+                keep.append(rel)  # unknown → may contain
+                continue
+            bits = base64.b64decode(entry["b64"])
+            mb, k = entry["m"], entry["k"]
+            for h1, h2 in seeds:
+                if all(
+                    bits[p >> 3] & (1 << (p & 7))
+                    for p in ((h1 + i * h2) % mb for i in range(k))
+                ):
+                    keep.append(rel)
+                    break
+        return keep
+
     def read_where(
         self,
         spark: SparkSession,

@@ -24,9 +24,13 @@ full-outer join (the repair/MERGE shape, operators/repair.py), and the
 commit is FILE-SCOPED via rewrite_files: only state files containing a
 batch key are rewritten, untouched files are carried by reference, so
 steady-state write amplification tracks touched keys, not table size.
-Checkpointing makes the drain resumable; a replayed batch is
-idempotent under the monotone guard; ``expire_tombstones`` bounds
-state growth once the checkpoint's low-water mark retires old seqs.
+Hit files are PLANNED from the state table's bloom index (metadata
+probes per batch key — the table itself is never scanned to find
+them; the input_file_name() semi-join scan remains as the fallback
+when the index can't answer). Checkpointing makes the drain
+resumable; a replayed batch is idempotent under the monotone guard;
+``expire_tombstones`` bounds state growth once the checkpoint's
+low-water mark retires old seqs.
 """
 
 from __future__ import annotations
@@ -104,7 +108,11 @@ def run_streaming_upsert(
         )
         batch_state = agg.final_state(kept)
         if state_table.current_snapshot() is None:
-            state_table.write(batch_state, mode="overwrite")
+            # bloom on the doc key: every later trigger plans its hit
+            # files from the index instead of scanning the state table
+            state_table.write(
+                batch_state, mode="overwrite", bloom_columns=["doc_id"]
+            )
             return
         # file-scoped commit (the repair pattern, jobs/run_repair.py):
         # only state files containing a batch key are rewritten; every
@@ -112,20 +120,30 @@ def run_streaming_upsert(
         # per-batch write cost scales with TOUCHED keys, not table size.
         # Reading snap-N while committing snap-N+1 is safe: the commit
         # writes a NEW snapshot dir and flips _current atomically.
-        cur = state_table.read(spark)
+        # Hit-file planning: bloom-index probes (metadata only — the
+        # state table is NOT read) with the input_file_name() semi-join
+        # scan as the fallback when the index can't answer. A bloom
+        # false positive only rewrites an extra file unchanged; the
+        # merge is exact over any superset of the true hit set.
         touched = batch_state.select(*KEYS).distinct()
-        hit_files = sorted(
-            r["__f"]
-            for r in cur.withColumn("__f", F.input_file_name())
-            .join(touched, KEYS, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
+        keys = sorted(
+            {r["doc_id"] for r in touched.select("doc_id").collect()}
         )
-        if hit_files:
-            cur_hit = state_table.read_files(spark, hit_files)
+        rel_hits = state_table.prune_files_any("doc_id", keys)
+        if rel_hits is not None:
+            hit_files = sorted(rel_hits)
         else:
-            cur_hit = cur.limit(0)
+            cur = state_table.read(spark)
+            hit_files = sorted(
+                r["__f"]
+                for r in cur.withColumn("__f", F.input_file_name())
+                .join(touched, KEYS, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+        # read_files([]) yields an empty frame with the table schema
+        cur_hit = state_table.read_files(spark, hit_files)
         # merging against only the hit files is exact: a key's rows live
         # in whole files, and keys absent everywhere surface through the
         # full-outer join whatever the subset (same argument as repair)

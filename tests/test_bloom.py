@@ -115,3 +115,59 @@ def test_bloom_exclude_files_drops_entries(spark, tmp_path):
     # other keys still resolve through the re-pointed sidecar
     m = t._manifest(t.current_snapshot())
     assert m["blooms"].startswith(f"snap-{t.current_snapshot()}/")
+
+
+def test_prune_files_any_multi_key(spark, tmp_path):
+    """The multi-key planner returns a superset of the true hit files
+    and None whenever it cannot answer (no index, unsupported value,
+    probe budget)."""
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(_mk(spark), bloom_columns=["doc_id"])
+    truth = set()
+    for k in ["3", "77", "190"]:
+        truth.update(t.prune_files({"doc_id": (k, k)}))
+    got = t.prune_files_any("doc_id", ["3", "77", "190"])
+    assert truth <= set(got) and len(got) <= 3
+    # rows behind the planned files cover the exact lookup
+    rows = t.read_files(spark, got).filter(
+        "doc_id in ('3', '77', '190')"
+    ).count()
+    assert rows == 3
+    # can't answer → None (caller falls back to a scan)
+    assert t.prune_files_any("source", ["a"]) is None  # no bloom recorded
+    assert t.prune_files_any("doc_id", ["3", None]) is None  # bad value
+    assert t.prune_files_any("doc_id", ["3"], max_probes=1) is None
+
+
+def test_upsert_plans_hits_from_bloom(spark, tmp_path):
+    """The streaming upsert's state table records a doc_id bloom from
+    its first commit, so later triggers plan hit files without reading
+    the table."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.functions.parse import serialize_expr
+    from binlog_processer_spark.sources.generator import (
+        generate_corpus,
+        routing_dim,
+    )
+    from binlog_processer_spark.streaming.upsert import run_streaming_upsert
+
+    corpus = generate_corpus(spark, 300, partitions=2)
+    raw = corpus.select("source", serialize_expr().alias("raw"))
+    d = str(tmp_path / "stream")
+    for pred in [F.col("source") == "src0", F.col("source") != "src0"]:
+        raw.filter(pred).select("raw").coalesce(1).write.mode(
+            "append"
+        ).parquet(d + "/raw")
+    table = run_streaming_upsert(
+        spark, d + "/raw", routing_dim(spark), d + "/out",
+        max_files_per_trigger=1,
+    )
+    m = table._manifest(table.current_snapshot())
+    assert m["bloom_columns"] == ["doc_id"]
+    assert m.get("blooms")
+    # the planner answers for this table (the in-stream path used it)
+    some_key = table.read(spark).select("doc_id").first()["doc_id"]
+    assert table.prune_files_any("doc_id", [some_key]) is not None
