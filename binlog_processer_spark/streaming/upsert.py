@@ -109,9 +109,15 @@ def run_streaming_upsert(
         batch_state = agg.final_state(kept)
         if state_table.current_snapshot() is None:
             # bloom on the doc key: every later trigger plans its hit
-            # files from the index instead of scanning the state table
+            # files from the index instead of scanning the state table.
+            # final_op bloom + final_seq zone map serve expire_tombstones
+            # (a bloom PROVES a file has no 'Delete' rows; a min/max range
+            # can't — 'Delete' sorts between 'Create' and 'Update')
             state_table.write(
-                batch_state, mode="overwrite", bloom_columns=["doc_id"]
+                batch_state,
+                mode="overwrite",
+                bloom_columns=["doc_id", "final_op"],
+                stats_columns=["final_seq"],
             )
             return
         # file-scoped commit (the repair pattern, jobs/run_repair.py):
@@ -175,14 +181,27 @@ def expire_tombstones(
     the current one when nothing qualifies). Live rows and tombstones
     above the mark are untouched — expiry can never change what a merge
     would decide for any event that can still arrive.
+
+    Candidate files are planned from the table's metadata first — the
+    final_op bloom drops tombstone-free files, the final_seq zone map
+    drops files whose every row is above the mark — so the exact
+    input_file_name() scan touches candidates only, not the table.
+    Tables without the index degrade to the full scan (prune keeps
+    everything it cannot disprove); results are identical either way.
     """
-    cur = state_table.read(spark)
     expirable = (F.col("final_op") == "Delete") & (
         F.col("final_seq") <= int(low_water_seq)
     )
+    candidates = state_table.prune_files(
+        {
+            "final_op": ("Delete", "Delete"),
+            "final_seq": (None, int(low_water_seq)),
+        }
+    )
     hit_files = sorted(
         r["__f"]
-        for r in cur.filter(expirable)
+        for r in state_table.read_files(spark, candidates)
+        .filter(expirable)
         .withColumn("__f", F.input_file_name())
         .select("__f")
         .distinct()

@@ -166,7 +166,8 @@ def test_upsert_plans_hits_from_bloom(spark, tmp_path):
         max_files_per_trigger=1,
     )
     m = table._manifest(table.current_snapshot())
-    assert m["bloom_columns"] == ["doc_id"]
+    assert m["bloom_columns"] == ["doc_id", "final_op"]
+    assert m["stats_columns"] == ["final_seq"]
     assert m.get("blooms")
     # the planner answers for this table (the in-stream path used it)
     some_key = table.read(spark).select("doc_id").first()["doc_id"]

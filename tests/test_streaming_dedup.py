@@ -196,11 +196,23 @@ def test_expire_tombstones_file_scoped(spark, tmp_path):
         ("db", "t", "d4", "Delete", ts, None, 20),
     ]
     t = SnapshotTable(str(tmp_path / "state"))
-    t.write(spark.createDataFrame(file_a, schema).coalesce(1), mode="overwrite")
+    t.write(
+        spark.createDataFrame(file_a, schema).coalesce(1),
+        mode="overwrite",
+        bloom_columns=["doc_id", "final_op"],
+        stats_columns=["final_seq"],
+    )
     t.rewrite_files([], spark.createDataFrame(file_b, schema).coalesce(1))
     files_before = set(t.data_files())
     file_a_paths = set(t.data_files(0))
     assert len(files_before) == 2 and len(file_a_paths) == 1
+
+    # expiry planning: file B's final_seq zone map ([20, 30] vs mark 10)
+    # prunes it before any data is read — only file A is a candidate
+    cand = t.prune_files(
+        {"final_op": ("Delete", "Delete"), "final_seq": (None, 10)}
+    )
+    assert {str(t._join(p)) for p in cand} == file_a_paths
 
     snap = expire_tombstones(spark, t, low_water_seq=10)
     assert snap == t.current_snapshot() == 2
