@@ -1728,6 +1728,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_ack_lag"] = streaming_ack_lag
 
+    def streaming_unacked(spark, sf_dir):
+        """Left-outer arm of the stream-stream interval join: events
+        whose ack never arrives inside the 5-minute window emit with
+        null ack columns once the watermark closes their join window —
+        the streaming form of the batch reconcile's missing-row probe
+        (TiDBCompareByFile.java existence arm). Same ack synthesis as
+        streaming_ack_lag, so unacked = never-acked docs (doc_id%11==3)
+        plus out-of-window acks (event_seq%7==6). Deterministic flush:
+        two trailing watermark-heartbeat files per side (far-future
+        sentinel, maxFilesPerTrigger=1) close every real window in
+        later micro-batches; each heartbeat pair matches itself at lag
+        0, so sentinels only ever emit as MATCHED rows, never as
+        unacked (the filter below drops them defensively anyway)."""
+        import datetime
+        import tempfile
+        import time
+
+        from binlog_processer_spark.streaming.joins import (
+            ack_lag_join_stream,
+        )
+
+        d = tempfile.mkdtemp(prefix="blp_ackouter_")
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "event_seq", "commit_ts"
+        )
+        k.coalesce(1).write.mode("overwrite").parquet(d + "/events")
+        k.filter(F.expr("cast(doc_id as bigint) % 11 <> 3")).select(
+            "database_name", "table_name", "doc_id", "event_seq",
+            F.expr(
+                "commit_ts + make_interval(0,0,0,0,0,"
+                " cast(event_seq % 7 as int), 0)"
+            ).alias("ack_ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/acks")
+        hb0 = k.agg(F.max("commit_ts")).first()[0]
+        for days in (1, 2):
+            time.sleep(1.1)  # file stream orders by mtime; hb batches last
+            hb = [("__wm__", "__wm__", "__wm__", -1,
+                   hb0 + datetime.timedelta(days=days))]
+            spark.createDataFrame(
+                hb,
+                "database_name string, table_name string, doc_id string,"
+                " event_seq long, commit_ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(d + "/events")
+            spark.createDataFrame(
+                hb,
+                "database_name string, table_name string, doc_id string,"
+                " event_seq long, ack_ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(d + "/acks")
+        ev = spark.readStream.schema(
+            "database_name string, table_name string, doc_id string, "
+            "event_seq long, commit_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(d + "/events")
+        ak = spark.readStream.schema(
+            "database_name string, table_name string, doc_id string, "
+            "event_seq long, ack_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(d + "/acks")
+        sq = (
+            ack_lag_join_stream(ev, ak, max_lag_min=5, how="left_outer")
+            .writeStream.format("memory")
+            .queryName("q_ack_outer")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return (
+            spark.table("q_ack_outer")
+            .filter(F.col("ack_ts").isNull() & (F.col("doc_id") != "__wm__"))
+            .groupBy("database_name", "table_name")
+            .agg(
+                F.count("*").cast("bigint").alias("n_unacked"),
+                F.sum("event_seq").cast("bigint").alias("sum_seq_unacked"),
+                F.countDistinct("doc_id").cast("bigint").alias(
+                    "n_docs_unacked"
+                ),
+            )
+        )
+
+    q["streaming_unacked"] = streaming_unacked
+
     def probe_point_lookup(spark, sf_dir):
         """Bloom-file-index point lookups: documents land UNCLUSTERED in a
         snapshot table with a doc_id bloom (every file spans the whole key
@@ -3268,6 +3348,27 @@ grid AS (
         " AND a.event_seq = k.event_seq"
         " WHERE a.ack_ts >= k.commit_ts"
         " AND a.ack_ts <= k.commit_ts + to_minutes(5)"
+        " GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    # left-outer arm: unacked = never-acked docs (doc_id%11==3) plus
+    # out-of-window acks (event_seq%7==6); time bounds live in the ON
+    # clause so non-qualifying acks leave the event unmatched
+    o["streaming_unacked"] = _oracle_full(
+        "SELECT k.database_name, k.table_name,"
+        " cast(count(*) AS bigint) AS n_unacked,"
+        " cast(sum(k.event_seq) AS bigint) AS sum_seq_unacked,"
+        " cast(count(DISTINCT k.doc_id) AS bigint) AS n_docs_unacked"
+        " FROM kept k LEFT JOIN"
+        " (SELECT database_name, table_name, doc_id, event_seq,"
+        "   commit_ts + to_minutes(event_seq % 7) AS ack_ts"
+        "  FROM kept WHERE cast(doc_id AS bigint) % 11 <> 3) a"
+        " ON a.database_name = k.database_name"
+        " AND a.table_name = k.table_name AND a.doc_id = k.doc_id"
+        " AND a.event_seq = k.event_seq"
+        " AND a.ack_ts >= k.commit_ts"
+        " AND a.ack_ts <= k.commit_ts + to_minutes(5)"
+        " WHERE a.ack_ts IS NULL"
         " GROUP BY 1, 2",
         _X_ENRICHED,
     )

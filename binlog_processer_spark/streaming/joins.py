@@ -34,12 +34,23 @@ def ack_lag_join_stream(
     acks: DataFrame,
     max_lag_min: int = 5,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join the change-event stream with the ack stream on event
+    """Join the change-event stream with the ack stream on event
     identity, keeping only acks within ``[commit_ts, commit_ts +
     max_lag_min]`` — the time-range arm is what turns the equi-join
     into an interval join and what bounds the join state. Returns one
-    row per attributed pair with the apply lag in whole seconds."""
+    row per attributed pair with the apply lag in whole seconds.
+
+    ``how='left_outer'`` additionally emits every UNACKED event (ack
+    columns null) once the watermark closes its join window — the
+    streaming form of the batch reconcile's missing-row probe. The
+    range condition must be written with an INTERVAL literal: Spark
+    derives the state-cleanup bound for the outer side from it, and a
+    ``make_interval`` call defeats that analysis. Outer emission at
+    end-of-stream happens when a LATER batch runs under the advanced
+    watermark — drive the stream with trailing watermark-heartbeat
+    batches (see the contract query) to flush deterministically."""
     e = events.select(*KEYS, "commit_ts").withWatermark(
         "commit_ts", watermark
     )
@@ -54,12 +65,11 @@ def ack_lag_join_stream(
         & (a["ack_ts"] >= e["commit_ts"])
         & (
             a["ack_ts"]
-            <= e["commit_ts"]
-            + F.expr(f"make_interval(0,0,0,0,0,{int(max_lag_min)},0)")
+            <= e["commit_ts"] + F.expr(f"INTERVAL {int(max_lag_min)} MINUTES")
         )
     )
     return (
-        e.join(a, cond, "inner")
+        e.join(a, cond, how)
         .select(
             *KEYS,
             "commit_ts",
