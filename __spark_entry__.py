@@ -1808,6 +1808,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_unacked"] = streaming_unacked
 
+    def asof_checkpoints(spark, sf_dir):
+        """Fact-to-fact AS-OF join (operators/asof.py): every kept event
+        attributed to the latest checkpoint row (events with
+        event_seq%37==0, deduped to one per key+ts) at-or-before its
+        commit_ts, within a 1-day tolerance — the fact-sized form of the
+        reference's TreeMap floorEntry lookup (SchemaUtils.java), where
+        the right side is too big to broadcast. Single hash exchange,
+        no join node (pinned by tests/test_asof.py)."""
+        from binlog_processer_spark.operators.asof import asof_join
+
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "event_seq", "commit_ts"
+        )
+        ck = (
+            k.filter(F.col("event_seq") % 37 == 0)
+            .groupBy("database_name", "table_name", "commit_ts")
+            .agg(F.max("event_seq").alias("ck_seq"))
+            .withColumnRenamed("commit_ts", "ck_ts")
+        )
+        j = asof_join(
+            k, ck,
+            on=["database_name", "table_name"],
+            left_ts="commit_ts", right_ts="ck_ts",
+            right_cols=["ck_seq"], tolerance_s=86400,
+        )
+        return j.groupBy("database_name", "table_name").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count("ck_seq").cast("bigint").alias("n_matched"),
+            F.coalesce(F.sum("ck_seq"), F.lit(0)).cast("bigint").alias(
+                "sum_ck_seq"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.unix_timestamp("commit_ts") - F.unix_timestamp("asof_ts")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("sum_lag_s"),
+        )
+
+    q["asof_checkpoints"] = asof_checkpoints
+
     def probe_point_lookup(spark, sf_dir):
         """Bloom-file-index point lookups: documents land UNCLUSTERED in a
         snapshot table with a doc_id bloom (every file spans the whole key
@@ -3371,6 +3412,30 @@ grid AS (
         " WHERE a.ack_ts IS NULL"
         " GROUP BY 1, 2",
         _X_ENRICHED,
+    )
+    # fact-to-fact as-of join: DuckDB's native ASOF JOIN is the oracle;
+    # tolerance (1 day) expressed as a post-match CASE on the lag
+    o["asof_checkpoints"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " cast(count(*) AS bigint) AS n_events,"
+        " cast(count(CASE WHEN ok THEN 1 END) AS bigint) AS n_matched,"
+        " cast(coalesce(sum(CASE WHEN ok THEN ck_seq END), 0) AS bigint)"
+        "  AS sum_ck_seq,"
+        " cast(coalesce(sum(CASE WHEN ok THEN lag_s END), 0) AS bigint)"
+        "  AS sum_lag_s"
+        " FROM ("
+        "  SELECT k.database_name, k.table_name, c.ck_seq,"
+        "   date_diff('second', c.ck_ts, k.commit_ts) AS lag_s,"
+        "   c.ck_ts IS NOT NULL AND"
+        "    date_diff('second', c.ck_ts, k.commit_ts) <= 86400 AS ok"
+        "  FROM kept k ASOF LEFT JOIN ckpt c"
+        "  ON k.database_name = c.database_name"
+        "  AND k.table_name = c.table_name AND k.commit_ts >= c.ck_ts)"
+        " GROUP BY 1, 2",
+        _X_ENRICHED + ","
+        " ckpt AS (SELECT database_name, table_name, commit_ts AS ck_ts,"
+        "  max(event_seq) AS ck_seq FROM kept WHERE event_seq % 37 = 0"
+        "  GROUP BY 1, 2, 3)",
     )
     # bloom-pruned point lookups must equal the plain filter
     o["probe_point_lookup"] = (
