@@ -492,6 +492,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_scan"] = incremental_scan
 
+    def incremental_rollup(spark, sf_dir):
+        """Incremental view maintenance of THE primary aggregate (A1):
+        counts committed at generation 1, then merged with the counts of
+        ONLY the generation-2 delta (manifest-diff read, no base rescan)
+        — must land exactly on the full recompute, which is the oracle.
+        Maintenance cost is O(delta) + one rollup-cardinality shuffle;
+        at 10^12 rows this is the difference between a nightly counter
+        refresh and a full-history rescan per batch."""
+        import os
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        t = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_ivm_"), "t")
+        )
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "op", "event_seq"
+        )
+        t.write(k.filter(F.col("event_seq") % 3 != 2))
+        snap1 = t.current_snapshot()
+        keys = ["database_name", "table_name"]
+        counts1 = agg.sink_counts(t.read(spark), keys=keys)
+        t.write(k.filter(F.col("event_seq") % 3 == 2), mode="append")
+        delta = agg.sink_counts(
+            t.read_incremental(spark, since=snap1), keys=keys
+        )
+        return agg.merge_counts(
+            counts1, delta, keys=keys,
+            count_cols=["insert_cnt", "update_cnt", "delete_cnt"],
+        )
+
+    q["incremental_rollup"] = incremental_rollup
+
     # --- A2 per-file counters ---
     def file_event_counts(spark, sf_dir):
         return agg.file_event_counts(_corpus(spark, sf_dir))
@@ -1987,6 +2021,18 @@ def oracle_sql() -> dict[str, str]:
     o["incremental_scan"] = _oracle_full(
         "SELECT doc_id, event_seq, op, commit_ts FROM corpus"
         " WHERE event_seq % 2 = 1"
+    )
+    # incrementally-maintained counts must equal the full recompute
+    o["incremental_rollup"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS insert_cnt,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS update_cnt,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS delete_cnt"
+        " FROM kept GROUP BY 1, 2",
+        _X_ENRICHED,
     )
     o["file_event_counts"] = _oracle_full(
         "SELECT file_id, count(*) AS total_cnt,"

@@ -79,6 +79,41 @@ def watermarks(events: DataFrame) -> DataFrame:
     )
 
 
+def merge_counts(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str] | None = None,
+    count_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental maintenance of an additive rollup: merge a committed
+    counts table with the counts of ONLY the newly-added rows, giving
+    the same result as recomputing over the full history.
+
+    The reference recomputes its t_binlog_record counters per run over
+    whatever it just wrote (DBbiz.java:85-112) and relies on SQL-side
+    accumulation; at 10^12 rows the Spark equivalent must never rescan
+    the base table — the delta comes from the snapshot manifest diff
+    (SnapshotTable.read_incremental), so maintenance cost is O(delta).
+
+    union + re-aggregate is ONE tiny shuffle on the rollup keys (rollup
+    cardinality, not fact cardinality); it also handles keys appearing
+    only in the delta, and negative counts (retractions) fall out of
+    the same algebra. Absent count columns on either side merge as 0.
+    """
+    keys = keys or SINK_KEY
+    if count_cols is None:
+        count_cols = [c for c in base.columns if c not in keys]
+    both = base.select(*keys, *count_cols).unionByName(
+        delta.select(*keys, *count_cols)
+    )
+    return both.groupBy(*keys).agg(
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+            for c in count_cols
+        ]
+    )
+
+
 def ingestion_lag(events: DataFrame) -> DataFrame:
     """CDC freshness report per sink: the distribution of commit-to-event
     latency (commit_ts − create_ts) — the metric that tells you a

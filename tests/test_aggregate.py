@@ -177,3 +177,30 @@ def test_key_skew_report_topk_not_full_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_merge_counts_ivm_algebra(spark):
+    """base ⊕ delta == recompute, including keys only in one side and
+    negative (retraction) deltas."""
+    from binlog_processer_spark.operators.aggregate import merge_counts
+
+    schema = "database_name string, table_name string, insert_cnt long, update_cnt long, delete_cnt long"
+    base = spark.createDataFrame(
+        [("db", "t1", 5, 2, 1), ("db", "t2", 3, 0, 0)], schema
+    )
+    delta = spark.createDataFrame(
+        [("db", "t1", 1, 0, 4), ("db", "t3", 7, 7, 7),
+         ("db", "t2", -3, 0, 0)],  # retraction zeroes t2 inserts
+        schema,
+    )
+    got = {
+        (r.database_name, r.table_name): (r.insert_cnt, r.update_cnt, r.delete_cnt)
+        for r in merge_counts(
+            base, delta, keys=["database_name", "table_name"]
+        ).collect()
+    }
+    assert got == {
+        ("db", "t1"): (6, 2, 5),
+        ("db", "t2"): (0, 0, 0),
+        ("db", "t3"): (7, 7, 7),
+    }
