@@ -1917,6 +1917,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["probe_point_lookup"] = probe_point_lookup
 
+    def probe_zorder(spark, sf_dir):
+        """Z-order clustering (storage/zorder.py): documents land
+        Morton-clustered on (doc_id, n_chars), then three zone-map-pruned
+        scans probe each dimension ALONE plus the 2-D box — the layouts
+        a lexicographic sort cannot serve (its second column never
+        prunes; tests/test_zorder.py pins the pruning asymmetry). The
+        oracle is the plain filter: clustering and pruning must never
+        change results, only the files opened."""
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        sel = _docs(spark, sf_dir).select(
+            "doc_id", "source", "text", F.length("text").alias("n_chars")
+        )
+        t = SnapshotTable(tempfile.mkdtemp(prefix="blp_z_") + "/docs")
+        t.write(sel, zorder_by=["doc_id", "n_chars"])
+        probes = {
+            "doc_id": {"doc_id": (10, 99)},
+            "n_chars": {"n_chars": (50, 300)},
+            "box": {"doc_id": (100, 399), "n_chars": (100, 500)},
+        }
+        parts = [
+            t.read_where(spark, pred).withColumn("probe", F.lit(name))
+            for name, pred in probes.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            "probe", "doc_id", "source", "n_chars",
+            F.md5("text").alias("text_md5"),
+        )
+
+    q["probe_zorder"] = probe_zorder
+
     def multimodal_features(spark, sf_dir):
         from binlog_processer_spark.multimodal import (
             extract_features,
@@ -3487,6 +3523,20 @@ grid AS (
     o["probe_point_lookup"] = (
         "SELECT doc_id, source, md5(text) AS text_md5 FROM documents"
         " WHERE doc_id % 97 = 13"
+    )
+    # z-order-pruned scans must equal the plain filters on every probe
+    o["probe_zorder"] = (
+        "WITH d AS (SELECT doc_id, source, text,"
+        " cast(length(text) AS int) AS n_chars FROM documents)"
+        " SELECT 'doc_id' AS probe, doc_id, source, n_chars,"
+        "  md5(text) AS text_md5 FROM d WHERE doc_id BETWEEN 10 AND 99"
+        " UNION ALL"
+        " SELECT 'n_chars', doc_id, source, n_chars, md5(text)"
+        "  FROM d WHERE n_chars BETWEEN 50 AND 300"
+        " UNION ALL"
+        " SELECT 'box', doc_id, source, n_chars, md5(text) FROM d"
+        "  WHERE doc_id BETWEEN 100 AND 399"
+        "  AND n_chars BETWEEN 100 AND 500"
     )
     # multimodal features: the payload is utf-8 text bytes and the driver's
     # documents.text is pure ASCII at every sf (verified octet_length ==

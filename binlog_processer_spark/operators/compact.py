@@ -132,3 +132,31 @@ def compact(
         )
     snap = table.rewrite_files(affected, replacement)
     return CompactionResult(snap, groups)
+
+
+def rewrite_zordered(
+    spark: SparkSession,
+    table: SnapshotTable,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> int:
+    """Re-cluster the whole table on the Morton key of ``cols`` (Delta's
+    ``OPTIMIZE ... ZORDER BY`` shape) and commit it as one rewrite
+    snapshot: after this, zone-map pruning works on EVERY listed column,
+    not just a leading sort key. Stats for ``cols`` are recorded even if
+    the table never tracked them (``extra_stats_columns``). Whole-table
+    by construction — z-ordering is a global re-layout; run it off the
+    ingest path like any compaction."""
+    from ..storage.zorder import zorder_cluster
+
+    snap = table.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {table.root}")
+    files = [table._rel(p) for p in table.data_files(snap)]
+    if num_files is None:
+        num_files = max(1, len(files))
+    replacement = zorder_cluster(
+        table.read(spark, snap), cols, bits=bits, num_files=num_files
+    )
+    return table.rewrite_files(files, replacement, extra_stats_columns=cols)

@@ -550,6 +550,8 @@ class SnapshotTable:
         stats_columns: list[str] | None = None,
         cluster_by: list[str] | None = None,
         bloom_columns: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> int:
         """``file_format``: 'parquet' (default) or 'orc' — the ORC path is the
         Hive-side S9 analogue (HiveCompareByFile.java reads ORC tables); a
@@ -564,6 +566,12 @@ class SnapshotTable:
         every task holds rows from the whole domain, so every file's
         min/max spans the whole domain too — in-task sorting alone cannot
         narrow a file's range, only routing can.
+
+        ``zorder_by``: like ``cluster_by`` but on the columns' interleaved
+        Morton key (storage/zorder.py) — every listed column gets tight
+        per-file ranges instead of only the leading one; stats for those
+        columns are recorded automatically. Costs one extra tiny min/max
+        aggregate over the input for the fixed-point domains.
 
         ``bloom_columns``: record a per-file bloom filter over each listed
         string/int column's distinct values (parquet tables only; see
@@ -605,6 +613,18 @@ class SnapshotTable:
                         "a migration) to change a table's schema"
                     )
                 excluded = pm.get("excluded_files", [])
+        if zorder_by:
+            # Morton-curve clustering (storage/zorder.py): every listed
+            # column gets tight per-file zone maps, not just the leading
+            # one — the multi-dimension form of cluster_by. Implies
+            # recording stats for those columns (clustering without the
+            # zone maps would prune nothing).
+            if cluster_by:
+                raise ValueError("zorder_by and cluster_by are exclusive")
+            from .zorder import zorder_cluster
+
+            df = zorder_cluster(df, list(zorder_by), bits=zorder_bits)
+            stats_columns = sorted(set(stats_columns or []) | set(zorder_by))
         if cluster_by:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
                 *cluster_by
@@ -796,7 +816,10 @@ class SnapshotTable:
         return os.path.relpath(p, self.root) if os.path.isabs(p) else p
 
     def rewrite_files(
-        self, removed: list[str], replacement: DataFrame
+        self,
+        removed: list[str],
+        replacement: DataFrame,
+        extra_stats_columns: list[str] | None = None,
     ) -> int:
         """Commit a snapshot that drops ``removed`` data files and adds the
         ``replacement`` rows — the file-scoped overwrite (Iceberg's
@@ -858,6 +881,11 @@ class SnapshotTable:
             "properties": pm.get("properties", {}),
         }
         stats_cols = pm.get("stats_columns")
+        if extra_stats_columns:
+            # a clustering rewrite (e.g. z-order) may introduce pruning
+            # columns the table never recorded; kept files simply lack the
+            # new columns' stats (pruning keeps them — always safe)
+            stats_cols = sorted(set(stats_cols or []) | set(extra_stats_columns))
         if stats_cols and file_format == "parquet":
             kept_stats = {
                 p: s
