@@ -1883,6 +1883,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_checkpoints"] = asof_checkpoints
 
+    def scd2_history_q(spark, sf_dir):
+        """SCD2 build (operators/scd2.py): one versioned row per
+        non-Delete event, validity closed by the NEXT event of the same
+        key (Deletes close their predecessor and open nothing). Single
+        window, single hash exchange (pinned by tests/test_scd2.py)."""
+        from binlog_processer_spark.operators.scd2 import scd2_history
+
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "event_seq", "op",
+            "commit_ts",
+        )
+        return scd2_history(k).select(
+            "database_name", "table_name", "doc_id", "event_seq",
+            "valid_from", "valid_to", "is_current",
+        )
+
+    q["scd2_history"] = scd2_history_q
+
+    def scd2_asof(spark, sf_dir):
+        """Point-in-time read over the SCD2 history: the dimension state
+        as of (max commit_ts − 36 h) — a plain interval filter, no window
+        or join at read time."""
+        from binlog_processer_spark.operators.scd2 import (
+            as_of_state,
+            scd2_history,
+        )
+
+        k = _kept(spark, sf_dir).select(
+            "database_name", "table_name", "doc_id", "event_seq", "op",
+            "commit_ts",
+        )
+        t = k.agg(
+            (F.max("commit_ts") - F.expr("INTERVAL 36 HOURS")).alias("t")
+        ).first()["t"]
+        return as_of_state(scd2_history(k), t).select(
+            "database_name", "table_name", "doc_id", "event_seq",
+            "valid_from",
+        )
+
+    q["scd2_asof"] = scd2_asof
+
     def probe_point_lookup(spark, sf_dir):
         """Bloom-file-index point lookups: documents land UNCLUSTERED in a
         snapshot table with a doc_id bloom (every file spans the whole key
@@ -3472,6 +3513,29 @@ grid AS (
         " WHERE a.ack_ts >= k.commit_ts"
         " AND a.ack_ts <= k.commit_ts + to_minutes(5)"
         " GROUP BY 1, 2",
+        _X_ENRICHED,
+    )
+    # SCD2: windowed validity close; WHERE op filter must run AFTER the
+    # window (Deletes close predecessors), hence the subquery
+    _SCD2_INNER = (
+        "SELECT database_name, table_name, doc_id, event_seq, op,"
+        " commit_ts AS valid_from,"
+        " lead(commit_ts) OVER (PARTITION BY database_name, table_name,"
+        "  doc_id ORDER BY event_seq, commit_ts) AS valid_to"
+        " FROM kept"
+    )
+    o["scd2_history"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, event_seq,"
+        " valid_from, valid_to, valid_to IS NULL AS is_current"
+        f" FROM ({_SCD2_INNER}) WHERE op <> 'Delete'",
+        _X_ENRICHED,
+    )
+    o["scd2_asof"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, event_seq, valid_from"
+        f" FROM ({_SCD2_INNER}) s,"
+        " (SELECT max(commit_ts) - to_hours(36) AS t FROM kept) pit"
+        " WHERE s.op <> 'Delete' AND s.valid_from <= pit.t"
+        " AND (s.valid_to IS NULL OR s.valid_to > pit.t)",
         _X_ENRICHED,
     )
     # left-outer arm: unacked = never-acked docs (doc_id%11==3) plus
