@@ -156,7 +156,9 @@ def rewrite_zordered(
     files = [table._rel(p) for p in table.data_files(snap)]
     if num_files is None:
         num_files = max(1, len(files))
+    partition_by = table._manifest(snap).get("partition_by") or []
     replacement = zorder_cluster(
-        table.read(spark, snap), cols, bits=bits, num_files=num_files
+        table.read(spark, snap), cols, bits=bits, num_files=num_files,
+        prefix_cols=partition_by,
     )
     return table.rewrite_files(files, replacement, extra_stats_columns=cols)

@@ -113,6 +113,25 @@ class SnapshotTable:
         except FileNotFoundError:
             return None
 
+    def _next_snapshot(self) -> int:
+        """Mint a snapshot id: successor of the current pointer, bumped
+        past any snap-N directory already on disk. Ids never reuse —
+        after a rollback the orphaned (rolled-past) snapshots keep their
+        dirs until expire_snapshots vacuums them, and the next commit
+        must not collide with or silently adopt them (Iceberg ids are
+        monotone for the same reason). One root listing per commit,
+        bounded by the retained-snapshot count."""
+        parent = self.current_snapshot()
+        nxt = (parent + 1) if parent is not None else 0
+        for d in self._fs.list_dirs(self.root):
+            name = d.rsplit("/", 1)[-1]
+            if name.startswith("snap-"):
+                try:
+                    nxt = max(nxt, int(name[5:]) + 1)
+                except ValueError:
+                    continue
+        return nxt
+
     def _manifest(self, snap: int) -> dict:
         return json.loads(
             self._fs.read_text(self._join(f"snap-{snap}", "manifest.json"))
@@ -580,7 +599,7 @@ class SnapshotTable:
         probes in ``prune_files``/``read_where`` skip files whose bloom
         proves the key absent."""
         parent = self.current_snapshot()
-        snap = (parent + 1) if parent is not None else 0
+        snap = self._next_snapshot()
         snap_dir = self._join(f"snap-{snap}")
         data_dir = fsmod.join(snap_dir, "data")
         excluded: list[str] = []
@@ -623,7 +642,10 @@ class SnapshotTable:
                 raise ValueError("zorder_by and cluster_by are exclusive")
             from .zorder import zorder_cluster
 
-            df = zorder_cluster(df, list(zorder_by), bits=zorder_bits)
+            df = zorder_cluster(
+                df, list(zorder_by), bits=zorder_bits,
+                prefix_cols=partition_by,
+            )
             stats_columns = sorted(set(stats_columns or []) | set(zorder_by))
         if cluster_by:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
@@ -706,7 +728,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(parent)
         rel = {self._rel(p) for p in files}
-        snap = parent + 1
+        snap = self._next_snapshot()
         snap_dir = self._join(f"snap-{snap}")
         self._fs.mkdirs(snap_dir)
         manifest = {
@@ -786,7 +808,7 @@ class SnapshotTable:
                 f"migrate_schema: added columns {narrow_adds} must be "
                 "nullable (existing rows have no value for them)"
             )
-        snap = parent + 1
+        snap = self._next_snapshot()
         snap_dir = self._join(f"snap-{snap}")
         self._fs.mkdirs(snap_dir)
         manifest = {
@@ -851,7 +873,7 @@ class SnapshotTable:
             raise ValueError(
                 f"rewrite_files: not in the current snapshot: {sorted(unknown)[:5]}"
             )
-        snap = parent + 1
+        snap = self._next_snapshot()
         snap_dir = self._join(f"snap-{snap}")
         data_dir = fsmod.join(snap_dir, "data")
         w = replacement.write.mode("errorifexists")

@@ -80,11 +80,19 @@ def zorder_cluster(
     bits: int = 16,
     bounds: dict[str, tuple] | None = None,
     num_files: int | None = None,
+    prefix_cols: list[str] | None = None,
 ) -> DataFrame:
     """Range-distribute + sort ``df`` on its Morton key, then drop the
     key — the exchange keeps the clustering, the files never carry the
     helper column. ``num_files`` caps the output file count (default:
-    spark.sql.shuffle.partitions)."""
+    spark.sql.shuffle.partitions).
+
+    ``prefix_cols`` lead the range distribution and sort — REQUIRED for
+    hive-partitioned sinks: without it every range task holds rows of
+    every partition value, and the directory split fans each task into
+    one file per value (more files than before, the opposite of
+    clustering). With it each task holds a contiguous run of partition
+    values and the Morton key refines WITHIN them."""
     if bounds is None:
         bounds = column_bounds(df, cols)
     else:
@@ -100,8 +108,9 @@ def zorder_cluster(
         num_files = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+    order = [*(prefix_cols or []), Z_COL]
     return (
-        out.repartitionByRange(max(1, num_files), Z_COL)
-        .sortWithinPartitions(Z_COL)
+        out.repartitionByRange(max(1, num_files), *order)
+        .sortWithinPartitions(*order)
         .drop(Z_COL)
     )

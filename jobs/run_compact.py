@@ -11,10 +11,16 @@ Usage::
 
     spark-submit --py-files dist/engine.zip jobs/run_compact.py \
         --warehouse /path/to/wh [--table routed] \
-        [--target-mb 128] [--min-files 2] [--dry-run]
+        [--target-mb 128] [--min-files 2] [--dry-run] \
+        [--zorder col1,col2 [--zorder-files N]]
 
 Prints one JSON line: the plan (groups, files, bytes) and, unless
 --dry-run, the committed snapshot.
+
+``--zorder`` switches from bin-packing to a whole-table Morton-curve
+re-layout (operators/compact.rewrite_zordered): after it, zone-map
+pruning works on every listed column. Run it like any OPTIMIZE — off
+the ingest path, as often as the read patterns are worth it.
 """
 
 from __future__ import annotations
@@ -43,6 +49,12 @@ def main() -> None:
     ap.add_argument("--min-files", type=int, default=2)
     ap.add_argument("--dry-run", action="store_true",
                     help="print the plan without rewriting anything")
+    ap.add_argument("--zorder", default=None, metavar="COLS",
+                    help="comma-separated columns: whole-table z-order "
+                         "re-layout instead of bin-packing")
+    ap.add_argument("--zorder-files", type=int, default=None, metavar="N",
+                    help="output file count for --zorder (default: keep "
+                         "the current file count)")
     ap.add_argument("--expire-keep", type=int, default=None, metavar="N",
                     help="after compacting, expire snapshots keeping the "
                          "last N (physically vacuums superseded files; "
@@ -51,6 +63,34 @@ def main() -> None:
 
     tbl = SnapshotTable(os.path.join(args.warehouse, args.table))
     target = args.target_mb * 1024 * 1024
+
+    if args.zorder:
+        from binlog_processer_spark.operators.compact import rewrite_zordered
+
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        files_before = len(tbl.data_files())
+        if args.dry_run:
+            out = {
+                "snapshot": tbl.current_snapshot(), "committed": False,
+                "zorder": cols, "files": files_before,
+            }
+        else:
+            spark = get_spark("binlog-compact")
+            snap = rewrite_zordered(
+                spark, tbl, cols, num_files=args.zorder_files
+            )
+            out = {
+                "snapshot": snap, "committed": True, "zorder": cols,
+                "files_before": files_before,
+                "files_after": len(tbl.data_files()),
+            }
+            if args.expire_keep is not None:
+                exp = tbl.expire_snapshots(keep_last=args.expire_keep)
+                out["snapshots_expired"] = len(exp["snapshots_removed"])
+                out["files_vacuumed"] = exp["files_deleted"]
+                out["bytes_freed"] = exp["bytes_freed"]
+        print(json.dumps(out))
+        return
 
     if args.dry_run:
         groups = compaction_plan(tbl, target, args.min_files)

@@ -129,6 +129,33 @@ def test_compact_cli_dry_run_then_commit(spark, tmp_path):
     assert again["groups"] == 0
 
 
+def test_compact_cli_zorder(spark, tmp_path):
+    """--zorder re-lays the table on the Morton key via the CLI: rows
+    identical, stats recorded for both columns, both dims prune."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    tbl = SnapshotTable(os.path.join(wh, "routed"))
+    rev = sum(
+        F.shiftleft(F.shiftright(F.col("id"), b).bitwiseAND(F.lit(1)), 11 - b)
+        for b in range(12)
+    )
+    df = spark.range(4096).select(
+        F.col("id").alias("x"), rev.cast("long").alias("y")
+    )
+    tbl.write(df.repartition(8))
+
+    res = _run(["jobs/run_compact.py", "--warehouse", wh,
+                "--zorder", "x,y", "--zorder-files", "16"])
+    assert res["committed"] is True and res["zorder"] == ["x", "y"]
+    n = len(tbl.data_files())
+    for col in ("x", "y"):
+        assert len(tbl.prune_files({col: (0, 255)})) < n / 2
+    assert tbl.read(spark).count() == 4096
+
+
 def test_pipeline_cli_inline_compact(tmp_path):
     """--compact bin-packs the routed table right after the run commits and
     the warehouse still verifies clean against the replica derivation."""

@@ -104,3 +104,34 @@ def test_rewrite_zordered_roundtrip(spark, tmp_path):
     # rollback still serves the pre-rewrite layout
     t.rollback(before)
     assert len(t.data_files()) == n_before
+
+
+def test_zorder_partitioned_table_no_file_fanout(spark, tmp_path):
+    """On a hive-partitioned table the Morton key must refine WITHIN the
+    partition columns: without the prefix every range task holds every
+    partition value and the directory split fans out MORE files than it
+    started with."""
+    t = SnapshotTable(str(tmp_path / "pz"))
+    df = _xy(spark).withColumn("p", (F.col("x") % 4).cast("string"))
+    t.write(df.repartition(8), partition_by=["p"])
+    n_before = len(t.data_files())
+    rewrite_zordered(spark, t, ["x", "y"], num_files=16)
+    n_after = len(t.data_files())
+    assert n_after <= n_before, (n_before, n_after)
+    assert sorted((r.x, r.y) for r in t.read(spark).collect()) == sorted(
+        (r.x, r.y) for r in _xy(spark).collect()
+    )
+
+
+def test_snapshot_ids_never_reuse_after_rollback(spark, tmp_path):
+    """rollback is a pointer flip; the rolled-past snapshot dir stays on
+    disk until expire_snapshots. The next commit must mint PAST it, not
+    collide with or adopt it."""
+    t = SnapshotTable(str(tmp_path / "rb"))
+    t.write(spark.range(10))
+    t.write(spark.range(10, 20), mode="append")  # snap 1
+    t.rollback(0)
+    snap = t.write(spark.range(30, 35), mode="append")
+    assert snap == 2  # not 1: snap-1 dir still exists
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == list(range(10)) + list(range(30, 35))
