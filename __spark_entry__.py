@@ -759,6 +759,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reconcile_clean"] = reconcile_clean
 
+    # --- Merkle-style anti-entropy verify: O(buckets) digest exchange,
+    #     row-level reconcile only inside buckets that provably differ ---
+    def antientropy_buckets(spark, sf_dir):
+        from binlog_processer_spark.operators.antientropy import (
+            bucket_digests,
+            diff_buckets,
+            expected_replica,
+        )
+
+        fs = _final_state(spark, sf_dir).persist()
+        fs.count()
+        keys = ["database_name", "table_name", "doc_id"]
+        ts = [F.unix_micros(F.col("replica_ts"))]
+        src = bucket_digests(expected_replica(fs), keys, ts, n_buckets=64)
+        dst = bucket_digests(
+            _replica_from_fs(fs, mutated=True).select(*keys, "replica_ts"),
+            keys, ts, n_buckets=64,
+        )
+        return diff_buckets(src, dst)
+
+    q["antientropy_buckets"] = antientropy_buckets
+
+    def antientropy_findings(spark, sf_dir):
+        from binlog_processer_spark.operators.antientropy import (
+            antientropy_reconcile,
+        )
+
+        fs = _final_state(spark, sf_dir).persist()
+        fs.count()
+        replica = _replica_from_fs(fs, mutated=True)
+        _suspects, findings = antientropy_reconcile(fs, replica, n_buckets=64)
+        return findings
+
+    q["antientropy_findings"] = antientropy_findings
+
     # --- repair (MERGE semantics) — ONE event replay shared by replica
     # derivation, reconcile, and repair (AvroDataReader.java:95-135 replays
     # once; recomputing final_state per stage was a 3x scan) ---
@@ -2456,6 +2491,41 @@ grid AS (
     )
     o["reconcile_findings"] = _oracle_full(
         findings_sql, _X_ENRICHED + "," + _X_FINAL_STATE + "," + _X_REPLICA_MUTATED
+    )
+    # anti-entropy: the drill-down MUST reproduce the full reconcile exactly
+    # (every drifted key's bucket digest differs, so no finding escapes)
+    o["antientropy_findings"] = o["reconcile_findings"]
+    _ae_hash = (
+        "('0x' || substr(md5(concat_ws('|', database_name, table_name,"
+        " doc_id, cast(epoch_us(replica_ts) AS varchar))), 1, 15))::BIGINT"
+    )
+    _ae_bucket = (
+        "('0x' || substr(md5(concat_ws('|', database_name, table_name,"
+        " doc_id)), 17, 8))::BIGINT % 64"
+    )
+    _ae_digest = (
+        "SELECT {b} AS bucket, count(*) AS n_rows, bit_xor(h) AS xor_h,"
+        " cast(sum(h % 1048576) AS BIGINT) AS sum_h"
+        " FROM (SELECT *, {h} AS h FROM {src}) GROUP BY 1"
+    )
+    o["antientropy_buckets"] = _oracle_full(
+        "SELECT bucket, src_rows, src_xor, src_sum, dst_rows, dst_xor,"
+        " dst_sum FROM ("
+        "  SELECT coalesce(s.bucket, d.bucket) AS bucket,"
+        "         s.n_rows AS src_rows, s.xor_h AS src_xor, s.sum_h AS src_sum,"
+        "         d.n_rows AS dst_rows, d.xor_h AS dst_xor, d.sum_h AS dst_sum"
+        "  FROM srcd s FULL OUTER JOIN dstd d ON s.bucket = d.bucket)"
+        " WHERE NOT (src_rows IS NOT DISTINCT FROM dst_rows"
+        "        AND src_xor IS NOT DISTINCT FROM dst_xor"
+        "        AND src_sum IS NOT DISTINCT FROM dst_sum)",
+        _X_ENRICHED + "," + _X_FINAL_STATE + "," + _X_REPLICA_MUTATED + ","
+        + "expected AS (SELECT database_name, table_name, doc_id,"
+        "   final_ts AS replica_ts FROM final_state WHERE final_op <> 'Delete'),"
+        + "srcd AS ("
+        + _ae_digest.format(b=_ae_bucket, h=_ae_hash, src="expected")
+        + "), dstd AS ("
+        + _ae_digest.format(b=_ae_bucket, h=_ae_hash, src="replica")
+        + ")",
     )
     o["reconcile_clean"] = _oracle_full(
         "SELECT database_name, table_name, doc_id, 'x' AS finding"

@@ -1,0 +1,174 @@
+"""Merkle-style anti-entropy compare — digests first, join only where they differ.
+
+The reference's comparers probe the replica row-by-row in 5000-id batches
+(TiDBCompareByFile.java:193-265, HiveCompareByFile.java:63-169): O(n) probe
+traffic even when the stores agree, which is the common case for a verify
+job that runs every cycle. The distributed-systems alternative (Merkle-tree
+anti-entropy, as in Dynamo/Cassandra repair) exchanges O(buckets) digests
+and pays row-level work only inside buckets that PROVABLY differ.
+
+Spark shape:
+- each side aggregates into ``n_buckets`` digest rows — the shuffle after
+  map-side partial aggregation carries at most ``n_buckets`` rows per task,
+  not the table (this is the whole point: the "exchange" between the two
+  stores is the digest DataFrame, tiny however big the tables are);
+- a full-outer join of two <=n_buckets-row digest sets names the suspect
+  buckets (driver-collectable by construction);
+- ONLY rows hashing into suspect buckets are re-scanned and fed to the
+  ordinary :func:`verify.reconcile` join. Bucket id depends on the KEY
+  alone, so both sides of any divergent key land in the same bucket and
+  the drill-down reproduces exactly the findings a full-table reconcile
+  would report (up to 60-bit-hash collisions, ~2^-60 per row pair).
+
+At 10^12 rows with ppm-level drift this turns the verify cycle's two
+full-table shuffles into two map-side-combined digest passes plus a join
+over the <0.1% of buckets that actually changed — and on a snapshot table
+the digest pass itself can be incremental (digest only files added since
+the last verified snapshot; ``SnapshotTable.read_incremental``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .verify import reconcile
+
+# low 20 bits of the row hash summed per bucket: 2^20 * 10^12 rows per
+# bucket still fits bigint; catches even-multiplicity duplicate drift
+# that bit_xor cancels
+_SUM_MASK = (1 << 20) - 1
+DEFAULT_BUCKETS = 4096
+
+
+def _canon(cols: list, sep: str, null_token: str) -> F.Column:
+    """Canonical string form a row hashes under — identical expression
+    text in the DuckDB oracle. ``sep`` must not occur in the columns'
+    string forms (otherwise two different rows can share a canon and a
+    real difference could digest away); the engine's own callers hash
+    identifier + timestamp-micros columns where '|' never appears."""
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit(null_token),
+        )
+        for c in cols
+    ]
+    return F.concat_ws(sep, *parts)
+
+
+def _hex_long(h: F.Column) -> F.Column:
+    return F.conv(h, 16, 10).cast("bigint")
+
+
+def row_hash(cols: list, sep: str = "|", null_token: str = "^") -> F.Column:
+    """60-bit bigint hash of the row's canonical form (md5 chars 1-15) —
+    DuckDB mirror: ``('0x' || substr(md5(canon),1,15))::BIGINT``."""
+    return _hex_long(F.substring(F.md5(_canon(cols, sep, null_token)), 1, 15))
+
+
+def bucket_id(
+    key_cols: list, n_buckets: int, sep: str = "|", null_token: str = "^"
+) -> F.Column:
+    """Bucket from the KEY hash only (md5 chars 17-24, 32 bits), so a key
+    whose VALUE drifted still lands in the same bucket on both sides —
+    DuckDB mirror: ``('0x' || substr(md5(canon),17,8))::BIGINT % n``."""
+    return F.pmod(
+        _hex_long(F.substring(F.md5(_canon(key_cols, sep, null_token)), 17, 8)),
+        F.lit(n_buckets),
+    )
+
+
+def bucket_digests(
+    df: DataFrame,
+    key_cols: list,
+    value_cols: list,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(bucket, n_rows, xor_h, sum_h) — an order-independent multiset digest
+    per key-hash bucket. One hash-aggregate: partial combine on the map side
+    means the shuffle moves <=n_buckets rows per task regardless of table
+    size. ``value_cols`` may be Column expressions (e.g. timestamps already
+    canonicalized to epoch micros)."""
+    h = row_hash(list(key_cols) + list(value_cols))
+    return (
+        df.select(
+            bucket_id(key_cols, n_buckets).alias("bucket"), h.alias("h")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_h"),
+            F.sum(F.col("h") % F.lit(_SUM_MASK + 1)).alias("sum_h"),
+        )
+    )
+
+
+def diff_buckets(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Buckets whose digests disagree: full-outer join of two digest sets
+    (<= n_buckets rows each — never a big shuffle), null-safe compare on
+    all three digest components. A bucket present on one side only is a
+    mismatch by definition (count differs from absent)."""
+    s = src.select(
+        "bucket",
+        F.col("n_rows").alias("src_rows"),
+        F.col("xor_h").alias("src_xor"),
+        F.col("sum_h").alias("src_sum"),
+    )
+    d = dst.select(
+        "bucket",
+        F.col("n_rows").alias("dst_rows"),
+        F.col("xor_h").alias("dst_xor"),
+        F.col("sum_h").alias("dst_sum"),
+    )
+    j = s.join(d, "bucket", "full_outer")
+    same = (
+        F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+        & F.col("src_xor").eqNullSafe(F.col("dst_xor"))
+        & F.col("src_sum").eqNullSafe(F.col("dst_sum"))
+    )
+    return j.filter(~same)
+
+
+def expected_replica(fs: DataFrame) -> DataFrame:
+    """The replica view the source PREDICTS from its own final state: live
+    (non-Delete) keys at their final commit ts — what the downstream store
+    would hold if it applied every change (TiDBCompareByFile.java's target
+    state, derived engine-side instead of probed)."""
+    return fs.filter(F.col("final_op") != "Delete").select(
+        "database_name",
+        "table_name",
+        "doc_id",
+        F.col("final_ts").alias("replica_ts"),
+    )
+
+
+_KEYS = ["database_name", "table_name", "doc_id"]
+
+
+def antientropy_reconcile(
+    fs: DataFrame,
+    replica: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Digest-gated reconcile. Returns ``(suspects, findings)``:
+    ``suspects`` = the mismatched-bucket digest rows (empty ⇔ stores agree
+    — the verify cycle stops here at digest cost); ``findings`` = exactly
+    :func:`verify.reconcile`'s output, computed over suspect buckets only.
+
+    ``fs`` should be persisted by the caller (it is scanned for the digest
+    and again for the drill-down — same contract as reconcile/repair's
+    shared ``fs``). The suspect-bucket id list is collected driver-side:
+    bounded by ``n_buckets`` by construction, never by table size.
+    """
+    ts_us = [F.unix_micros(F.col("replica_ts"))]
+    src_d = bucket_digests(expected_replica(fs), _KEYS, ts_us, n_buckets)
+    dst_d = bucket_digests(replica, _KEYS, ts_us, n_buckets)
+    suspects = diff_buckets(src_d, dst_d)
+    ids = [r["bucket"] for r in suspects.select("bucket").collect()]
+    if not ids:
+        empty = reconcile(None, replica.limit(0), fs=fs.limit(0)).limit(0)
+        return suspects, empty
+    fs_f = fs.filter(bucket_id(_KEYS, n_buckets).isin(ids))
+    rep_f = replica.filter(bucket_id(_KEYS, n_buckets).isin(ids))
+    return suspects, reconcile(None, rep_f, fs=fs_f)

@@ -1121,6 +1121,26 @@ class SnapshotTable:
         self._manifest(snapshot)  # existence check
         self._commit(snapshot)
 
+    def snapshot_as_of(self, ts_ms: int) -> int:
+        """Newest snapshot on the current lineage committed at or before
+        ``ts_ms`` (epoch millis) — Iceberg's ``FOR SYSTEM_TIME AS OF``
+        resolution against the ``created_ms`` each manifest records at
+        commit. Walks manifests only (one JSON read per retained
+        snapshot); raises if the timestamp predates the retained history
+        (expired ancestors cannot be resolved — same contract as
+        Iceberg after ``expireSnapshots``)."""
+        for m in self.history():  # newest first
+            if m["created_ms"] <= ts_ms:
+                return m["snapshot"]
+        raise FileNotFoundError(
+            f"no snapshot at or before {ts_ms} in the retained history "
+            f"of {self.root}"
+        )
+
+    def read_as_of(self, spark: SparkSession, ts_ms: int) -> DataFrame:
+        """Time-travel scan: the table exactly as of ``ts_ms``."""
+        return self.read(spark, self.snapshot_as_of(ts_ms))
+
     def history(self) -> list[dict]:
         """Current snapshot's lineage, newest first. Stops at the expiry
         horizon: ``expire_snapshots`` removes ancestors' manifests, so a

@@ -98,3 +98,29 @@ def test_expire_default_keeps_a_rollback_window(spark, tmp_path):
     assert t.read(spark).count() == 100
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = _t(spark, tmp_path)
+    m0 = t._manifest(0)["created_ms"]
+    _time.sleep(0.002)  # distinct created_ms across the two commits
+    _append(spark, t, 100, 150)
+    m1 = t._manifest(1)["created_ms"]
+    assert m1 > m0
+
+    assert t.snapshot_as_of(m0) == 0
+    assert t.snapshot_as_of(m1 - 1) == 0
+    assert t.snapshot_as_of(m1) == 1
+    assert t.read_as_of(spark, m0).count() == 100
+    assert t.read_as_of(spark, m1 + 10_000).count() == 150
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_as_of(m0 - 1)  # predates the whole history
+
+    # expiry trims the resolvable window but never mis-resolves: the
+    # expired ancestor's timestamp now raises instead of answering wrong
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot_as_of(m1) == 1
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_as_of(m0)
