@@ -39,6 +39,7 @@ HEADLINE = [
     "final_state",
     "windowed_histogram",
     "reconcile_findings",
+    "antientropy_findings",
     "repair_roundtrip",
     "dedup_minhash_pairs",
     "dedup_embedding_cosine",

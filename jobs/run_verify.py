@@ -10,7 +10,7 @@ Usage::
 
     spark-submit --py-files dist/engine.zip jobs/run_verify.py \
         --warehouse /path/to/wh [--replica /path/to/replica.parquet] \
-        [--mutate]
+        [--mutate] [--antientropy [N_BUCKETS]]
 
 Without --replica, a replica is derived from the warehouse's own final state
 (self-check: zero findings). --mutate deterministically injects
@@ -97,6 +97,14 @@ def main() -> None:
     ap.add_argument("--replica", help="parquet path with replica rows")
     ap.add_argument("--mutate", action="store_true",
                     help="inject deterministic faults into the derived replica")
+    ap.add_argument(
+        "--antientropy", type=int, nargs="?", const=4096, default=None,
+        metavar="N_BUCKETS",
+        help="Merkle-style digest-gated reconcile: exchange N_BUCKETS "
+        "(default 4096) digest rows between the two sides and run the "
+        "row-level join only inside buckets whose digests disagree — the "
+        "verify cycle on agreeing stores terminates at digest cost",
+    )
     args = ap.parse_args()
 
     spark = get_spark("binlog-verify")
@@ -112,7 +120,21 @@ def main() -> None:
     else:
         replica = derived_replica(events, args.mutate, fs=fs)
 
-    findings = reconcile(None, replica, fs=fs)
+    extra: dict = {}
+    if args.antientropy:
+        from binlog_processer_spark.operators.antientropy import (
+            antientropy_reconcile,
+        )
+
+        suspects, findings = antientropy_reconcile(
+            fs, replica, n_buckets=args.antientropy
+        )
+        extra = {
+            "n_buckets": args.antientropy,
+            "suspect_buckets": suspects.count(),
+        }
+    else:
+        findings = reconcile(None, replica, fs=fs)
     tbl = SnapshotTable(os.path.join(args.warehouse, "findings"))
     tbl.write(findings.coalesce(1))
     counts = {
@@ -121,7 +143,7 @@ def main() -> None:
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    print(json.dumps({"findings_total": sum(counts.values()), **counts}))
+    print(json.dumps({"findings_total": sum(counts.values()), **counts, **extra}))
     spark.stop()
 
 

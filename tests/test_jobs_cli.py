@@ -343,3 +343,25 @@ def test_apply_cli_resume(tmp_path):
     assert m3["keys_live"] == m1["keys_live"]
     assert m3["keys_total"] == m1["keys_live"]
     assert m3["snapshot"] == m1["snapshot"] + (1 if m1["tombstones"] else 0)
+
+
+def test_verify_antientropy_cli(tmp_path):
+    wh = str(tmp_path / "wh")
+    _run(["jobs/run_pipeline.py", "--generate", "2000", "--output", wh])
+
+    clean = _run(
+        ["jobs/run_verify.py", "--warehouse", wh, "--antientropy", "256"]
+    )
+    # agreeing stores: the digest exchange alone proves consistency
+    assert clean["findings_total"] == 0 and clean["suspect_buckets"] == 0
+
+    dirty = _run(
+        ["jobs/run_verify.py", "--warehouse", wh, "--mutate",
+         "--antientropy", "256"]
+    )
+    full = _run(["jobs/run_verify.py", "--warehouse", wh, "--mutate"])
+    # drill-down reproduces the full reconcile, bucket count is bounded
+    assert dirty["findings_total"] == full["findings_total"] > 0
+    assert 0 < dirty["suspect_buckets"] <= 256
+    for k in ("missing_create", "stale_update", "ghost_delete"):
+        assert dirty.get(k, 0) == full.get(k, 0)
