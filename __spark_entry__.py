@@ -794,6 +794,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["antientropy_findings"] = antientropy_findings
 
+    # --- change-data-feed between snapshots (manifest-planned file diff,
+    #     EXCEPT ALL cancellation, Delta-CDF classification) ---
+    def snapshot_changes(spark, sf_dir):
+        import os
+        import tempfile
+
+        from binlog_processer_spark.storage.changes import table_changes
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        kept = _kept(spark, sf_dir)
+        cols = ["database_name", "table_name", "doc_id", "final_op",
+                "final_seq"]
+
+        def _live(ev):
+            return (
+                agg.final_state(ev)
+                .filter(F.col("final_op") != "Delete")
+                .select(*cols)
+            )
+
+        tbl = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_cdf_"), "state")
+        )
+        tbl.write(_live(kept.filter(F.col("event_seq") % 3 != 0)))
+        tbl.write(_live(kept), mode="overwrite")
+        return table_changes(
+            spark, tbl, since=0,
+            key_cols=["database_name", "table_name", "doc_id"],
+        )
+
+    q["snapshot_changes"] = snapshot_changes
+
     # --- repair (MERGE semantics) — ONE event replay shared by replica
     # derivation, reconcile, and repair (AvroDataReader.java:95-135 replays
     # once; recomputing final_state per stage was a 3x scan) ---
@@ -2526,6 +2558,35 @@ grid AS (
         + "), dstd AS ("
         + _ae_digest.format(b=_ae_bucket, h=_ae_hash, src="replica")
         + ")",
+    )
+    _cdf_state = (
+        "SELECT database_name, table_name, doc_id,"
+        " arg_max(op, event_seq) AS final_op, max(event_seq) AS final_seq"
+        " FROM kept {w} GROUP BY 1, 2, 3"
+    )
+    o["snapshot_changes"] = _oracle_full(
+        "SELECT n.*, CASE WHEN coalesce(k.upd, false)"
+        "   THEN 'update_postimage' ELSE 'insert' END AS _change_type"
+        " FROM new_only n LEFT JOIN kboth k"
+        "   USING (database_name, table_name, doc_id)"
+        " UNION ALL "
+        "SELECT o.*, CASE WHEN coalesce(k.upd, false)"
+        "   THEN 'update_preimage' ELSE 'delete' END AS _change_type"
+        " FROM old_only o LEFT JOIN kboth k"
+        "   USING (database_name, table_name, doc_id)",
+        _X_ENRICHED + ","
+        + "liveA AS (SELECT * FROM ("
+        + _cdf_state.format(w="WHERE event_seq % 3 <> 0")
+        + ") WHERE final_op <> 'Delete'),"
+        + "liveB AS (SELECT * FROM ("
+        + _cdf_state.format(w="")
+        + ") WHERE final_op <> 'Delete'),"
+        + "old_only AS (SELECT * FROM liveA EXCEPT ALL SELECT * FROM liveB),"
+        + "new_only AS (SELECT * FROM liveB EXCEPT ALL SELECT * FROM liveA),"
+        + "kboth AS (SELECT database_name, table_name, doc_id, true AS upd"
+        "   FROM (SELECT database_name, table_name, doc_id FROM new_only"
+        "         INTERSECT"
+        "         SELECT database_name, table_name, doc_id FROM old_only))",
     )
     o["reconcile_clean"] = _oracle_full(
         "SELECT database_name, table_name, doc_id, 'x' AS finding"

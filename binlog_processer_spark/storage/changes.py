@@ -1,0 +1,113 @@
+"""Change-data-feed between two snapshots, planned from the manifest diff.
+
+Iceberg/Delta expose "what changed between snapshot A and B" as a scan of
+the files ADDED and REMOVED between the two manifests — never the table.
+The same contract on SnapshotTable:
+
+- plan: ``added = files(to) - files(since)``, ``removed = files(since) -
+  files(to)`` — two manifest reads, no listing, no full scan. A file
+  carried unchanged between snapshots contributes nothing and is never
+  opened, so the cost of ``table_changes`` scales with the churn (the
+  rewritten/appended files), not the table. On an append-only history the
+  removed set is empty and the diff degenerates to ``read_incremental``.
+- rows: a rewrite (compaction, repair, upsert) copies unchanged rows into
+  new files; a file-level diff alone would surface them as phantom
+  changes. ``EXCEPT ALL`` in both directions cancels identical rows
+  multiset-exactly, leaving only genuine row-level churn — and it runs
+  over the churned files only, which is what makes it affordable.
+- classification (Delta CDF convention): with ``key_cols``, a key present
+  on both sides of the residue is an update (emitted twice:
+  ``update_preimage`` + ``update_postimage``); only-new is ``insert``;
+  only-old is ``delete``. Without keys, inserts/deletes only.
+
+Schema evolution: each side scans under its own snapshot's schema; the old
+side is then aligned to the new schema (cast-widened, absent columns
+null-filled) — legal because ``migrate_schema`` admits widening only.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .table import SnapshotTable
+
+CHANGE_COL = "_change_type"
+
+
+def _align(df: DataFrame, to_schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``to_schema``: cast present columns (widening —
+    the only migration the table admits), null-fill added ones."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            (F.col(f.name) if f.name in have else F.lit(None)).cast(
+                f.dataType
+            ).alias(f.name)
+            for f in to_schema.fields
+        ]
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    table: SnapshotTable,
+    since: int,
+    snapshot: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes between ``since`` and ``snapshot`` (default
+    current): the table's columns plus ``_change_type`` in
+    ``insert | delete | update_preimage | update_postimage``.
+
+    Planned from the manifest file diff — only churned files are scanned
+    (verifiable via ``DataFrame.inputFiles()``); identical rows copied by
+    rewrites cancel. File-level granularity means a no-op overwrite that
+    rewrote every byte still diffs to zero rows, at the cost of scanning
+    what the overwrite touched.
+    """
+    snap = table.current_snapshot() if snapshot is None else snapshot
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {table.root}")
+    m_old = table._manifest(since)
+    m_new = table._manifest(snap)
+    old_files = set(table._files_rel(m_old))
+    new_files = set(table._files_rel(m_new))
+    new_schema = StructType.fromJson(json.loads(m_new["schema"]))
+
+    added = table._scan(spark, m_new, sorted(new_files - old_files))
+    removed = _align(
+        table._scan(spark, m_old, sorted(old_files - new_files)), new_schema
+    )
+
+    new_only = added.exceptAll(removed)
+    old_only = removed.exceptAll(added)
+
+    if not key_cols:
+        return new_only.withColumn(
+            CHANGE_COL, F.lit("insert")
+        ).unionByName(old_only.withColumn(CHANGE_COL, F.lit("delete")))
+
+    both = (
+        new_only.select(*key_cols)
+        .intersect(old_only.select(*key_cols))
+        .withColumn("__upd", F.lit(True))
+    )
+    # `both` is bounded by the churned keys — broadcast-sized in the
+    # common (ppm-churn) case; AQE picks the strategy otherwise
+    post = new_only.join(both, key_cols, "left").withColumn(
+        CHANGE_COL,
+        F.when(F.col("__upd").isNotNull(), "update_postimage").otherwise(
+            "insert"
+        ),
+    )
+    pre = old_only.join(both, key_cols, "left").withColumn(
+        CHANGE_COL,
+        F.when(F.col("__upd").isNotNull(), "update_preimage").otherwise(
+            "delete"
+        ),
+    )
+    return post.drop("__upd").unionByName(pre.drop("__upd"))
