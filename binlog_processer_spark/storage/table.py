@@ -956,13 +956,16 @@ class SnapshotTable:
         ]
 
     # -- read ----------------------------------------------------------------
-    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+    def read(
+        self, spark: SparkSession, snapshot: int | str | None = None
+    ) -> DataFrame:
         """Scan exactly the manifest's file inventory (walk-free planning).
+        ``snapshot`` may be an id or a tag name (``refs()``).
 
         Files are grouped by their snapshot data dir so each group's
         ``basePath`` resolves Hive-style partition values; partition-filter
         pruning still applies within each group."""
-        snap = self.current_snapshot() if snapshot is None else snapshot
+        snap = self.resolve(snapshot)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(snap)
@@ -1066,9 +1069,15 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         chain = [m["snapshot"] for m in self.history()]  # current → root
         kept = set(chain[:keep_last])
+        # tagged snapshots are pinned (Iceberg ref-retention): a release
+        # tag keeps its snapshot and files alive through routine expiry
+        kept |= set(self.refs().values())
         referenced: set[str] = set()
-        for s in kept:
-            referenced.update(self._files_rel(self._manifest(s)))
+        for s in sorted(kept):
+            try:
+                referenced.update(self._files_rel(self._manifest(s)))
+            except FileNotFoundError:
+                kept.discard(s)  # tag predating this retention scheme
 
         removed_snaps, removed_files, freed = [], 0, 0
         for name in self._fs.list_dirs(self.root):
@@ -1120,6 +1129,51 @@ class SnapshotTable:
     def rollback(self, snapshot: int) -> None:
         self._manifest(snapshot)  # existence check
         self._commit(snapshot)
+
+    # -- named refs (Iceberg tags) ----------------------------------------
+    def _refs_path(self) -> str:
+        return self._join("_refs")
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): {name: snapshot}. Tagged
+        snapshots are pinned — ``expire_snapshots`` keeps them and their
+        files however old they are, so a release tag stays readable
+        (and time-travel-able) after routine history expiry."""
+        try:
+            return json.loads(self._fs.read_text(self._refs_path()))
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, snapshot: int | None = None) -> int:
+        """Tag a snapshot (default: current) with a stable name. One
+        atomic metadata write; re-tagging an existing name re-points it."""
+        snap = self.current_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        self._manifest(snap)  # existence check
+        refs = self.refs()
+        refs[name] = snap
+        self._fs.write_text_atomic(self._refs_path(), json.dumps(refs))
+        return snap
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on {self.root}")
+        del refs[name]
+        self._fs.write_text_atomic(self._refs_path(), json.dumps(refs))
+
+    def resolve(self, ref: int | str | None) -> int | None:
+        """Snapshot id for a ref: int passes through, str resolves a tag,
+        None resolves the current snapshot."""
+        if ref is None:
+            return self.current_snapshot()
+        if isinstance(ref, str):
+            refs = self.refs()
+            if ref not in refs:
+                raise KeyError(f"no tag {ref!r} on {self.root}")
+            return refs[ref]
+        return ref
 
     def snapshot_as_of(self, ts_ms: int) -> int:
         """Newest snapshot on the current lineage committed at or before

@@ -79,6 +79,12 @@ def main() -> None:
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=4)
     ap.add_argument("--export-shards", type=int, default=16)
+    ap.add_argument(
+        "--tag",
+        help="tag every output table's committed snapshot with this name "
+        "(Iceberg-style ref): tagged releases survive snapshot expiry and "
+        "stay readable via SnapshotTable.read(spark, snapshot='<tag>')",
+    )
     args = ap.parse_args()
 
     spark = get_spark("binlog-release")
@@ -158,6 +164,16 @@ def main() -> None:
         "pack_shards": args.pack_shards,
         "export_shards": args.export_shards,
     }
+    if args.tag:
+        tagged = []
+        for name in ("kept", "mix_report", "packed", "boundaries",
+                     "shard_manifest"):
+            t = SnapshotTable(os.path.join(args.output, name))
+            if t.current_snapshot() is not None:
+                t.tag(args.tag)
+                tagged.append(name)
+        summary["tagged"] = tagged
+        summary["tag"] = args.tag
     kept.unpersist()
     unpin_all()
     print(json.dumps(summary))

@@ -263,9 +263,10 @@ def test_release_cli_end_to_end_consistency(tmp_path, spark):
     m = _run([
         "jobs/run_release.py", "--docs", docs, "--output", wh,
         "--targets", "s0=0.4,s1=0.3,s2=0.3", "--max-tokens", "64",
-        "--pack-shards", "2",
+        "--pack-shards", "2", "--tag", "rel-1",
     ])
     assert m["docs_in"] == 120
+    assert m["tag"] == "rel-1" and "packed" in m["tagged"]
     assert 0 < m["kept_after_dedup"] <= m["eligible"] <= 120
     assert 0 < m["mixed_docs"] <= m["kept_after_dedup"]
     assert m["sequences"] > 0 and m["tokens_total"] > 0
@@ -290,6 +291,10 @@ def test_release_cli_end_to_end_consistency(tmp_path, spark):
     )
     # manifest covers every mixed doc exactly once
     assert man.agg(F.sum("n_docs")).collect()[0][0] == m["mixed_docs"]
+    # the release tag resolves on every tagged table and pins its snapshot
+    pt = SnapshotTable(wh + "/packed")
+    assert pt.resolve("rel-1") == pt.current_snapshot()
+    assert pt.read(spark, "rel-1").count() == m["sequences"]
 
 
 def test_scrub_cli_detect_quarantine_replay(tmp_path):

@@ -124,3 +124,31 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     assert t.snapshot_as_of(m1) == 1
     with pytest.raises(FileNotFoundError):
         t.snapshot_as_of(m0)
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    t = _t(spark, tmp_path)  # snap 0: ids 0..99
+    _append(spark, t, 100, 150)  # snap 1
+    t.tag("v1", 0)
+    _append(spark, t, 150, 160)  # snap 2
+    assert t.refs() == {"v1": 0}
+    assert t.resolve("v1") == 0 and t.resolve(None) == 2
+    assert t.read(spark, "v1").count() == 100
+
+    res = t.expire_snapshots(keep_last=1)
+    assert 0 not in res["snapshots_removed"]  # pinned by the tag
+    assert 1 in res["snapshots_removed"]
+    assert t.read(spark, "v1").count() == 100  # release stays readable
+
+    t.drop_tag("v1")
+    res2 = t.expire_snapshots(keep_last=1)
+    assert 0 in res2["snapshots_removed"]
+    with pytest.raises(KeyError):
+        t.read(spark, "v1")
+    with pytest.raises(KeyError):
+        t.drop_tag("nope")
+    # re-tagging re-points; default tags the current snapshot
+    t.tag("head")
+    assert t.resolve("head") == t.current_snapshot()
+    t.tag("head", t.current_snapshot())
+    assert t.refs()["head"] == t.current_snapshot()
