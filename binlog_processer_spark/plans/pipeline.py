@@ -225,6 +225,21 @@ def run_pipeline(
             )
             tables["quarantine"].write(bad_rows)
 
+        # one atomic catalog version pins every table this run committed:
+        # a reader between the routed commit and a rollup commit sees the
+        # PREVIOUS consistent set, never new data with stale counts
+        # (storage/catalog.py). One JSON write.
+        from ..storage.catalog import Catalog
+
+        Catalog(out_dir).commit(
+            {
+                name: t.current_snapshot()
+                for name, t in tables.items()
+                if t.current_snapshot() is not None
+            },
+            note="pipeline",
+        )
+
         # lineage spans the whole committed table; metrics report THIS run's
         # increment (the reference's per-run t_binlog_process_log semantics)
         files_done = sorted({r.file_id for r in lineage_rows})

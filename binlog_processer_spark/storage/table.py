@@ -1051,7 +1051,11 @@ class SnapshotTable:
         m = self._manifest(snap)
         return self._scan(spark, m, self.added_files(since, snap))
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        keep_snapshots: set[int] | frozenset[int] | None = None,
+    ) -> dict:
         """Iceberg ``expireSnapshots``: drop history older than the last
         ``keep_last`` snapshots of the current lineage and physically
         delete every file no kept snapshot references — rewritten-away and
@@ -1072,6 +1076,9 @@ class SnapshotTable:
         # tagged snapshots are pinned (Iceberg ref-retention): a release
         # tag keeps its snapshot and files alive through routine expiry
         kept |= set(self.refs().values())
+        # ...and any snapshots the caller pins explicitly (e.g. a warehouse
+        # Catalog's retained versions — Catalog.pinned_snapshots)
+        kept |= set(keep_snapshots or ())
         referenced: set[str] = set()
         for s in sorted(kept):
             try:

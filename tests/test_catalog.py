@@ -1,0 +1,99 @@
+"""Warehouse catalog: atomic multi-table versions — consistent cross-table
+reads, whole-warehouse rollback, expiry floors, and the pipeline's
+end-of-run catalog commit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.storage.catalog import Catalog
+from binlog_processer_spark.storage.table import SnapshotTable
+
+
+def _wh(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    fact = cat.table("fact")
+    fact.write(spark.range(0, 100).select("id"))
+    counts = cat.table("counts")
+    counts.write(fact.read(spark).agg(F.count("*").alias("n")))
+    cat.commit({"fact": 0, "counts": 0}, note="v0")
+    return wh, cat
+
+
+def test_catalog_pins_survive_later_table_commits(spark, tmp_path):
+    wh, cat = _wh(spark, tmp_path)
+    # advance the fact table WITHOUT a catalog commit (mid-publish state)
+    cat.table("fact").write(spark.range(0, 150).select("id"), mode="append")
+    # direct read sees new data; catalog read still serves the pinned set
+    assert cat.table("fact").read(spark).count() == 250
+    assert cat.read(spark, "fact").count() == 100
+    assert cat.read(spark, "counts").collect()[0]["n"] == 100
+
+    # the next catalog commit publishes both moves together
+    cat.table("counts").write(
+        cat.table("fact").read(spark).agg(F.count("*").alias("n"))
+    )
+    v = cat.commit({"fact": 1, "counts": 1}, note="v1")
+    assert v == 1
+    assert cat.read(spark, "fact").count() == 250
+    assert cat.read(spark, "counts").collect()[0]["n"] == 250
+
+
+def test_rollback_repoints_every_table_together(spark, tmp_path):
+    wh, cat = _wh(spark, tmp_path)
+    cat.table("fact").write(spark.range(0, 150).select("id"), mode="append")
+    cat.table("counts").write(
+        cat.table("fact").read(spark).agg(F.count("*").alias("n"))
+    )
+    cat.commit({"fact": 1, "counts": 1})
+    cat.rollback(0)
+    assert cat.current_version() == 0
+    assert cat.read(spark, "fact").count() == 100
+    assert cat.read(spark, "counts").collect()[0]["n"] == 100
+    assert [d["version"] for d in cat.history()] == [0]
+
+
+def test_commit_rejects_nonexistent_snapshot_and_unpinned_read(
+    spark, tmp_path
+):
+    wh, cat = _wh(spark, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        cat.commit({"fact": 7})
+    with pytest.raises(KeyError):
+        cat.read(spark, "nope")
+
+
+def test_pinned_snapshots_floor_expiry(spark, tmp_path):
+    wh, cat = _wh(spark, tmp_path)
+    fact = cat.table("fact")
+    fact.write(spark.range(0, 10).select("id"), mode="append")  # snap 1
+    fact.write(spark.range(10, 20).select("id"), mode="append")  # snap 2
+    cat.commit({"fact": 2, "counts": 0})
+    pins = cat.pinned_snapshots("fact")
+    assert pins == {0, 2}
+    res = fact.expire_snapshots(keep_last=1, keep_snapshots=pins)
+    # snapshot 0 (pinned by catalog v0) survives; only 1 expires
+    assert res["snapshots_removed"] == [1]
+    assert fact.read(spark, 0).count() == 100
+
+
+def test_pipeline_commits_a_consistent_catalog_version(tmp_path):
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = str(tmp_path / "wh")
+    out = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py", "--generate", "2000",
+         "--output", wh],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    cat = Catalog(wh)
+    pins = cat.pins()
+    assert {"routed", "sink_counts", "watermarks", "histograms",
+            "lineage"} <= set(pins)
+    for name, snap in pins.items():
+        assert SnapshotTable(os.path.join(wh, name)).current_snapshot() == snap
