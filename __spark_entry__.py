@@ -613,6 +613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_heavy_hitters"] = token_heavy_hitters
 
+    def token_merge_pairs(spark, sf_dir):
+        from binlog_processer_spark.operators.tokens import merge_pair_counts
+
+        return merge_pair_counts(_kept(spark, sf_dir), top_k=100)
+
+    q["token_merge_pairs"] = token_merge_pairs
+
     def token_doc_frequency(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import (
             token_doc_frequency as tdf,
@@ -2287,6 +2294,13 @@ grid AS (
         "        sum(count(*)) OVER () AS total_tok"
         " FROM (SELECT unnest(tokens) AS token FROM kept) GROUP BY token)"
         " WHERE cnt * 1000000 >= 2000 * total_tok",
+        _X_ENRICHED,
+    )
+    o["token_merge_pairs"] = _oracle_full(
+        "SELECT p1, p2, cast(count(*) AS bigint) AS cnt"
+        " FROM (SELECT unnest(tokens[1:len(tokens)-1]) AS p1,"
+        "              unnest(tokens[2:len(tokens)]) AS p2 FROM kept)"
+        " GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 100",
         _X_ENRICHED,
     )
     o["token_doc_frequency"] = _oracle_full(

@@ -717,3 +717,33 @@ def doc_bigram_logprob(kept: DataFrame) -> DataFrame:
             .alias("surprisal2_mn")
         )
     )
+
+
+def merge_pair_counts(kept: DataFrame, top_k: int = 100) -> DataFrame:
+    """Adjacent-token-pair counts — the BPE trainer's inner step (the
+    argmax pair is the next merge rule; Sennrich et al. 2016, public
+    subword-nmt/HF-tokenizers algorithm). Useful standalone as a corpus
+    bigram-at-token-level report.
+
+    Shape: the pair stream is zip_with over two slices of the SAME array
+    (no self-join, no second scan), exploded into Spark's hash aggregate —
+    map-side partial combine shrinks each task's output to its DISTINCT
+    pairs before the wire, so the shuffle carries at most
+    tasks x pair-vocabulary rows, not one row per token position. The
+    top-k cut is TakeOrderedAndProject (per-partition heads, never a full
+    sort) on the total order (cnt desc, p1, p2) so the cut is
+    deterministic under ties.
+    """
+    pair = F.expr(
+        "zip_with(slice(tokens, 1, greatest(size(tokens) - 1, 0)),"
+        "         slice(tokens, 2, greatest(size(tokens) - 1, 0)),"
+        "         (a, b) -> struct(a AS p1, b AS p2))"
+    )
+    return (
+        kept.select(F.explode(pair).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "p1", "p2")
+        .limit(top_k)
+    )

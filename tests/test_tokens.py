@@ -354,3 +354,26 @@ def test_vocab_stats_approx_within_tolerance(spark):
     assert set(exact) == set(approx)
     for s, ex in exact.items():
         assert abs(approx[s] - ex) <= max(1, ex * 0.05), (s, ex, approx[s])
+
+
+def test_merge_pair_counts_bpe_step(spark):
+    from binlog_processer_spark.operators.tokens import merge_pair_counts
+
+    df = _df(
+        spark,
+        [
+            ("a", [1, 2, 3, 1, 2]),   # pairs: (1,2)x2, (2,3), (3,1)
+            ("b", [1, 2]),            # (1,2)
+            ("c", [7]),               # no pair (single token)
+            ("d", []),                # no pair (empty)
+        ],
+    )
+    got = [(r.p1, r.p2, r.cnt) for r in merge_pair_counts(df).collect()]
+    # argmax pair first — the next BPE merge — then the deterministic
+    # (cnt desc, p1, p2) total order
+    assert got == [(1, 2, 3), (2, 3, 1), (3, 1, 1)]
+    top1 = merge_pair_counts(df, top_k=1).collect()
+    assert [(r.p1, r.p2, r.cnt) for r in top1] == [(1, 2, 3)]
+    # top-k is per-partition heaps, never a global sort
+    plan = merge_pair_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
