@@ -146,6 +146,124 @@ def expected_replica(fs: DataFrame) -> DataFrame:
 _KEYS = ["database_name", "table_name", "doc_id"]
 
 
+# -- incremental digest maintenance over SnapshotTables ----------------------
+#
+# The digest components form an abelian group per bucket: counts and the
+# masked sums subtract, bit_xor is its own inverse. So when the underlying
+# table is a SnapshotTable, the digest state updates from the manifest file
+# diff ALONE: digest(added files) folds in, digest(removed files) folds out,
+# unchanged files are never opened. A verify cycle between two stores that
+# both maintain digest state touches NO table data at all — two tiny state
+# reads and a <=n_buckets-row join. At 100 TB that turns the recurring
+# verify from a pair of table scans into metadata algebra; the scan cost is
+# paid once, amortized into each commit's churn.
+
+
+def _digest_props(key_cols, value_exprs, n_buckets) -> dict:
+    return {
+        "digest_key_cols": list(key_cols),
+        "digest_value_exprs": list(value_exprs),
+        "digest_n_buckets": n_buckets,
+    }
+
+
+def _fold(state: DataFrame, add: DataFrame, rem: DataFrame) -> DataFrame:
+    """state ⊕ add ⊖ rem, per bucket. Buckets folding to zero rows are
+    dropped so the result is indistinguishable from a from-scratch
+    recompute (bucket_digests never emits empty buckets)."""
+    z = F.lit(0).cast("bigint")
+
+    def _side(df, n, x, s):
+        return df.select(
+            "bucket",
+            F.col("n_rows").alias(n),
+            F.col("xor_h").alias(x),
+            F.col("sum_h").alias(s),
+        )
+
+    j = (
+        _side(state, "n0", "x0", "s0")
+        .join(_side(add, "na", "xa", "sa"), "bucket", "full_outer")
+        .join(_side(rem, "nr", "xr", "sr"), "bucket", "full_outer")
+    )
+    c = lambda col: F.coalesce(F.col(col), z)  # noqa: E731
+    out = j.select(
+        "bucket",
+        (c("n0") + c("na") - c("nr")).alias("n_rows"),
+        c("x0").bitwiseXOR(c("xa")).bitwiseXOR(c("xr")).alias("xor_h"),
+        (c("s0") + c("sa") - c("sr")).alias("sum_h"),
+    )
+    return out.filter(F.col("n_rows") != 0)
+
+
+def digest_state(
+    spark,
+    table,
+    state,
+    key_cols: list[str],
+    value_exprs: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Bring the digest ``state`` table up to ``table``'s current snapshot
+    and return the per-bucket digests.
+
+    ``table``/``state`` are SnapshotTables; ``value_exprs`` are SQL
+    expression strings (e.g. ``"unix_micros(replica_ts)"``) so the digest
+    configuration can be recorded in the state manifest and enforced on
+    every refresh — digests from mismatched configs must never be
+    compared. Refresh scans ONLY the files added/removed since the last
+    maintained snapshot (manifest set diff); if that snapshot's manifest
+    has expired, it falls back to one full recompute.
+    """
+    cur = table.current_snapshot()
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {table.root}")
+    want = _digest_props(key_cols, value_exprs, n_buckets)
+    vals = [F.expr(e) for e in value_exprs]
+
+    def _digest_files(m, rel_files):
+        return bucket_digests(
+            table._scan(spark, m, sorted(rel_files)), key_cols, vals,
+            n_buckets,
+        )
+
+    state_snap = state.current_snapshot()
+    if state_snap is not None:
+        props = state._manifest(state_snap).get("properties", {})
+        have = {k: props.get(k) for k in want}
+        if have != want:
+            raise ValueError(
+                f"digest_state config mismatch on {state.root}: "
+                f"state={have}, requested={want} — recreate the state "
+                "table to change digest configuration"
+            )
+        since = props["digest_of_snapshot"]
+        if since == cur:
+            return state.read(spark)
+        try:
+            m_old = table._manifest(since)
+        except FileNotFoundError:
+            state_snap = None  # expired horizon: recompute below
+        else:
+            m_new = table._manifest(cur)
+            old_f = set(table._files_rel(m_old))
+            new_f = set(table._files_rel(m_new))
+            folded = _fold(
+                state.read(spark),
+                _digest_files(m_new, new_f - old_f),
+                _digest_files(m_old, old_f - new_f),
+            )
+            state.write(
+                folded,
+                properties={**want, "digest_of_snapshot": cur},
+            )
+            return state.read(spark)
+    if state_snap is None:
+        full = bucket_digests(table.read(spark), key_cols, vals, n_buckets)
+        state.write(full, properties={**want, "digest_of_snapshot": cur})
+        return state.read(spark)
+
+
 def antientropy_reconcile(
     fs: DataFrame,
     replica: DataFrame,

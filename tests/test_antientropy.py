@@ -4,6 +4,7 @@ agreeing stores terminate at digest cost (zero suspect buckets)."""
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from binlog_processer_spark.operators.aggregate import final_state
@@ -130,3 +131,93 @@ def test_extra_replica_row_is_a_suspect_bucket(spark):
     assert suspects.count() >= 1
     assert {r.finding for r in findings.collect()} == {"ghost_delete"}
     fs.unpersist()
+
+
+def test_digest_state_incremental_equals_recompute(spark, tmp_path):
+    from binlog_processer_spark.operators.antientropy import digest_state
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 200).select(
+            F.col("id").cast("string").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(4)
+    )
+    state = SnapshotTable(str(tmp_path / "dig"))
+
+    def _fresh():
+        return bucket_digests(t.read(spark), ["k"], [F.expr("v")], 32)
+
+    # bootstrap: full compute
+    d = digest_state(spark, t, state, ["k"], ["v"], 32)
+    assert diff_buckets(d, _fresh()).count() == 0
+    snap_after_boot = state.current_snapshot()
+
+    # no table change -> served from state, no new state commit
+    digest_state(spark, t, state, ["k"], ["v"], 32)
+    assert state.current_snapshot() == snap_after_boot
+
+    # append: fold-in only (scans the new files)
+    t.write(
+        spark.range(200, 260).select(
+            F.col("id").cast("string").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        mode="append",
+    )
+    d = digest_state(spark, t, state, ["k"], ["v"], 32)
+    assert diff_buckets(d, _fresh()).count() == 0
+
+    # rewrite: update one row, delete another -> fold-out + fold-in
+    f = (
+        t.read(spark).withColumn("f", F.input_file_name())
+        .filter("k = '7'").collect()[0]["f"]
+    )
+    sub = t.read_files(spark, [f])
+    t.rewrite_files(
+        [f],
+        sub.withColumn(
+            "v", F.when(F.col("k") == "7", F.lit(-1)).otherwise(F.col("v"))
+        ).filter(F.col("k") != "13"),
+    )
+    d = digest_state(spark, t, state, ["k"], ["v"], 32)
+    assert diff_buckets(d, _fresh()).count() == 0
+
+    # config drift is rejected (digests are comparable only like-for-like)
+    with pytest.raises(ValueError):
+        digest_state(spark, t, state, ["k"], ["v"], 64)
+    with pytest.raises(ValueError):
+        digest_state(spark, t, state, ["k"], ["v + 1"], 32)
+
+
+def test_two_maintained_stores_verify_without_data_scan(spark, tmp_path):
+    from binlog_processer_spark.operators.antientropy import digest_state
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    dst = SnapshotTable(str(tmp_path / "dst"))
+    rows = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src.write(rows)
+    dst.write(rows)
+    s_src = SnapshotTable(str(tmp_path / "src_dig"))
+    s_dst = SnapshotTable(str(tmp_path / "dst_dig"))
+    a = digest_state(spark, src, s_src, ["k"], ["v"], 16)
+    b = digest_state(spark, dst, s_dst, ["k"], ["v"], 16)
+    assert diff_buckets(a, b).count() == 0  # agree: metadata-only verify
+
+    # dst drifts by one row
+    f = (
+        dst.read(spark).withColumn("f", F.input_file_name())
+        .filter("k = '42'").collect()[0]["f"]
+    )
+    sub = dst.read_files(spark, [f])
+    dst.rewrite_files(
+        [f],
+        sub.withColumn(
+            "v", F.when(F.col("k") == "42", F.lit(0)).otherwise(F.col("v"))
+        ),
+    )
+    b = digest_state(spark, dst, s_dst, ["k"], ["v"], 16)
+    sus = diff_buckets(a, b)
+    assert sus.count() == 1  # exactly the drifted key's bucket
