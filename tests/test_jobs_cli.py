@@ -370,3 +370,55 @@ def test_verify_antientropy_cli(tmp_path):
     assert 0 < dirty["suspect_buckets"] <= 256
     for k in ("missing_create", "stale_update", "ghost_delete"):
         assert dirty.get(k, 0) == full.get(k, 0)
+
+
+def test_compare_cli_digest_gated_with_state(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    left = SnapshotTable(str(tmp_path / "left"))
+    right = SnapshotTable(str(tmp_path / "right"))
+    rows = spark.range(0, 300).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    left.write(rows.repartition(4))
+    right.write(rows.repartition(4))
+    state = str(tmp_path / "dig")
+
+    base = ["jobs/run_compare.py", "--left", left.root, "--right",
+            right.root, "--keys", "k", "--n-buckets", "64",
+            "--state-dir", state]
+    m = _run(base)
+    assert m["agree"] is True and m["suspect_buckets"] == 0
+    assert m["values"] == ["v"]
+
+    # drift the right table: one update, one delete (file-scoped rewrite)
+    import pyspark.sql.functions as PF
+
+    f = (
+        right.read(spark).withColumn("f", PF.input_file_name())
+        .filter("k = '42'").collect()[0]["f"]
+    )
+    sub = right.read_files(spark, [f])
+    right.rewrite_files(
+        [f],
+        sub.withColumn(
+            "v", PF.when(PF.col("k") == "42", PF.lit(-1)).otherwise(PF.col("v"))
+        ).filter(PF.col("k") != "77"),
+    )
+
+    out = str(tmp_path / "diff")
+    m2 = _run(base + ["--output", out])
+    assert m2["agree"] is False and m2["suspect_buckets"] >= 1
+    had_77 = any(r.k == "77" for r in sub.collect())
+    assert m2["rows_left_only"] == (2 if had_77 else 1)  # old 42 (+ deleted 77)
+    assert m2["rows_right_only"] == 1  # new 42
+    diff = SnapshotTable(out).read(spark)
+    got = {(r.k, r._side) for r in diff.collect()}
+    assert ("42", "left_only") in got and ("42", "right_only") in got
+
+    # digests-only monitoring mode, state reused (no recompute crash)
+    m3 = _run(base + ["--no-drill"])
+    assert m3["suspect_buckets"] == m2["suspect_buckets"]
+    assert "rows_left_only" not in m3
