@@ -149,3 +149,33 @@ def test_drift_single_fact_aggregate(spark):
     plan = _plan(distribution_drift(df))
     assert plan.count("Scan ExistingRDD") <= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucket_digest_plan_partial_aggregates_before_the_exchange(spark):
+    """The anti-entropy digest pass must combine map-side: the one shuffle
+    carries at most n_buckets rows per task, never the table. A regression
+    to a final-only aggregate re-shuffles every row (with its 60-bit hash)
+    at 10^12 rows — the exact cost the digest exchange exists to avoid."""
+    from binlog_processer_spark.operators.antientropy import bucket_digests
+
+    ev = _events(spark).select("doc_id", "event_seq")
+    plan = _plan(bucket_digests(ev, ["doc_id"], ["event_seq"], 64))
+    # partial + final HashAggregate pair around exactly one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "SortAggregate" not in plan
+
+
+def test_antientropy_drilldown_never_joins_outside_suspect_buckets(spark):
+    """The drill-down reconcile's inputs are bucket-filtered BEFORE the
+    join: the filter must sit under the join in the plan (scan-side),
+    not above it — otherwise the full tables shuffle anyway."""
+    from binlog_processer_spark.operators.aggregate import final_state
+    from binlog_processer_spark.operators.antientropy import bucket_id
+
+    ev = enrich_routing(_events(spark), routing_dim(spark))
+    fs = final_state(ev)
+    keys = ["database_name", "table_name", "doc_id"]
+    filtered = fs.filter(bucket_id(keys, 64).isin([1, 2, 3]))
+    plan = _plan(filtered)
+    assert "Filter" in plan and "pmod" in plan, plan
