@@ -56,6 +56,13 @@ def main() -> None:
         help="after the drain, drop Delete tombstones with final_seq <= "
              "SEQ (safe once the checkpoint can no longer replay them)",
     )
+    ap.add_argument(
+        "--digest-state", action="store_true",
+        help="maintain per-bucket anti-entropy digests of the state table "
+        "under <output>/digests — incremental: each run folds only the "
+        "files this drain churned (operators/antientropy.digest_state), so "
+        "a downstream run_compare verifies the store without scanning it",
+    )
     args = ap.parse_args()
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
@@ -94,6 +101,18 @@ def main() -> None:
         "tombstones": state.filter(F.col("final_op") == "Delete").count(),
         "max_seq": state.agg(F.max("final_seq")).collect()[0][0],
     }
+    if args.digest_state:
+        from binlog_processer_spark.operators.antientropy import digest_state
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        dig = digest_state(
+            spark, table,
+            SnapshotTable(os.path.join(args.output, "digests")),
+            ["database_name", "table_name", "doc_id"],
+            ["final_op", "final_seq"],
+        )
+        out["digest_buckets"] = dig.count()
+        out["digest_of_snapshot"] = table.current_snapshot()
     print(json.dumps(out))
     spark.stop()
 

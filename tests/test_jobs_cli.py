@@ -422,3 +422,40 @@ def test_compare_cli_digest_gated_with_state(tmp_path, spark):
     m3 = _run(base + ["--no-drill"])
     assert m3["suspect_buckets"] == m2["suspect_buckets"]
     assert "rows_left_only" not in m3
+
+
+def test_apply_cli_digest_state(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.antientropy import (
+        bucket_digests,
+        diff_buckets,
+    )
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    wh = str(tmp_path / "apply_wh")
+    m1 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh,
+               "--digest-state"])
+    assert m1["digest_buckets"] > 0
+    assert m1["digest_of_snapshot"] == m1["snapshot"]
+
+    # the maintained digests equal a from-scratch recompute of the store
+    state = SnapshotTable(os.path.join(wh, "final_state_stream"))
+    dig = SnapshotTable(os.path.join(wh, "digests"))
+    fresh = bucket_digests(
+        state.read(spark),
+        ["database_name", "table_name", "doc_id"],
+        [F.expr("final_op"), F.expr("final_seq")],
+    )
+    assert diff_buckets(dig.read(spark), fresh).count() == 0
+
+    # tombstone expiry churns files; the next maintenance folds the churn
+    m2 = _run(["jobs/run_apply.py", "--generate", "1500", "--output", wh,
+               "--expire-below", str(m1["max_seq"]), "--digest-state"])
+    assert m2["tombstones"] == 0
+    fresh2 = bucket_digests(
+        state.read(spark),
+        ["database_name", "table_name", "doc_id"],
+        [F.expr("final_op"), F.expr("final_seq")],
+    )
+    assert diff_buckets(dig.read(spark), fresh2).count() == 0
