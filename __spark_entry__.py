@@ -670,6 +670,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["profile_report"] = profile_report
 
+    def qa_expectations(spark, sf_dir):
+        # declarative data contract on the documents drop: one scan for
+        # all row-level rules + one grouped agg per unique rule
+        from binlog_processer_spark.operators.profile import expectations
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return expectations(
+            docs,
+            [
+                {"rule": "not_null", "column": "doc_id"},
+                {"rule": "not_null", "column": "text"},
+                {"rule": "unique", "columns": ["doc_id"]},
+                {"rule": "in_range", "column": "n_chars", "lo": 1,
+                 "hi": 100_000},
+                {"rule": "in_set", "column": "lang",
+                 "values": ["en", "de", "fr"]},
+                {"rule": "matches", "column": "source",
+                 "pattern": "^src[0-9]+$"},
+                {"rule": "sql", "name": "n_chars_matches_text",
+                 "predicate": "n_chars = length(text)"},
+            ],
+        )
+
+    q["qa_expectations"] = qa_expectations
+
     def profile_key_unique(spark, sf_dir):
         # exactly-once key assertion on the event identity
         from binlog_processer_spark.operators.profile import key_uniqueness
@@ -2339,6 +2364,36 @@ grid AS (
         ]
     )
     o["profile_report"] = _oracle_full(_prof_arms, _X_ENRICHED)
+    _exp_arms = " UNION ALL ".join(
+        [
+            "SELECT 'not_null' AS rule, 'doc_id' AS col_name,"
+            " cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint)"
+            " AS violations FROM documents",
+            "SELECT 'not_null', 'text',"
+            " cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint)"
+            " FROM documents",
+            "SELECT 'in_range', 'n_chars',"
+            " cast(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR"
+            " n_chars > 100000) THEN 1 ELSE 0 END) AS bigint) FROM documents",
+            "SELECT 'in_set', 'lang',"
+            " cast(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN"
+            " ('en','de','fr') THEN 1 ELSE 0 END) AS bigint) FROM documents",
+            "SELECT 'matches', 'source',"
+            " cast(sum(CASE WHEN source IS NOT NULL AND NOT"
+            " regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)"
+            " AS bigint) FROM documents",
+            "SELECT 'sql', 'n_chars_matches_text',"
+            " cast(sum(CASE WHEN NOT coalesce(n_chars = length(text), false)"
+            " THEN 1 ELSE 0 END) AS bigint) FROM documents",
+            "SELECT 'unique', 'doc_id',"
+            " cast(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS bigint)"
+            " FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)",
+        ]
+    )
+    o["qa_expectations"] = (
+        f"SELECT rule, col_name, violations, violations = 0 AS passed"
+        f" FROM ({_exp_arms})"
+    )
     # hot-key share in ppm, deterministic rank tiebreak on the key
     o["sink_skew_report"] = _oracle_full(
         "SELECT database_name, table_name, cnt,"

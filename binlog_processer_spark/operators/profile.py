@@ -80,3 +80,114 @@ def key_uniqueness(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.count("*").cast("bigint").alias("n_keys"),
         (F.sum("__c") - F.count("*")).cast("bigint").alias("dup_rows"),
     )
+
+
+def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data contract (Deequ/Great-Expectations shape): evaluate
+    every row-level rule in ONE scan and emit a long-format report
+    ``(rule, col_name, violations, passed)``.
+
+    Rule specs (dicts):
+
+    - ``{"rule": "not_null", "column": c}``
+    - ``{"rule": "in_range", "column": c, "lo": x, "hi": y}`` — bounds
+      inclusive, either side may be absent; NULLs pass (compose with
+      not_null to forbid them) so the rules stay orthogonal
+    - ``{"rule": "in_set", "column": c, "values": [...]}`` — NULLs pass
+    - ``{"rule": "matches", "column": c, "pattern": r}`` — regex SEARCH
+      semantics (Spark ``rlike`` / DuckDB ``regexp_matches``): anchor with
+      ``^...$`` for a full match; NULLs pass
+    - ``{"rule": "sql", "name": n, "predicate": "<boolean sql>"}`` — rows
+      must satisfy the predicate (NULL result counts as a violation: an
+      undecidable contract is a broken contract)
+    - ``{"rule": "unique", "columns": [c1, ...]}`` — composite-key
+      uniqueness; violations = rows carrying a duplicated key
+
+    Scale posture: all row-level rules ride one aggregate over one scan
+    (a wide one-row frame stacked to long format — no per-rule jobs, no
+    second read of a 100 TB table); each ``unique`` rule adds one
+    key-grouped aggregate, the unavoidable shuffle for exact uniqueness
+    (swap to a digest compare when approximate suffices)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs: list[F.Column] = []
+    meta: list[tuple[str, str]] = []  # (rule, col_name) per agg, in order
+    uniques: list[list[str]] = []
+    for r in rules:
+        kind = r["rule"]
+        if kind == "unique":
+            uniques.append(list(r["columns"]))
+            continue
+        if kind == "not_null":
+            bad = F.col(r["column"]).isNull()
+            label = (kind, r["column"])
+        elif kind == "in_range":
+            c = F.col(r["column"])
+            conds = []
+            if "lo" in r:
+                conds.append(c < F.lit(r["lo"]))
+            if "hi" in r:
+                conds.append(c > F.lit(r["hi"]))
+            if not conds:
+                raise ValueError("in_range needs lo and/or hi")
+            bad = conds[0]
+            for extra in conds[1:]:
+                bad = bad | extra
+            bad = c.isNotNull() & bad
+            label = (kind, r["column"])
+        elif kind == "in_set":
+            c = F.col(r["column"])
+            bad = c.isNotNull() & ~c.isin(list(r["values"]))
+            label = (kind, r["column"])
+        elif kind == "matches":
+            c = F.col(r["column"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+            label = (kind, r["column"])
+        elif kind == "sql":
+            # NULL predicate = violation: negate under coalesce
+            bad = ~F.coalesce(F.expr(r["predicate"]), F.lit(False))
+            label = (kind, r["name"])
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+        i = len(meta)
+        aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"__v{i}")
+        )
+        meta.append(label)
+
+    parts: list[DataFrame] = []
+    if aggs:
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{rule}', '{col}', __v{i}" for i, (rule, col) in enumerate(meta)
+        )
+        parts.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(meta)}, {stack_args}) AS"
+                    " (rule, col_name, violations)"
+                )
+            )
+        )
+    for cols in uniques:
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__c") > 1, F.col("__c"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("violations")
+            )
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(",".join(cols)).alias("col_name"),
+                "violations",
+            )
+        )
+        parts.append(dup)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)

@@ -56,3 +56,56 @@ def test_key_uniqueness_pass_and_violation(spark):
     assert (bad.n_rows, bad.n_keys, bad.dup_rows) == (5, 4, 1)
     with pytest.raises(ValueError):
         key_uniqueness(df, [])
+
+
+def test_expectations_rules_and_null_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from binlog_processer_spark.operators.profile import expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10, "a-1"),
+            (2, "xx", -5, "b2"),       # in_set + in_range + matches fail
+            (3, None, None, None),     # NULLs pass range/set/matches
+            (3, "en", 10, "a-3"),      # duplicate key 3
+        ],
+        "id long, lang string, n int, code string",
+    )
+    rep = {
+        (r.rule, r.col_name): (r.violations, r.passed)
+        for r in expectations(
+            df,
+            [
+                {"rule": "not_null", "column": "lang"},
+                {"rule": "in_range", "column": "n", "lo": 0},
+                {"rule": "in_set", "column": "lang", "values": ["en"]},
+                {"rule": "matches", "column": "code",
+                 "pattern": "^[a-z]-[0-9]$"},
+                {"rule": "sql", "name": "n_matches_id",
+                 "predicate": "n = id * 10"},
+                {"rule": "unique", "columns": ["id"]},
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "lang")] == (1, False)
+    assert rep[("in_range", "n")] == (1, False)      # NULL n passes
+    assert rep[("in_set", "lang")] == (1, False)     # NULL lang passes
+    assert rep[("matches", "code")] == (1, False)    # 'b2' only
+    # NULL predicate counts as violation: rows 2 (false) + 3 (null) + 4?
+    # row 4: n=10, id=3 -> 10 != 30 -> violation. rows: 2,3,4 = 3
+    assert rep[("sql", "n_matches_id")] == (3, False)
+    assert rep[("unique", "id")] == (2, False)       # both rows of key 3
+
+    clean = expectations(
+        df.filter("id = 1"), [{"rule": "not_null", "column": "lang"}]
+    ).collect()
+    assert clean[0].passed is True
+
+    with pytest.raises(ValueError):
+        expectations(df, [])
+    with pytest.raises(ValueError):
+        expectations(df, [{"rule": "nope", "column": "id"}])
+    with pytest.raises(ValueError):
+        expectations(df, [{"rule": "in_range", "column": "n"}])
