@@ -156,6 +156,24 @@ def main() -> None:
     out["id_dup_rows"] = int(
         key_uniqueness(docs, ["doc_id"]).collect()[0]["dup_rows"]
     )
+
+    # declarative contract on the drop (operators/profile.expectations):
+    # every row-level rule rides the profile's scan-count posture — one
+    # aggregate however many rules; published as its own table so a
+    # failed run leaves the evidence queryable
+    from binlog_processer_spark.operators.profile import expectations
+
+    rules = [{"rule": "unique", "columns": ["doc_id"]}]
+    for c in ("doc_id", "text"):
+        if c in docs.columns:
+            rules.append({"rule": "not_null", "column": c})
+    if "n_chars" in docs.columns:
+        rules.append({"rule": "in_range", "column": "n_chars", "lo": 0})
+    contract_t = SnapshotTable(os.path.join(args.output, "contract"))
+    contract_t.write(expectations(docs, rules), mode="overwrite")
+    out["contract_failed"] = contract_t.read(spark).filter(
+        ~F.col("passed")
+    ).count()
     if args.embeddings:
         emb_t = SnapshotTable(os.path.join(args.output, "embedding_qa"))
         emb_t.write(

@@ -246,6 +246,13 @@ def test_qa_cli_gates_and_verdict(tmp_path, spark):
     bad = {r.doc_id for r in verdict.filter("NOT encoding_ok").collect()}
     assert bad == {i for i in range(40) if i % 6 == 0}
 
+    # the declarative contract publishes next to the gates and passes on
+    # this (unique-id, non-null) corpus
+    assert m["contract_failed"] == 0
+    contract = SnapshotTable(wh + "/contract").read(spark)
+    got = {(r.rule, r.col_name) for r in contract.collect()}
+    assert ("unique", "doc_id") in got and ("not_null", "text") in got
+
 
 def test_release_cli_end_to_end_consistency(tmp_path, spark):
     docs = str(tmp_path / "docs.parquet")
