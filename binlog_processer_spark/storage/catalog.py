@@ -142,3 +142,44 @@ class Catalog:
             for doc in self.history()
             if name in doc["pins"]
         }
+
+    def expire_versions(self, keep_last: int = 2) -> dict:
+        """Drop catalog versions older than the last ``keep_last`` of the
+        current lineage (plus rollback orphans) — the catalog-level
+        ``expire_snapshots``. Run BEFORE expiring table history so
+        ``pinned_snapshots`` reflects only versions that can still be
+        read."""
+        if keep_last < 1:
+            raise ValueError("expire_versions: keep_last must be >= 1")
+        current = self.current_version()
+        if current is None:
+            return {"kept": [], "versions_removed": []}
+        kept = {doc["version"] for doc in self.history()[:keep_last]}
+        removed = []
+        for p in self._fs.list_files(self._dir, ".json"):
+            name = p.rsplit("/", 1)[-1]
+            if not name.startswith("v-"):
+                continue
+            v = int(name[2:-5])
+            if v in kept:
+                continue
+            self._fs.delete_file(p)
+            removed.append(v)
+        return {"kept": sorted(kept), "versions_removed": sorted(removed)}
+
+
+def advance_pin(
+    warehouse_root: str, table: str, new_snapshot: int, note: str = "compact"
+) -> int | None:
+    """After a maintenance rewrite of one table, advance the warehouse
+    catalog (if one exists and governs the table) so catalog readers see
+    the rewritten snapshot as part of a consistent set. No-op (returns
+    None) when the warehouse has no catalog, the table is unpinned, or
+    the pin already matches."""
+    cat = Catalog(warehouse_root)
+    if cat.current_version() is None:
+        return None
+    pins = cat.pins()
+    if table not in pins or pins[table] == new_snapshot:
+        return None
+    return cat.commit({**pins, table: new_snapshot}, note=note)

@@ -61,8 +61,33 @@ def main() -> None:
                          "keeps an N-deep rollback window)")
     args = ap.parse_args()
 
+    from binlog_processer_spark.storage.catalog import Catalog, advance_pin
+
     tbl = SnapshotTable(os.path.join(args.warehouse, args.table))
     target = args.target_mb * 1024 * 1024
+
+    def _advance(out, new_snap):
+        # a compaction rewrite must move the warehouse catalog with it —
+        # otherwise catalog readers keep pinning the pre-compact snapshot
+        # and a later vacuum would break them
+        v = advance_pin(args.warehouse, args.table, new_snap, note="compact")
+        if v is not None:
+            out["catalog_version"] = v
+
+    def _expire(out, keep_last):
+        cat = Catalog(args.warehouse)
+        pins: set[int] = set()
+        if cat.current_version() is not None:
+            # trim catalog history to the same depth FIRST, then floor the
+            # table expiry on what retained versions still pin
+            cat.expire_versions(keep_last=keep_last)
+            pins = cat.pinned_snapshots(args.table)
+        exp = tbl.expire_snapshots(
+            keep_last=keep_last, keep_snapshots=pins
+        )
+        out["snapshots_expired"] = len(exp["snapshots_removed"])
+        out["files_vacuumed"] = exp["files_deleted"]
+        out["bytes_freed"] = exp["bytes_freed"]
 
     if args.zorder:
         from binlog_processer_spark.operators.compact import rewrite_zordered
@@ -84,11 +109,9 @@ def main() -> None:
                 "files_before": files_before,
                 "files_after": len(tbl.data_files()),
             }
+            _advance(out, snap)
             if args.expire_keep is not None:
-                exp = tbl.expire_snapshots(keep_last=args.expire_keep)
-                out["snapshots_expired"] = len(exp["snapshots_removed"])
-                out["files_vacuumed"] = exp["files_deleted"]
-                out["bytes_freed"] = exp["bytes_freed"]
+                _expire(out, args.expire_keep)
         print(json.dumps(out))
         return
 
@@ -100,6 +123,8 @@ def main() -> None:
         res = compact(spark, tbl, target, args.min_files)
         groups = res.groups
         out = {"snapshot": res.snapshot, "committed": bool(groups)}
+        if groups:
+            _advance(out, res.snapshot)
 
     out.update(
         {
@@ -111,10 +136,7 @@ def main() -> None:
         }
     )
     if args.expire_keep is not None and not args.dry_run:
-        exp = tbl.expire_snapshots(keep_last=args.expire_keep)
-        out["snapshots_expired"] = len(exp["snapshots_removed"])
-        out["files_vacuumed"] = exp["files_deleted"]
-        out["bytes_freed"] = exp["bytes_freed"]
+        _expire(out, args.expire_keep)
     print(json.dumps(out))
 
 

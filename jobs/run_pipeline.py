@@ -80,6 +80,14 @@ def main() -> None:
         )
         metrics["compact_groups"] = len(cres.groups)
         metrics["compact_files_merged"] = cres.files_removed
+        if cres.groups:
+            # keep the catalog (committed by run_pipeline above) pointing
+            # at the compacted routed snapshot
+            from binlog_processer_spark.storage.catalog import advance_pin
+
+            v = advance_pin(args.output, "routed", cres.snapshot)
+            if v is not None:
+                metrics["catalog_version"] = v
     print(json.dumps(metrics))
     spark.stop()
 

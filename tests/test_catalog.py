@@ -97,3 +97,45 @@ def test_pipeline_commits_a_consistent_catalog_version(tmp_path):
             "lineage"} <= set(pins)
     for name, snap in pins.items():
         assert SnapshotTable(os.path.join(wh, name)).current_snapshot() == snap
+
+
+def test_compact_advances_catalog_and_expiry_respects_pins(tmp_path, spark):
+    """The hole this guards: pipeline commits catalog v0 pinning routed@0;
+    compaction rewrites routed to snap 1; expiry with keep_last=1 must not
+    vacuum what the (advanced) catalog reads, and the catalog must point
+    at the compacted snapshot."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _run(args):
+        import json as _json
+
+        out = subprocess.run(
+            [sys.executable, *args], capture_output=True, text=True,
+            timeout=600, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    wh = str(tmp_path / "wh")
+    _run(["jobs/run_pipeline.py", "--generate", "20000", "--output", wh])
+    cat = Catalog(wh)
+    v0_routed = cat.pins()["routed"]
+
+    m = _run(["jobs/run_compact.py", "--warehouse", wh, "--expire-keep", "1"])
+    assert m["committed"] is True and m["groups"] > 0
+    assert m["catalog_version"] == 1
+    assert m["snapshots_expired"] >= 1
+
+    # catalog advanced to the compacted snapshot and reads cleanly
+    assert cat.current_version() == 1
+    assert cat.pins()["routed"] == m["snapshot"] != v0_routed
+    n = cat.read(spark, "routed").count()
+    assert n > 0
+    # the stale version's file was trimmed with the same retention depth
+    assert [d["version"] for d in cat.history()] == [1]
