@@ -12,9 +12,11 @@ The same contract on SnapshotTable:
   removed set is empty and the diff degenerates to ``read_incremental``.
 - rows: a rewrite (compaction, repair, upsert) copies unchanged rows into
   new files; a file-level diff alone would surface them as phantom
-  changes. ``EXCEPT ALL`` in both directions cancels identical rows
-  multiset-exactly, leaving only genuine row-level churn — and it runs
-  over the churned files only, which is what makes it affordable.
+  changes. A signed-count aggregate (+1 per added-file row, −1 per
+  removed-file row, grouped on the full row) cancels identical rows
+  multiset-exactly — the EXCEPT ALL semantics in ONE pass over the
+  churned files and one exchange, where literal exceptAll calls would
+  rebuild each side per consuming branch.
 - classification (Delta CDF convention): with ``key_cols``, a key present
   on both sides of the residue is an update (emitted twice:
   ``update_preimage`` + ``update_postimage``); only-new is ``insert``;
@@ -82,32 +84,47 @@ def table_changes(
     removed = _align(
         table._scan(spark, m_old, sorted(old_files - new_files)), new_schema
     )
+    cols = [f.name for f in new_schema.fields]
 
-    new_only = added.exceptAll(removed)
-    old_only = removed.exceptAll(added)
+    # signed-count residue: ONE aggregate over one pass of the churned
+    # files replaces two exceptAlls (whose DAG would rebuild each side per
+    # consuming branch — measured 12 exchanges / 4 re-scans as joins).
+    # delta > 0 ⇒ the row is new (that many times over), delta < 0 ⇒ it
+    # was removed; identical rewrite-copied rows cancel to delta = 0.
+    # groupBy treats NULLs as equal — the same multiset semantics
+    # EXCEPT ALL uses. (Map-typed columns are not groupable, but they are
+    # not EXCEPT-comparable either — same constraint, same failure.)
+    residue = (
+        added.withColumn("__d", F.lit(1))
+        .unionByName(removed.withColumn("__d", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__d").alias("__delta"))
+        .filter(F.col("__delta") != 0)
+    )
 
     if not key_cols:
-        return new_only.withColumn(
-            CHANGE_COL, F.lit("insert")
-        ).unionByName(old_only.withColumn(CHANGE_COL, F.lit("delete")))
-
-    both = (
-        new_only.select(*key_cols)
-        .intersect(old_only.select(*key_cols))
-        .withColumn("__upd", F.lit(True))
+        change = F.when(F.col("__delta") > 0, "insert").otherwise("delete")
+        classified = residue
+    else:
+        # per-key sign presence classifies updates; the sides aggregate is
+        # bounded by the churned keys and AQE broadcasts it when tiny
+        sides = residue.groupBy(*key_cols).agg(
+            F.max(F.when(F.col("__delta") > 0, 1).otherwise(0)).alias("__hn"),
+            F.max(F.when(F.col("__delta") < 0, 1).otherwise(0)).alias("__ho"),
+        )
+        classified = residue.join(sides, key_cols)
+        change = F.when(
+            F.col("__delta") > 0,
+            F.when(F.col("__ho") == 1, "update_postimage").otherwise("insert"),
+        ).otherwise(
+            F.when(F.col("__hn") == 1, "update_preimage").otherwise("delete")
+        )
+    # restore multiset multiplicity (EXCEPT ALL emits |delta| copies)
+    return (
+        classified.withColumn(CHANGE_COL, change)
+        .withColumn(
+            "__r",
+            F.explode(F.expr("array_repeat(1, cast(abs(__delta) AS int))")),
+        )
+        .select(*cols, CHANGE_COL)
     )
-    # `both` is bounded by the churned keys — broadcast-sized in the
-    # common (ppm-churn) case; AQE picks the strategy otherwise
-    post = new_only.join(both, key_cols, "left").withColumn(
-        CHANGE_COL,
-        F.when(F.col("__upd").isNotNull(), "update_postimage").otherwise(
-            "insert"
-        ),
-    )
-    pre = old_only.join(both, key_cols, "left").withColumn(
-        CHANGE_COL,
-        F.when(F.col("__upd").isNotNull(), "update_preimage").otherwise(
-            "delete"
-        ),
-    )
-    return post.drop("__upd").unionByName(pre.drop("__upd"))

@@ -115,3 +115,17 @@ def test_unknown_snapshot_raises(spark, tmp_path):
     t = _t(spark, tmp_path)
     with pytest.raises(FileNotFoundError):
         table_changes(spark, t, since=99)
+
+
+def test_changes_plan_single_aggregate_no_sort_merge(spark, tmp_path):
+    """The residue is ONE signed-count aggregate over the churned files —
+    a regression back to per-branch exceptAlls re-scans the churn 4x and
+    multiplies exchanges (measured 12 -> 4 when this landed)."""
+    t = _t(spark, tmp_path)
+    f = t.data_files()[0]
+    sub = t.read_files(spark, [f])
+    t.rewrite_files([f], sub.withColumn("v", F.col("v") + 1))
+    ch = table_changes(spark, t, since=0, key_cols=["id"])
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("Exchange") <= 5, plan
