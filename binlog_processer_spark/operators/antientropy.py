@@ -130,6 +130,32 @@ def diff_buckets(src: DataFrame, dst: DataFrame) -> DataFrame:
     return j.filter(~same)
 
 
+def row_diff(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
+    """Multiset row difference with a ``_side`` tag (``left_only`` /
+    ``right_only``) — dual-EXCEPT-ALL semantics as ONE signed-count
+    aggregate over one pass of both inputs (storage/changes.py uses the
+    same formulation; literal exceptAll calls rebuild each side per
+    consuming branch). Emits ``|delta|`` copies of duplicated rows."""
+    residue = (
+        left.select(*cols).withColumn("__d", F.lit(1))
+        .unionByName(right.select(*cols).withColumn("__d", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__d").alias("__delta"))
+        .filter(F.col("__delta") != 0)
+    )
+    return (
+        residue.withColumn(
+            "_side",
+            F.when(F.col("__delta") > 0, "left_only").otherwise("right_only"),
+        )
+        .withColumn(
+            "__r",
+            F.explode(F.expr("array_repeat(1, cast(abs(__delta) AS int))")),
+        )
+        .select(*cols, "_side")
+    )
+
+
 def expected_replica(fs: DataFrame) -> DataFrame:
     """The replica view the source PREDICTS from its own final state: live
     (non-Delete) keys at their final commit ts — what the downstream store

@@ -43,6 +43,7 @@ from binlog_processer_spark.operators.antientropy import (
     bucket_id,
     diff_buckets,
     digest_state,
+    row_diff,
 )
 from binlog_processer_spark.session import get_spark
 from binlog_processer_spark.storage.table import SnapshotTable
@@ -132,12 +133,8 @@ def main() -> None:
         ]
         lf = left.filter(bucket_id(keys, args.n_buckets).isin(ids)).select(*proj)
         rf = right.filter(bucket_id(keys, args.n_buckets).isin(ids)).select(*proj)
-        diff = (
-            lf.exceptAll(rf).withColumn("_side", F.lit("left_only"))
-            .unionByName(
-                rf.exceptAll(lf).withColumn("_side", F.lit("right_only"))
-            )
-        ).persist()
+        out_cols = keys + [f"v{i}" for i in range(len(values))]
+        diff = row_diff(lf, rf, out_cols).persist()
         sides = {
             r["_side"]: r["cnt"]
             for r in diff.groupBy("_side").agg(F.count("*").alias("cnt")).collect()
