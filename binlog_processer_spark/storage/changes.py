@@ -128,3 +128,93 @@ def table_changes(
         )
         .select(*cols, CHANGE_COL)
     )
+
+
+class ChangeFeed:
+    """Crash-safe consumer cursor over a table's change feed — the
+    subscribe side of ``table_changes`` (Delta's ``readChangeFeed`` /
+    Iceberg's incremental-consume shape, consumer-owned offsets like a
+    Kafka group).
+
+    ``poll`` returns ``(changes, snapshot)`` for everything committed
+    since the cursor; the caller processes the batch, then ``commit``\\ s
+    the returned snapshot — at-least-once by construction (a crash before
+    commit re-polls the same batch; the signed-count residue makes
+    replays idempotent to reconcile downstream). The cursor is one JSON
+    file in a CONSUMER-owned location: many independent consumers can
+    follow one table at their own pace, and the table knows nothing
+    about them.
+
+    ``initial='latest'`` starts at the current snapshot (new changes
+    only); ``'earliest'`` emits the whole current snapshot as inserts
+    first — the bootstrap-a-new-downstream shape.
+    """
+
+    def __init__(
+        self,
+        table: SnapshotTable,
+        cursor_path: str,
+        key_cols: list[str] | None = None,
+        initial: str = "latest",
+    ):
+        if initial not in ("latest", "earliest"):
+            raise ValueError("initial must be 'latest' or 'earliest'")
+        self.table = table
+        self.cursor_path = cursor_path
+        self.key_cols = key_cols
+        self.initial = initial
+        self._fs = None
+
+    def _cursor_fs(self):
+        from . import fs as fsmod
+
+        if self._fs is None:
+            self._fs = fsmod.fs_for(self.cursor_path)
+        return self._fs
+
+    def position(self) -> int | None:
+        import json as _json
+
+        try:
+            return _json.loads(
+                self._cursor_fs().read_text(self.cursor_path)
+            )["snapshot"]
+        except FileNotFoundError:
+            return None
+
+    def commit(self, snapshot: int) -> None:
+        import json as _json
+        import os as _os
+
+        parent = _os.path.dirname(self.cursor_path)
+        if parent:
+            self._cursor_fs().mkdirs(parent)
+        self._cursor_fs().write_text_atomic(
+            self.cursor_path, _json.dumps({"snapshot": snapshot})
+        )
+
+    def poll(self, spark: SparkSession):
+        """(changes DataFrame, snapshot to commit) — ``(None, snap)`` when
+        the cursor is already at the table head (nothing to process)."""
+        cur = self.table.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed snapshot in {self.table.root}"
+            )
+        pos = self.position()
+        if pos is None:
+            if self.initial == "earliest":
+                return (
+                    self.table.read(spark).withColumn(
+                        CHANGE_COL, F.lit("insert")
+                    ),
+                    cur,
+                )
+            self.commit(cur)
+            pos = cur
+        if pos == cur:
+            return None, cur
+        return table_changes(
+            spark, self.table, since=pos, snapshot=cur,
+            key_cols=self.key_cols,
+        ), cur

@@ -129,3 +129,39 @@ def test_changes_plan_single_aggregate_no_sort_merge(spark, tmp_path):
     plan = ch._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("Exchange") <= 5, plan
+
+
+def test_change_feed_cursor_at_least_once(spark, tmp_path):
+    from binlog_processer_spark.storage.changes import ChangeFeed
+
+    t = _t(spark, tmp_path)  # snap 0: ids 0..99
+    feed = ChangeFeed(t, str(tmp_path / "consumer" / "cursor"),
+                      key_cols=["id"])
+    # latest start: head committed, nothing to process
+    df, snap = feed.poll(spark)
+    assert df is None and snap == 0 and feed.position() == 0
+
+    t.write(
+        spark.range(100, 110).select("id", (F.col("id") * 2).alias("v")),
+        mode="append",
+    )
+    df, snap = feed.poll(spark)
+    assert snap == 1
+    assert {(r.id, r._change_type) for r in df.collect()} == {
+        (i, "insert") for i in range(100, 110)
+    }
+    # crash before commit: the SAME batch re-polls (at-least-once)
+    df2, snap2 = feed.poll(spark)
+    assert snap2 == 1 and df2.count() == 10
+    feed.commit(snap2)
+    df3, _ = feed.poll(spark)
+    assert df3 is None
+
+    # a second, independent consumer bootstraps with the full snapshot
+    boot = ChangeFeed(t, str(tmp_path / "other" / "cursor"),
+                      initial="earliest")
+    df4, snap4 = boot.poll(spark)
+    assert snap4 == 1 and df4.count() == 110
+    assert {r._change_type for r in df4.collect()} == {"insert"}
+    boot.commit(snap4)
+    assert boot.poll(spark)[0] is None
