@@ -466,3 +466,43 @@ def test_apply_cli_digest_state(tmp_path, spark):
         [F.expr("final_op"), F.expr("final_seq")],
     )
     assert diff_buckets(dig.read(spark), fresh2).count() == 0
+
+
+def test_feed_cli_exactly_once_relay(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.write(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    tgt = str(tmp_path / "log")
+    cursor = str(tmp_path / "consumer" / "cursor")
+    base = ["jobs/run_feed.py", "--source", src.root, "--target", tgt,
+            "--cursor", cursor, "--keys", "id", "--earliest"]
+
+    m1 = _run(base)  # bootstrap: whole snapshot as inserts
+    assert m1["rows"] == 50 and m1["to"] == 0
+
+    m2 = _run(base)  # idle poll: nothing to relay
+    assert m2["rows"] == 0
+
+    src.write(spark.range(50, 60).select("id", (F.col("id") * 2).alias("v")),
+              mode="append")
+    m3 = _run(base)
+    assert m3["rows"] == 10 and m3["from"] == 0 and m3["to"] == 1
+
+    # crash between sink write and cursor commit: lose the cursor, let the
+    # source advance, re-run — the relay must repair the cursor from the
+    # sink watermark and ship ONLY the new span (no duplicated batch)
+    os.remove(cursor)
+    src.write(spark.range(60, 65).select("id", (F.col("id") * 2).alias("v")),
+              mode="append")
+    m4 = _run(base)
+    assert m4["cursor_repaired"] is True
+    assert m4["rows"] == 5 and m4["from"] == 1 and m4["to"] == 2
+
+    log = SnapshotTable(tgt).read(spark)
+    assert log.count() == 65  # 50 + 10 + 5, nothing twice
+    assert log.select("id").distinct().count() == 65
+    assert {r._change_type for r in log.collect()} == {"insert"}
+    assert {r._feed_snapshot for r in log.collect()} == {0, 1, 2}
