@@ -218,3 +218,58 @@ class ChangeFeed:
             spark, self.table, since=pos, snapshot=cur,
             key_cols=self.key_cols,
         ), cur
+
+
+def apply_changes(
+    spark: SparkSession,
+    mirror: SnapshotTable,
+    changes: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Apply one CDF batch to a downstream MIRROR table — CDC replication
+    with file-scoped writes (the run_repair / streaming-upsert commit
+    pattern): only mirror files containing an affected key are rewritten;
+    everything else is carried by manifest reference.
+
+    IDEMPOTENT by construction: every key the batch touches is removed
+    from the hit files first, then the batch's insert/postimage rows go
+    in — replaying the same batch (or a superset span after a crashed
+    relay) deletes what the earlier replay inserted and re-inserts it
+    identically, so at-least-once delivery yields exactly-once state with
+    no sink-side watermark.
+
+    ``changes`` must carry exactly the mirror's columns plus
+    ``_change_type``. Keys are assumed unique per side (the same contract
+    CDF classification uses). Returns the committed snapshot."""
+    add = changes.filter(
+        F.col(CHANGE_COL).isin("insert", "update_postimage")
+    ).drop(CHANGE_COL)
+    if mirror.current_snapshot() is None:
+        return mirror.write(
+            add,
+            bloom_columns=[key_cols[0]] if len(key_cols) == 1 else None,
+        )
+    touched = changes.select(*key_cols).distinct()
+    hit_files: list[str] | None = None
+    if len(key_cols) == 1:
+        vals = sorted(
+            r[key_cols[0]] for r in touched.collect()
+        )  # bounded by the batch's churned keys
+        rel = mirror.prune_files_any(key_cols[0], vals)
+        if rel is not None:
+            hit_files = sorted(rel)
+    if hit_files is None:
+        hit_files = sorted(
+            r["__f"]
+            for r in mirror.read(spark)
+            .withColumn("__f", F.input_file_name())
+            .join(touched, key_cols, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+    cur_hit = mirror.read_files(spark, hit_files)
+    replacement = cur_hit.join(touched, key_cols, "left_anti").unionByName(
+        add
+    )
+    return mirror.rewrite_files(hit_files, replacement)

@@ -52,8 +52,21 @@ def main() -> None:
     ap.add_argument("--earliest", action="store_true",
                     help="bootstrap: emit the full current snapshot as "
                     "inserts on the first poll")
+    ap.add_argument(
+        "--mirror", action="store_true",
+        help="maintain --target as a MIRROR of the source (CDC "
+        "replication, file-scoped rewrites) instead of appending a "
+        "changelog; the apply is idempotent, so the at-least-once cursor "
+        "already yields exactly-once state. Requires --keys. Caveat: if "
+        "the CURSOR FILE itself is lost (not a mere crash), an --earliest "
+        "re-bootstrap re-inserts the snapshot but cannot remove mirror "
+        "rows whose keys the source deleted in the gap — drop the mirror "
+        "with the cursor for a full resync.",
+    )
     args = ap.parse_args()
     keys = [k.strip() for k in args.keys.split(",")] if args.keys else None
+    if args.mirror and not keys:
+        ap.error("--mirror requires --keys")
 
     spark = get_spark("binlog-feed")
     src = SnapshotTable(args.source)
@@ -83,13 +96,19 @@ def main() -> None:
     df, snap = feed.poll(spark)
     out["to"] = snap
     if df is not None:
-        batch = df.withColumn("_feed_snapshot", F.lit(snap))
-        sink.write(
-            batch,
-            mode="append" if last is not None else "overwrite",
-            properties={"feed_snapshot": snap},
-        )
-        out["rows"] = batch.count()
+        if args.mirror:
+            from binlog_processer_spark.storage.changes import apply_changes
+
+            out["rows"] = df.count()
+            out["mirror_snapshot"] = apply_changes(spark, sink, df, keys)
+        else:
+            batch = df.withColumn("_feed_snapshot", F.lit(snap))
+            sink.write(
+                batch,
+                mode="append" if last is not None else "overwrite",
+                properties={"feed_snapshot": snap},
+            )
+            out["rows"] = batch.count()
     feed.commit(snap)
     print(json.dumps(out))
     spark.stop()

@@ -506,3 +506,62 @@ def test_feed_cli_exactly_once_relay(tmp_path, spark):
     assert log.select("id").distinct().count() == 65
     assert {r._change_type for r in log.collect()} == {"insert"}
     assert {r._feed_snapshot for r in log.collect()} == {0, 1, 2}
+
+
+def test_feed_cli_mirror_replication(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.antientropy import row_diff
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.write(
+        spark.range(0, 200).select(
+            "id", (F.col("id") * 2).alias("v")
+        ).repartition(8)
+    )
+    tgt = str(tmp_path / "mirror")
+    cursor = str(tmp_path / "consumer" / "cursor")
+    base = ["jobs/run_feed.py", "--source", src.root, "--target", tgt,
+            "--cursor", cursor, "--keys", "id", "--earliest", "--mirror"]
+
+    m1 = _run(base)  # bootstrap: full copy
+    mirror = SnapshotTable(tgt)
+    assert m1["rows"] == 200 and mirror.read(spark).count() == 200
+
+    # source churn: update one key, delete one, insert a few
+    f = (
+        src.read(spark).withColumn("f", F.input_file_name())
+        .filter("id = 7").collect()[0]["f"]
+    )
+    sub = src.read_files(spark, [f])
+    src.rewrite_files(
+        [f],
+        sub.withColumn(
+            "v", F.when(F.col("id") == 7, F.lit(-1)).otherwise(F.col("v"))
+        ).filter(F.col("id") != 13),
+    )
+    src.write(spark.range(200, 210).select(
+        "id", (F.col("id") * 2).alias("v")), mode="append")
+
+    before = {
+        p: os.stat(p).st_ino for p in mirror.data_files()
+    }
+    m2 = _run(base)
+    assert m2["rows"] > 0
+    # mirror == source exactly (multiset)
+    assert row_diff(src.read(spark), mirror.read(spark),
+                    ["id", "v"]).count() == 0
+    # file-scoped: some mirror files were carried untouched by reference
+    kept = set(mirror.data_files()) & set(before)
+    assert kept and all(os.stat(p).st_ino == before[p] for p in kept)
+
+    # crash path: lose the cursor, more churn, re-run — idempotent apply
+    # means the superset replay still converges to exactly the source
+    os.remove(cursor)
+    src.write(spark.range(210, 215).select(
+        "id", (F.col("id") * 2).alias("v")), mode="append")
+    m3 = _run(base)
+    assert row_diff(src.read(spark), mirror.read(spark),
+                    ["id", "v"]).count() == 0
+    assert mirror.read(spark).count() == src.read(spark).count()
