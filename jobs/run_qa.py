@@ -74,6 +74,12 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="QA warehouse dir")
     ap.add_argument("--embeddings", help="optional embeddings parquet path")
     ap.add_argument(
+        "--contract", metavar="RULES_JSON",
+        help="JSON file with a rule list for the declarative contract "
+        "(operators/profile.expectations spec); default: unique doc_id, "
+        "non-null doc_id/text, n_chars >= 0",
+    )
+    ap.add_argument(
         "--inject-noise",
         action="store_true",
         help="plant deterministic mojibake/PII so every gate is exercised",
@@ -163,12 +169,16 @@ def main() -> None:
     # failed run leaves the evidence queryable
     from binlog_processer_spark.operators.profile import expectations
 
-    rules = [{"rule": "unique", "columns": ["doc_id"]}]
-    for c in ("doc_id", "text"):
-        if c in docs.columns:
-            rules.append({"rule": "not_null", "column": c})
-    if "n_chars" in docs.columns:
-        rules.append({"rule": "in_range", "column": "n_chars", "lo": 0})
+    if args.contract:
+        with open(args.contract) as fh:
+            rules = json.load(fh)
+    else:
+        rules = [{"rule": "unique", "columns": ["doc_id"]}]
+        for c in ("doc_id", "text"):
+            if c in docs.columns:
+                rules.append({"rule": "not_null", "column": c})
+        if "n_chars" in docs.columns:
+            rules.append({"rule": "in_range", "column": "n_chars", "lo": 0})
     contract_t = SnapshotTable(os.path.join(args.output, "contract"))
     contract_t.write(expectations(docs, rules), mode="overwrite")
     out["contract_failed"] = contract_t.read(spark).filter(
