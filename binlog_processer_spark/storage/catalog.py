@@ -82,21 +82,54 @@ class Catalog:
         for name, snap in pins.items():
             self.table(name)._manifest(snap)  # raises if absent
         self._fs.mkdirs(self._dir)
-        parent = self.current_version()
-        v = (parent + 1) if parent is not None else 0
-        doc = {
-            "version": v,
-            "parent": parent,
-            "created_ms": int(time.time() * 1000),
-            "pins": dict(sorted(pins.items())),
-            "note": note,
-        }
-        self._fs.write_text_atomic(
-            fsmod.join(self._dir, f"v-{v}.json"), json.dumps(doc, indent=1)
-        )
-        self._fs.write_text_atomic(
-            self._current_path(), json.dumps({"version": v})
-        )
+        # version minting + write + flip under the same optimistic lock
+        # the tables use (storage/table.py): concurrent catalog commits
+        # would otherwise mint the same version file and clobber it
+        from .table import CommitConflict, SnapshotTable
+
+        lock = fsmod.join(self._dir, "_commit.lock")
+        token = json.dumps({"ts": time.time(), "pid": __import__("os").getpid()})
+        if not self._fs.create_exclusive(lock, token):
+            try:
+                held = json.loads(self._fs.read_text(lock))
+                stale = (
+                    time.time() - held.get("ts", 0)
+                    > SnapshotTable._LOCK_TTL_S
+                )
+            except (FileNotFoundError, ValueError):
+                stale = True
+            if stale:
+                try:
+                    self._fs.delete_file(lock)
+                except (FileNotFoundError, OSError):
+                    pass
+            if not self._fs.create_exclusive(lock, token):
+                raise CommitConflict(
+                    f"catalog commit lock on {self.root} is held by "
+                    "another writer; retry"
+                )
+        try:
+            parent = self.current_version()
+            v = (parent + 1) if parent is not None else 0
+            doc = {
+                "version": v,
+                "parent": parent,
+                "created_ms": int(time.time() * 1000),
+                "pins": dict(sorted(pins.items())),
+                "note": note,
+            }
+            self._fs.write_text_atomic(
+                fsmod.join(self._dir, f"v-{v}.json"),
+                json.dumps(doc, indent=1),
+            )
+            self._fs.write_text_atomic(
+                self._current_path(), json.dumps({"version": v})
+            )
+        finally:
+            try:
+                self._fs.delete_file(lock)
+            except (FileNotFoundError, OSError):
+                pass
         return v
 
     def read(

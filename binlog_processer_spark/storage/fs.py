@@ -60,6 +60,7 @@ def rel_to(path: str, base: str) -> str:
 class FS(Protocol):
     def read_text(self, path: str) -> str: ...
     def write_text_atomic(self, path: str, text: str) -> None: ...
+    def create_exclusive(self, path: str, text: str) -> bool: ...
     def mkdirs(self, path: str) -> None: ...
     def list_files(self, base: str, ext: str) -> list[str]: ...
     def list_sizes(self, base: str, ext: str) -> dict[str, int]: ...
@@ -79,6 +80,19 @@ class LocalFS:
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent, atomically (O_EXCL — the POSIX mutex
+        primitive). True iff this caller created the file."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, text.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -167,6 +181,21 @@ class HadoopFS:
             self._fs.delete(dst, False)
         if not self._fs.rename(tmp, dst):
             raise OSError(f"rename {tmp} -> {path} failed")
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """create(overwrite=False) — atomic create-if-absent on HDFS (the
+        NameNode arbitrates); object stores without atomic create degrade
+        to best-effort, the module docstring's known caveat."""
+        p = self._path(path)
+        try:
+            stream = self._fs.create(p, False)
+        except Exception:  # Py4JJavaError: FileAlreadyExistsException
+            return False
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        return True
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._path(path))

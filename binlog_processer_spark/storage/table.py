@@ -53,6 +53,13 @@ _WIDEN_PAIRS = {
 }
 
 
+class CommitConflict(RuntimeError):
+    """Raised when an optimistic commit loses the race: the table (or
+    catalog) advanced past the parent this writer built on. The staged
+    snapshot directory is orphaned (never referenced) and reclaimed by
+    ``expire_snapshots``; the caller re-reads and retries."""
+
+
 def _widens(old: DataType, new: DataType) -> bool:
     """True when parquet files written as ``old`` read correctly under
     ``new`` without a rewrite (equality, a widening promotion, or the same
@@ -137,10 +144,56 @@ class SnapshotTable:
             self._fs.read_text(self._join(f"snap-{snap}", "manifest.json"))
         )
 
-    def _commit(self, snap: int) -> None:
-        self._fs.write_text_atomic(
-            self._current_path(), json.dumps({"snapshot": snap})
-        )
+    # a crashed committer's lock blocks writers for at most this long;
+    # the lock is held only across two metadata reads + one pointer flip
+    _LOCK_TTL_S = 60.0
+    _UNCHECKED = object()  # sentinel: pointer move without a parent check
+
+    def _commit(self, snap: int, expected_parent=_UNCHECKED) -> None:
+        """Flip ``_current``. With ``expected_parent`` set, the flip is an
+        optimistic compare-and-swap (Iceberg's commit contract): under a
+        short exclusive lock, verify the table still points at the parent
+        this writer built on, else raise :class:`CommitConflict` — two
+        concurrent writers can both stage snapshots, but only one lineage
+        survives and the loser FAILS instead of silently orphaning the
+        winner's commit. ``rollback`` stays an unchecked, explicit move."""
+        doc = json.dumps({"snapshot": snap})
+        if expected_parent is self._UNCHECKED:
+            self._fs.write_text_atomic(self._current_path(), doc)
+            return
+        lock = self._join("_commit.lock")
+        token = json.dumps({"ts": time.time(), "pid": os.getpid()})
+        if not self._fs.create_exclusive(lock, token):
+            # held by someone else — or left by a crash: break stale locks
+            try:
+                held = json.loads(self._fs.read_text(lock))
+                stale = time.time() - held.get("ts", 0) > self._LOCK_TTL_S
+            except (FileNotFoundError, ValueError):
+                stale = True  # vanished or unreadable: retry the acquire
+            if stale:
+                try:
+                    self._fs.delete_file(lock)
+                except (FileNotFoundError, OSError):
+                    pass
+            if not self._fs.create_exclusive(lock, token):
+                raise CommitConflict(
+                    f"commit lock on {self.root} is held by another "
+                    "writer; retry the commit"
+                )
+        try:
+            cur = self.current_snapshot()
+            if cur != expected_parent:
+                raise CommitConflict(
+                    f"concurrent commit on {self.root}: built on parent "
+                    f"{expected_parent} but the table now points at {cur};"
+                    " re-read and retry"
+                )
+            self._fs.write_text_atomic(self._current_path(), doc)
+        finally:
+            try:
+                self._fs.delete_file(lock)
+            except (FileNotFoundError, OSError):
+                pass
 
     def _write_manifest(self, snap_dir: str, manifest: dict) -> None:
         self._fs.write_text_atomic(
@@ -714,7 +767,7 @@ class SnapshotTable:
                 )
             )
         self._write_manifest(snap_dir, manifest)
-        self._commit(snap)
+        self._commit(snap, expected_parent=parent)
         return snap
 
     def exclude_files(self, files: list[str]) -> int:
@@ -755,7 +808,7 @@ class SnapshotTable:
         # excluded files' entries
         manifest.update(self._bloom_manifest_keys(snap_dir, m, [], drop=rel))
         self._write_manifest(snap_dir, manifest)
-        self._commit(snap)
+        self._commit(snap, expected_parent=parent)
         return snap
 
     def migrate_schema(self, new_schema: StructType) -> int:
@@ -822,7 +875,7 @@ class SnapshotTable:
         # carry the bloom sidecar into this (self-contained) snap dir
         manifest.update(self._bloom_manifest_keys(snap_dir, m, []))
         self._write_manifest(snap_dir, manifest)
-        self._commit(snap)
+        self._commit(snap, expected_parent=parent)
         return snap
 
     def _rel(self, p: str) -> str:
@@ -926,7 +979,7 @@ class SnapshotTable:
                 )
             )
         self._write_manifest(snap_dir, manifest)
-        self._commit(snap)
+        self._commit(snap, expected_parent=parent)
         return snap
 
     def file_sizes(self, snapshot: int | None = None) -> dict[str, int]:

@@ -152,3 +152,61 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
     assert t.resolve("head") == t.current_snapshot()
     t.tag("head", t.current_snapshot())
     assert t.refs()["head"] == t.current_snapshot()
+
+
+def test_optimistic_commit_conflict(spark, tmp_path):
+    """Two writers building on the same parent: the second commit must
+    FAIL with CommitConflict instead of silently orphaning the first
+    (Iceberg's compare-and-swap contract)."""
+    import json
+    import time as _time
+
+    from binlog_processer_spark.storage.table import CommitConflict
+
+    t = _t(spark, tmp_path)  # snap 0
+    # writer A advances the table...
+    _append(spark, t, 100, 120)  # snap 1
+    # ...writer B, who built on parent 0, tries to publish its snapshot
+    with pytest.raises(CommitConflict):
+        t._commit(5, expected_parent=0)
+    assert t.current_snapshot() == 1  # winner untouched
+
+    # a FRESH foreign lock blocks the commit (another writer mid-flip)
+    lock = os.path.join(t.root, "_commit.lock")
+    with open(lock, "w") as f:
+        json.dump({"ts": _time.time(), "pid": 0}, f)
+    with pytest.raises(CommitConflict):
+        t._commit(1, expected_parent=1)
+    os.remove(lock)
+
+    # a STALE lock (crashed committer) is broken and the commit proceeds
+    with open(lock, "w") as f:
+        json.dump({"ts": _time.time() - 3600, "pid": 0}, f)
+    t._commit(1, expected_parent=1)  # no-op re-point, but must succeed
+    assert not os.path.exists(lock)
+    assert t.current_snapshot() == 1
+
+    # normal writes still work end-to-end after all that
+    _append(spark, t, 120, 130)
+    assert t.read(spark).count() == 130
+
+
+def test_catalog_commit_conflict(spark, tmp_path):
+    from binlog_processer_spark.storage.catalog import Catalog
+    from binlog_processer_spark.storage.table import CommitConflict
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    cat.table("t").write(spark.range(5).select("id"))
+    cat.commit({"t": 0})
+
+    import json
+    import time as _time
+
+    lock = os.path.join(wh, "_catalog", "_commit.lock")
+    with open(lock, "w") as f:
+        json.dump({"ts": _time.time(), "pid": 0}, f)
+    with pytest.raises(CommitConflict):
+        cat.commit({"t": 0})
+    os.remove(lock)
+    assert cat.commit({"t": 0}) == 1
