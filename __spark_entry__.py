@@ -858,6 +858,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_changes"] = snapshot_changes
 
+    # --- generic MERGE INTO (update / delete / insert arms in one call) ---
+    def merge_roundtrip(spark, sf_dir):
+        import os
+        import tempfile
+
+        from binlog_processer_spark.operators.merge import merge_into
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        fs = _final_state(spark, sf_dir)
+        base = (
+            fs.filter(F.col("final_op") != "Delete")
+            .withColumn("doc_num", F.col("doc_id").cast("bigint"))
+            .select("database_name", "table_name", "doc_id", "doc_num",
+                    "final_seq")
+        )
+        tbl = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_merge_"), "state")
+        )
+        tbl.write(base.drop("doc_num").repartition(8))
+        upd = base.filter(F.col("doc_num") % 7 == 1).withColumn(
+            "final_seq", F.lit(-1).cast("bigint")
+        )
+        dele = base.filter(
+            (F.col("doc_num") % 9 == 2) & (F.col("doc_num") % 7 != 1)
+        ).withColumn("final_seq", F.lit(-999).cast("bigint"))
+        ins = base.filter(F.col("doc_num") % 17 == 5).select(
+            "database_name", "table_name",
+            F.concat(F.col("doc_id"), F.lit("_new")).alias("doc_id"),
+            "doc_num",
+            (F.col("doc_num") + 1_000_000).alias("final_seq"),
+        )
+        src = upd.unionByName(dele).unionByName(ins).drop("doc_num")
+        merge_into(
+            spark, tbl, src,
+            on=["database_name", "table_name", "doc_id"],
+            matched_delete="s.final_seq = -999",
+            matched_update="all",
+        )
+        return tbl.read(spark)
+
+    q["merge_roundtrip"] = merge_roundtrip
+
     # --- repair (MERGE semantics) — ONE event replay shared by replica
     # derivation, reconcile, and repair (AvroDataReader.java:95-135 replays
     # once; recomputing final_state per stage was a 3x scan) ---
@@ -2627,6 +2669,20 @@ grid AS (
         + "), dstd AS ("
         + _ae_digest.format(b=_ae_bucket, h=_ae_hash, src="replica")
         + ")",
+    )
+    o["merge_roundtrip"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id,"
+        " CASE WHEN cast(doc_id AS bigint) % 7 = 1 THEN cast(-1 AS bigint)"
+        "      ELSE final_seq END AS final_seq"
+        " FROM final_state WHERE final_op <> 'Delete'"
+        "   AND NOT (cast(doc_id AS bigint) % 9 = 2"
+        "            AND cast(doc_id AS bigint) % 7 <> 1)"
+        " UNION ALL "
+        "SELECT database_name, table_name, doc_id || '_new' AS doc_id,"
+        " cast(cast(doc_id AS bigint) + 1000000 AS bigint) AS final_seq"
+        " FROM final_state"
+        " WHERE final_op <> 'Delete' AND cast(doc_id AS bigint) % 17 = 5",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
     )
     _cdf_state = (
         "SELECT database_name, table_name, doc_id,"
