@@ -624,6 +624,7 @@ class SnapshotTable:
         bloom_columns: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 16,
+        evolve_partitioning: bool = False,
     ) -> int:
         """``file_format``: 'parquet' (default) or 'orc' — the ORC path is the
         Hive-side S9 analogue (HiveCompareByFile.java reads ORC tables); a
@@ -685,6 +686,23 @@ class SnapshotTable:
                         "a migration) to change a table's schema"
                     )
                 excluded = pm.get("excluded_files", [])
+                if (partition_by or []) != pm.get("partition_by", []) and (
+                    not evolve_partitioning
+                ):
+                    # partition-spec evolution (Iceberg-style) is legal —
+                    # each data dir keeps its own Hive layout and the scan
+                    # resolves values per dir via basePath, with columns
+                    # that moved between path and data served either way —
+                    # but an ACCIDENTAL spec change silently degrades
+                    # partition pruning for the new data, so it must be
+                    # asked for explicitly
+                    raise ValueError(
+                        f"append partitioning {partition_by or []} differs "
+                        f"from the table spec {pm.get('partition_by', [])} "
+                        f"in {self.root}; pass evolve_partitioning=True to "
+                        "evolve the spec (new data only; old dirs keep "
+                        "their layout)"
+                    )
         if zorder_by:
             # Morton-curve clustering (storage/zorder.py): every listed
             # column gets tight per-file zone maps, not just the leading

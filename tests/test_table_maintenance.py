@@ -210,3 +210,29 @@ def test_catalog_commit_conflict(spark, tmp_path):
         cat.commit({"t": 0})
     os.remove(lock)
     assert cat.commit({"t": 0}) == 1
+
+
+def test_partition_spec_evolution_guarded_and_readable(spark, tmp_path):
+    t = _t(spark, tmp_path)  # partitioned by k
+    df = spark.range(100, 120).select(
+        "id", (F.col("id") % 4).cast("string").alias("k")
+    )
+    # accidental spec change is rejected...
+    with pytest.raises(ValueError):
+        t.write(df, mode="append")  # unpartitioned append to a k-table
+    with pytest.raises(ValueError):
+        t.write(df, partition_by=["id"], mode="append")
+    # ...explicit evolution is legal: new data in the new layout, old dirs
+    # keep theirs, and reads serve the full table with correct values
+    t.write(df, mode="append", evolve_partitioning=True)
+    got = t.read(spark)
+    assert got.count() == 120
+    assert got.filter("k = '1'").count() == 25 + 5  # old path + new data
+    # spec recorded for future appends: matching the NEW spec now passes
+    t.write(
+        spark.range(120, 125).select(
+            "id", (F.col("id") % 4).cast("string").alias("k")
+        ),
+        mode="append",
+    )
+    assert t.read(spark).count() == 125
