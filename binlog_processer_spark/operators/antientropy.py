@@ -309,7 +309,12 @@ def antientropy_reconcile(
     src_d = bucket_digests(expected_replica(fs), _KEYS, ts_us, n_buckets)
     dst_d = bucket_digests(replica, _KEYS, ts_us, n_buckets)
     suspects = diff_buckets(src_d, dst_d)
-    ids = [r["bucket"] for r in suspects.select("bucket").collect()]
+    # materialize the (<= n_buckets-row) suspect set ONCE and hand back a
+    # LOCAL DataFrame: any downstream action on it (count, show, write)
+    # would otherwise re-run both full digest aggregations
+    rows = suspects.collect()
+    suspects = fs.sparkSession.createDataFrame(rows, suspects.schema)
+    ids = [r["bucket"] for r in rows]
     if not ids:
         empty = reconcile(None, replica.limit(0), fs=fs.limit(0)).limit(0)
         return suspects, empty

@@ -84,24 +84,11 @@ def merge_into(
             raise FileNotFoundError(f"no committed snapshot in {target.root}")
         return target.write(source)
 
-    # -- plan the hit scope (metadata first, scan fallback) ---------------
+    # -- plan the hit scope (metadata first, null-safe scan fallback) -----
+    from ..storage.table import plan_hit_files
+
     touched = source.select(*on).distinct()
-    hit_files: list[str] | None = None
-    if len(on) == 1:
-        vals = sorted(r[on[0]] for r in touched.collect())
-        rel = target.prune_files_any(on[0], vals)
-        if rel is not None:
-            hit_files = sorted(rel)
-    if hit_files is None:
-        hit_files = sorted(
-            r["__f"]
-            for r in target.read(spark)
-            .withColumn("__f", F.input_file_name())
-            .join(touched, on, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+    hit_files = plan_hit_files(spark, target, touched, on)
     t = target.read_files(spark, hit_files).alias("t")
     s = source.alias("s")
 

@@ -158,8 +158,13 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     parts: list[DataFrame] = []
     if aggs:
         wide = df.agg(*aggs)
+
+        def _q(s: str) -> str:  # SQL string literal (quotes doubled)
+            return "'" + s.replace("'", "''") + "'"
+
         stack_args = ", ".join(
-            f"'{rule}', '{col}', __v{i}" for i, (rule, col) in enumerate(meta)
+            f"{_q(rule)}, {_q(col)}, __v{i}"
+            for i, (rule, col) in enumerate(meta)
         )
         parts.append(
             wide.select(

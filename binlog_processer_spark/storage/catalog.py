@@ -74,62 +74,82 @@ class Catalog:
             return {}
         return self._version_doc(v)["pins"]
 
-    def commit(self, pins: dict[str, int], note: str = "") -> int:
+    _UNCHECKED = object()
+
+    def _existing_version_ids(self) -> list[int]:
+        out = []
+        for p in self._fs.list_files(self._dir, ".json"):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("v-"):
+                try:
+                    out.append(int(name[2:-5]))
+                except ValueError:
+                    continue
+        return out
+
+    def commit(
+        self,
+        pins: dict[str, int],
+        note: str = "",
+        expected_version=_UNCHECKED,
+    ) -> int:
         """Atomically publish a consistent set of table snapshots. Every
         pinned snapshot must exist (manifest check — catches committing a
         snapshot id that a failed write never produced). Unlisted tables
-        are simply not governed by this version."""
+        are simply not governed by this version.
+
+        ``expected_version``: optimistic CAS — raise CommitConflict if the
+        catalog no longer points at the version this writer read its pins
+        from (read-modify-write callers like ``advance_pin`` MUST pass it,
+        or a concurrent commit's pins are silently reverted).
+
+        Version ids are minted past every existing version FILE, not just
+        ``current + 1`` — after a rollback the rolled-past versions still
+        exist (their pins still guard expiry) and must not be clobbered."""
         for name, snap in pins.items():
             self.table(name)._manifest(snap)  # raises if absent
         self._fs.mkdirs(self._dir)
-        # version minting + write + flip under the same optimistic lock
-        # the tables use (storage/table.py): concurrent catalog commits
-        # would otherwise mint the same version file and clobber it
         from .table import CommitConflict, SnapshotTable
 
-        lock = fsmod.join(self._dir, "_commit.lock")
-        token = json.dumps({"ts": time.time(), "pid": __import__("os").getpid()})
-        if not self._fs.create_exclusive(lock, token):
-            try:
-                held = json.loads(self._fs.read_text(lock))
-                stale = (
-                    time.time() - held.get("ts", 0)
-                    > SnapshotTable._LOCK_TTL_S
-                )
-            except (FileNotFoundError, ValueError):
-                stale = True
-            if stale:
-                try:
-                    self._fs.delete_file(lock)
-                except (FileNotFoundError, OSError):
-                    pass
-            if not self._fs.create_exclusive(lock, token):
-                raise CommitConflict(
-                    f"catalog commit lock on {self.root} is held by "
-                    "another writer; retry"
-                )
         try:
-            parent = self.current_version()
-            v = (parent + 1) if parent is not None else 0
-            doc = {
-                "version": v,
-                "parent": parent,
-                "created_ms": int(time.time() * 1000),
-                "pins": dict(sorted(pins.items())),
-                "note": note,
-            }
-            self._fs.write_text_atomic(
-                fsmod.join(self._dir, f"v-{v}.json"),
-                json.dumps(doc, indent=1),
-            )
-            self._fs.write_text_atomic(
-                self._current_path(), json.dumps({"version": v})
-            )
-        finally:
-            try:
-                self._fs.delete_file(lock)
-            except (FileNotFoundError, OSError):
-                pass
+            with fsmod.commit_lock(
+                self._fs,
+                fsmod.join(self._dir, "_commit.lock"),
+                SnapshotTable._LOCK_TTL_S,
+            ):
+                parent = self.current_version()
+                if (
+                    expected_version is not self._UNCHECKED
+                    and parent != expected_version
+                ):
+                    raise CommitConflict(
+                        f"concurrent catalog commit on {self.root}: built "
+                        f"on version {expected_version} but the catalog "
+                        f"now points at {parent}; re-read and retry"
+                    )
+                v = (parent + 1) if parent is not None else 0
+                ids = self._existing_version_ids()
+                if ids:
+                    v = max(v, max(ids) + 1)
+                doc = {
+                    "version": v,
+                    "parent": parent,
+                    "created_ms": int(time.time() * 1000),
+                    "pins": dict(sorted(pins.items())),
+                    "note": note,
+                }
+                self._fs.write_text_atomic(
+                    fsmod.join(self._dir, f"v-{v}.json"),
+                    json.dumps(doc, indent=1),
+                )
+                self._fs.write_text_atomic(
+                    self._current_path(), json.dumps({"version": v})
+                )
+        except fsmod.LockHeld:
+            raise CommitConflict(
+                f"catalog commit lock on {self.root} is held by another "
+                "writer; retry"
+            ) from None
         return v
 
     def read(
@@ -202,17 +222,39 @@ class Catalog:
 
 
 def advance_pin(
-    warehouse_root: str, table: str, new_snapshot: int, note: str = "compact"
+    warehouse_root: str,
+    table: str,
+    new_snapshot: int,
+    note: str = "compact",
+    max_retries: int = 3,
 ) -> int | None:
     """After a maintenance rewrite of one table, advance the warehouse
     catalog (if one exists and governs the table) so catalog readers see
     the rewritten snapshot as part of a consistent set. No-op (returns
     None) when the warehouse has no catalog, the table is unpinned, or
-    the pin already matches."""
+    the pin already matches.
+
+    Read-modify-write under CAS: the pins are re-read and the single-pin
+    update retried if another commit (e.g. a concurrent pipeline run)
+    landed between the read and the commit — without this, the wholesale
+    re-commit would silently revert the other writer's pins."""
+    from .table import CommitConflict
+
     cat = Catalog(warehouse_root)
-    if cat.current_version() is None:
-        return None
-    pins = cat.pins()
-    if table not in pins or pins[table] == new_snapshot:
-        return None
-    return cat.commit({**pins, table: new_snapshot}, note=note)
+    for _ in range(max_retries):
+        v = cat.current_version()
+        if v is None:
+            return None
+        pins = cat.pins(v)
+        if table not in pins or pins[table] == new_snapshot:
+            return None
+        try:
+            return cat.commit(
+                {**pins, table: new_snapshot}, note=note, expected_version=v
+            )
+        except CommitConflict:
+            continue  # catalog moved: re-read pins and re-apply
+    raise CommitConflict(
+        f"advance_pin on {warehouse_root}/{table} lost the catalog race "
+        f"{max_retries} times; retry"
+    )

@@ -249,27 +249,17 @@ def apply_changes(
             add,
             bloom_columns=[key_cols[0]] if len(key_cols) == 1 else None,
         )
+    from .table import plan_hit_files
+
     touched = changes.select(*key_cols).distinct()
-    hit_files: list[str] | None = None
-    if len(key_cols) == 1:
-        vals = sorted(
-            r[key_cols[0]] for r in touched.collect()
-        )  # bounded by the batch's churned keys
-        rel = mirror.prune_files_any(key_cols[0], vals)
-        if rel is not None:
-            hit_files = sorted(rel)
-    if hit_files is None:
-        hit_files = sorted(
-            r["__f"]
-            for r in mirror.read(spark)
-            .withColumn("__f", F.input_file_name())
-            .join(touched, key_cols, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+    hit_files = plan_hit_files(spark, mirror, touched, key_cols)
     cur_hit = mirror.read_files(spark, hit_files)
-    replacement = cur_hit.join(touched, key_cols, "left_anti").unionByName(
-        add
+    # null-safe anti join, matching the planner: NULL-keyed rows must be
+    # replaced like any other, not silently kept alongside their postimage
+    cond = F.expr(" AND ".join(f"c.{k} <=> k.{k}" for k in key_cols))
+    replacement = (
+        cur_hit.alias("c")
+        .join(touched.alias("k"), cond, "left_anti")
+        .unionByName(add)
     )
     return mirror.rewrite_files(hit_files, replacement)

@@ -61,6 +61,7 @@ class FS(Protocol):
     def read_text(self, path: str) -> str: ...
     def write_text_atomic(self, path: str, text: str) -> None: ...
     def create_exclusive(self, path: str, text: str) -> bool: ...
+    def rename(self, src: str, dst: str) -> bool: ...
     def mkdirs(self, path: str) -> None: ...
     def list_files(self, base: str, ext: str) -> list[str]: ...
     def list_sizes(self, base: str, ext: str) -> dict[str, int]: ...
@@ -93,6 +94,14 @@ class LocalFS:
         finally:
             os.close(fd)
         return True
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic rename; False if src vanished (someone else moved it)."""
+        try:
+            os.rename(src, dst)
+            return True
+        except FileNotFoundError:
+            return False
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -197,6 +206,12 @@ class HadoopFS:
             stream.close()
         return True
 
+    def rename(self, src: str, dst: str) -> bool:
+        try:
+            return bool(self._fs.rename(self._path(src), self._path(dst)))
+        except Exception:
+            return False
+
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._path(path))
 
@@ -247,3 +262,50 @@ class HadoopFS:
 
 def fs_for(root: str) -> FS:
     return HadoopFS(root) if is_uri(root) else LocalFS()
+
+
+@__import__("contextlib").contextmanager
+def commit_lock(fs: FS, lock_path: str, ttl_s: float = 60.0):
+    """Exclusive commit lock with race-free stale-lock breaking.
+
+    Acquire = atomic create-if-absent. A lock older than ``ttl_s``
+    (crashed committer) is broken by RENAMING it to a unique name first —
+    rename is atomic, so when several writers see the same stale lock
+    exactly ONE wins the rename (and deletes the moved file); the losers'
+    renames fail and they re-contend on create. Deleting the stale lock
+    directly would let two writers both "break" it and both enter the
+    critical section — the lost-update the lock exists to prevent.
+
+    Raises :class:`LockHeld` when the lock is live. Callers catch it and
+    surface their own conflict type.
+    """
+    import json as _json
+    import time as _time
+
+    token = _json.dumps({"ts": _time.time(), "pid": os.getpid()})
+    if not fs.create_exclusive(lock_path, token):
+        try:
+            held = _json.loads(fs.read_text(lock_path))
+            stale = _time.time() - held.get("ts", 0) > ttl_s
+        except (FileNotFoundError, ValueError):
+            stale = False  # vanished mid-read: owner released; re-contend
+        if stale:
+            moved = f"{lock_path}.broken-{os.getpid()}-{_time.time_ns()}"
+            if fs.rename(lock_path, moved):  # exactly one breaker wins
+                try:
+                    fs.delete_file(moved)
+                except (FileNotFoundError, OSError):
+                    pass
+        if not fs.create_exclusive(lock_path, token):
+            raise LockHeld(lock_path)
+    try:
+        yield
+    finally:
+        try:
+            fs.delete_file(lock_path)
+        except (FileNotFoundError, OSError):
+            pass
+
+
+class LockHeld(RuntimeError):
+    """The commit lock is held by a live writer."""

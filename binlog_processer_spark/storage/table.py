@@ -161,39 +161,23 @@ class SnapshotTable:
         if expected_parent is self._UNCHECKED:
             self._fs.write_text_atomic(self._current_path(), doc)
             return
-        lock = self._join("_commit.lock")
-        token = json.dumps({"ts": time.time(), "pid": os.getpid()})
-        if not self._fs.create_exclusive(lock, token):
-            # held by someone else — or left by a crash: break stale locks
-            try:
-                held = json.loads(self._fs.read_text(lock))
-                stale = time.time() - held.get("ts", 0) > self._LOCK_TTL_S
-            except (FileNotFoundError, ValueError):
-                stale = True  # vanished or unreadable: retry the acquire
-            if stale:
-                try:
-                    self._fs.delete_file(lock)
-                except (FileNotFoundError, OSError):
-                    pass
-            if not self._fs.create_exclusive(lock, token):
-                raise CommitConflict(
-                    f"commit lock on {self.root} is held by another "
-                    "writer; retry the commit"
-                )
         try:
-            cur = self.current_snapshot()
-            if cur != expected_parent:
-                raise CommitConflict(
-                    f"concurrent commit on {self.root}: built on parent "
-                    f"{expected_parent} but the table now points at {cur};"
-                    " re-read and retry"
-                )
-            self._fs.write_text_atomic(self._current_path(), doc)
-        finally:
-            try:
-                self._fs.delete_file(lock)
-            except (FileNotFoundError, OSError):
-                pass
+            with fsmod.commit_lock(
+                self._fs, self._join("_commit.lock"), self._LOCK_TTL_S
+            ):
+                cur = self.current_snapshot()
+                if cur != expected_parent:
+                    raise CommitConflict(
+                        f"concurrent commit on {self.root}: built on parent "
+                        f"{expected_parent} but the table now points at "
+                        f"{cur}; re-read and retry"
+                    )
+                self._fs.write_text_atomic(self._current_path(), doc)
+        except fsmod.LockHeld:
+            raise CommitConflict(
+                f"commit lock on {self.root} is held by another writer; "
+                "retry the commit"
+            ) from None
 
     def _write_manifest(self, snap_dir: str, manifest: dict) -> None:
         self._fs.write_text_atomic(
@@ -1286,3 +1270,47 @@ class SnapshotTable:
             out.append(m)
             snap = m["parent"]
         return out
+
+
+def plan_hit_files(
+    spark: SparkSession,
+    table: SnapshotTable,
+    touched: DataFrame,
+    key_cols: list[str],
+    bloom_col: str | None = None,
+) -> list[str]:
+    """Files of ``table`` that MAY contain any ``touched`` key — the hit
+    scope every file-scoped mutation (MERGE, CDF mirror apply, streaming
+    upsert) plans its rewrite from. Always a SUPERSET of the true hit set:
+    a false positive only rewrites a file unchanged, so exactness never
+    depends on the planner.
+
+    Fast path: bloom-index probes on ``bloom_col`` (defaults to the key
+    when single-column) — metadata only, the table is not read. NULL key
+    values disable it (a bloom cannot prove NULL absent; None also breaks
+    value ordering), falling back to the scan plan: an
+    ``input_file_name()`` semi-join using NULL-SAFE equality, so
+    NULL-keyed rows land in the hit scope instead of silently escaping
+    the mutation."""
+    if bloom_col is None and len(key_cols) == 1:
+        bloom_col = key_cols[0]
+    if bloom_col is not None:
+        vals = [
+            r[bloom_col]
+            for r in touched.select(bloom_col).distinct().collect()
+        ]  # bounded by the mutation's churned keys
+        if all(v is not None for v in vals):
+            rel = table.prune_files_any(bloom_col, sorted(vals))
+            if rel is not None:
+                return sorted(rel)
+    cur = table.read(spark).withColumn(
+        "__f", F.input_file_name()
+    ).alias("c")
+    cond = F.expr(" AND ".join(f"c.{k} <=> k.{k}" for k in key_cols))
+    return sorted(
+        r["__f"]
+        for r in cur.join(touched.alias("k"), cond, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    )

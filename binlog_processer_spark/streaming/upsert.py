@@ -131,23 +131,12 @@ def run_streaming_upsert(
         # scan as the fallback when the index can't answer. A bloom
         # false positive only rewrites an extra file unchanged; the
         # merge is exact over any superset of the true hit set.
+        from ..storage.table import plan_hit_files
+
         touched = batch_state.select(*KEYS).distinct()
-        keys = sorted(
-            {r["doc_id"] for r in touched.select("doc_id").collect()}
+        hit_files = plan_hit_files(
+            spark, state_table, touched, KEYS, bloom_col="doc_id"
         )
-        rel_hits = state_table.prune_files_any("doc_id", keys)
-        if rel_hits is not None:
-            hit_files = sorted(rel_hits)
-        else:
-            cur = state_table.read(spark)
-            hit_files = sorted(
-                r["__f"]
-                for r in cur.withColumn("__f", F.input_file_name())
-                .join(touched, KEYS, "left_semi")
-                .select("__f")
-                .distinct()
-                .collect()
-            )
         # read_files([]) yields an empty frame with the table schema
         cur_hit = state_table.read_files(spark, hit_files)
         # merging against only the hit files is exact: a key's rows live

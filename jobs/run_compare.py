@@ -101,7 +101,19 @@ def main() -> None:
     right, rt = _load(spark, args.right)
 
     if args.values:
-        values = [v.strip() for v in args.values.split(",") if v.strip()]
+        # paren-aware split: the help promises SQL exprs, and those carry
+        # commas inside calls — "coalesce(v,0),w" is two values, not three
+        values, depth, cur = [], 0, []
+        for ch in args.values:
+            if ch == "," and depth == 0:
+                values.append("".join(cur).strip())
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+        values.append("".join(cur).strip())
+        values = [v for v in values if v]
     else:
         values = sorted(
             (set(left.columns) & set(right.columns)) - set(keys)

@@ -96,19 +96,27 @@ def main() -> None:
     df, snap = feed.poll(spark)
     out["to"] = snap
     if df is not None:
-        if args.mirror:
-            from binlog_processer_spark.storage.changes import apply_changes
-
+        # the CDF batch feeds the sink write AND the row-count report (and
+        # in --mirror mode several sub-plans): pin it so the manifest-diff
+        # scan + signed-count aggregate run once, not per consumer
+        df = df.persist()
+        try:
             out["rows"] = df.count()
-            out["mirror_snapshot"] = apply_changes(spark, sink, df, keys)
-        else:
-            batch = df.withColumn("_feed_snapshot", F.lit(snap))
-            sink.write(
-                batch,
-                mode="append" if last is not None else "overwrite",
-                properties={"feed_snapshot": snap},
-            )
-            out["rows"] = batch.count()
+            if args.mirror:
+                from binlog_processer_spark.storage.changes import (
+                    apply_changes,
+                )
+
+                out["mirror_snapshot"] = apply_changes(spark, sink, df, keys)
+            else:
+                batch = df.withColumn("_feed_snapshot", F.lit(snap))
+                sink.write(
+                    batch,
+                    mode="append" if last is not None else "overwrite",
+                    properties={"feed_snapshot": snap},
+                )
+        finally:
+            df.unpersist()
     feed.commit(snap)
     print(json.dumps(out))
     spark.stop()

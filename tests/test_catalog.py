@@ -139,3 +139,36 @@ def test_compact_advances_catalog_and_expiry_respects_pins(tmp_path, spark):
     assert n > 0
     # the stale version's file was trimmed with the same retention depth
     assert [d["version"] for d in cat.history()] == [1]
+
+
+def test_catalog_versions_never_reuse_after_rollback(spark, tmp_path):
+    """A commit after rollback must mint PAST the rolled-past version
+    files, not clobber them — their pins still guard expiry."""
+    wh, cat = _wh(spark, tmp_path)  # v0
+    cat.table("fact").write(spark.range(0, 10).select("id"), mode="append")
+    cat.commit({"fact": 1, "counts": 0})  # v1
+    cat.rollback(0)
+    v = cat.commit({"fact": 0, "counts": 0})  # must NOT overwrite v-1.json
+    assert v == 2
+    assert cat.pins(1) == {"counts": 0, "fact": 1}  # old version intact
+    assert cat.pinned_snapshots("fact") >= {0}
+    # history walks current lineage only; the rolled-past v1 is an orphan
+    assert [d["version"] for d in cat.history()] == [2, 0]
+
+
+def test_catalog_commit_cas_and_advance_pin_retry(spark, tmp_path):
+    from binlog_processer_spark.storage.catalog import advance_pin
+    from binlog_processer_spark.storage.table import CommitConflict
+
+    wh, cat = _wh(spark, tmp_path)  # v0 pins fact@0, counts@0
+    cat.table("fact").write(spark.range(5).select("id"), mode="append")
+    with pytest.raises(CommitConflict):
+        cat.commit({"fact": 1}, expected_version=7)  # stale read
+    v = cat.commit({"fact": 1, "counts": 0}, expected_version=0)
+    assert v == 1
+    # advance_pin re-reads pins under CAS and only moves its one table
+    cat.table("fact").write(spark.range(5).select("id"), mode="append")
+    v2 = advance_pin(wh, "fact", 2, note="test")
+    assert v2 == 2
+    assert cat.pins() == {"counts": 0, "fact": 2}
+    assert advance_pin(wh, "fact", 2) is None  # already pinned: no-op

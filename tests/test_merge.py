@@ -95,3 +95,29 @@ def test_merge_bootstraps_empty_table(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "fresh"))
     snap = merge_into(spark, t, _src(spark, [("a", 1)]), on=["k"])
     assert snap == 0 and t.read(spark).count() == 1
+
+
+def test_merge_null_keys_are_planned_and_matched(spark, tmp_path):
+    """NULL-keyed rows ride the null-safe join AND the hit planner: with a
+    bloom index the planner must fall back to the scan (a bloom cannot
+    prove NULL absent) instead of crashing, and the NULL-keyed target row
+    must be updated, not duplicated."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "k string, v long"
+        ).repartition(3),
+        bloom_columns=["k"],
+    )
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(None, -2), ("c", 4)], "k string, v long"),
+        on=["k"],
+    )
+    got = sorted(
+        (r.k, r.v) for r in t.read(spark).collect()
+        if r.k is not None
+    )
+    nulls = [r.v for r in t.read(spark).collect() if r.k is None]
+    assert nulls == [-2]  # updated in place, not duplicated
+    assert got == [("a", 1), ("b", 3), ("c", 4)]

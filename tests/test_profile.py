@@ -109,3 +109,14 @@ def test_expectations_rules_and_null_semantics(spark):
         expectations(df, [{"rule": "nope", "column": "id"}])
     with pytest.raises(ValueError):
         expectations(df, [{"rule": "in_range", "column": "n"}])
+
+
+def test_expectations_quotes_in_rule_names(spark):
+    from binlog_processer_spark.operators.profile import expectations
+
+    df = spark.createDataFrame([(1,)], "n long")
+    rep = expectations(
+        df, [{"rule": "sql", "name": "can't be negative",
+              "predicate": "n >= 0"}]
+    ).collect()
+    assert rep[0].col_name == "can't be negative" and rep[0].passed
