@@ -144,6 +144,27 @@ class SnapshotTable:
             self._fs.read_text(self._join(f"snap-{snap}", "manifest.json"))
         )
 
+    def _reserve_snapshot(self) -> tuple[int, str]:
+        """Mint AND atomically claim a snapshot id: O_EXCL on a
+        ``.reserved`` marker inside the candidate dir, bumping on loss.
+        Without the claim, two concurrent writers that minted the same id
+        both pass Spark's errorifexists pre-check and MERGE their output
+        files into one snap dir — the winner's snapshot then contains the
+        loser's rows, and the loser's retry lands them twice (caught by
+        tests/test_table_maintenance.py's concurrent-append test). A
+        reserved-but-never-committed dir (CAS loser, crash) is invisible
+        to readers and vacuumed by ``expire_snapshots``."""
+        n = self._next_snapshot()
+        token = json.dumps({"ts": time.time(), "pid": os.getpid()})
+        while True:
+            snap_dir = self._join(f"snap-{n}")
+            self._fs.mkdirs(snap_dir)
+            if self._fs.create_exclusive(
+                fsmod.join(snap_dir, ".reserved"), token
+            ):
+                return n, snap_dir
+            n += 1
+
     # a crashed committer's lock blocks writers for at most this long;
     # the lock is held only across two metadata reads + one pointer flip
     _LOCK_TTL_S = 60.0
@@ -637,8 +658,7 @@ class SnapshotTable:
         probes in ``prune_files``/``read_where`` skip files whose bloom
         proves the key absent."""
         parent = self.current_snapshot()
-        snap = self._next_snapshot()
-        snap_dir = self._join(f"snap-{snap}")
+        snap, snap_dir = self._reserve_snapshot()
         data_dir = fsmod.join(snap_dir, "data")
         excluded: list[str] = []
         if parent is not None:
@@ -783,8 +803,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         m = self._manifest(parent)
         rel = {self._rel(p) for p in files}
-        snap = self._next_snapshot()
-        snap_dir = self._join(f"snap-{snap}")
+        snap, snap_dir = self._reserve_snapshot()
         self._fs.mkdirs(snap_dir)
         manifest = {
             **m,
@@ -863,8 +882,7 @@ class SnapshotTable:
                 f"migrate_schema: added columns {narrow_adds} must be "
                 "nullable (existing rows have no value for them)"
             )
-        snap = self._next_snapshot()
-        snap_dir = self._join(f"snap-{snap}")
+        snap, snap_dir = self._reserve_snapshot()
         self._fs.mkdirs(snap_dir)
         manifest = {
             **m,
@@ -928,8 +946,7 @@ class SnapshotTable:
             raise ValueError(
                 f"rewrite_files: not in the current snapshot: {sorted(unknown)[:5]}"
             )
-        snap = self._next_snapshot()
-        snap_dir = self._join(f"snap-{snap}")
+        snap, snap_dir = self._reserve_snapshot()
         data_dir = fsmod.join(snap_dir, "data")
         w = replacement.write.mode("errorifexists")
         partition_by = pm.get("partition_by") or []
