@@ -172,3 +172,49 @@ def test_catalog_commit_cas_and_advance_pin_retry(spark, tmp_path):
     assert v2 == 2
     assert cat.pins() == {"counts": 0, "fact": 2}
     assert advance_pin(wh, "fact", 2) is None  # already pinned: no-op
+
+
+def test_concurrent_catalog_commits_never_clobber(spark, tmp_path):
+    """8 threads race read-modify-write catalog commits through
+    advance_pin-style CAS retries: every thread's pin must be present in
+    the final version (no silently reverted commits), and every version
+    file must be distinct (no clobbered ids)."""
+    import threading
+
+    from binlog_processer_spark.storage.table import CommitConflict
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    t = cat.table("fact")
+    t.write(spark.range(5).select("id"))
+    cat.commit({"fact": 0})
+    errors: list[str] = []
+
+    def worker(i):
+        name = f"tbl{i}"
+        cat.table(name).write(spark.range(i + 1).select("id"))
+        for _ in range(40):
+            v = cat.current_version()
+            try:
+                cat.commit(
+                    {**cat.pins(v), name: 0},
+                    note=name,
+                    expected_version=v,
+                )
+                return
+            except CommitConflict:
+                continue
+        errors.append(f"{name} exhausted retries")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    pins = cat.pins()
+    assert set(pins) == {"fact"} | {f"tbl{i}" for i in range(8)}
+    # 9 committed versions, all ids distinct, chain intact
+    vs = [d["version"] for d in cat.history()]
+    assert len(vs) == 9 and len(set(vs)) == 9 and vs[-1] == 0
