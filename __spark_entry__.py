@@ -900,6 +900,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_roundtrip"] = merge_roundtrip
 
+    # --- time travel: a tagged snapshot and a timestamp read both serve
+    #     the table EXACTLY as committed, after an overwrite replaced it ---
+    def time_travel_read(spark, sf_dir):
+        import os
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        kept = _kept(spark, sf_dir)
+        cols = ["database_name", "table_name", "doc_id", "final_op",
+                "final_seq"]
+
+        def _live(ev):
+            return (
+                agg.final_state(ev)
+                .filter(F.col("final_op") != "Delete")
+                .select(*cols)
+            )
+
+        tbl = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix="blp_tt_"), "state")
+        )
+        tbl.write(_live(kept.filter(F.col("event_seq") % 3 != 0)))
+        tbl.tag("v1")
+        tbl.write(_live(kept), mode="overwrite")
+        as_of = tbl.read_as_of(spark, tbl._manifest(0)["created_ms"])
+        tagged = tbl.read(spark, "v1")
+        # both travel paths must agree bit-for-bit before we answer
+        assert as_of.exceptAll(tagged).limit(1).count() == 0
+        assert tagged.exceptAll(as_of).limit(1).count() == 0
+        return tagged
+
+    q["time_travel_read"] = time_travel_read
+
     # --- repair (MERGE semantics) — ONE event replay shared by replica
     # derivation, reconcile, and repair (AvroDataReader.java:95-135 replays
     # once; recomputing final_state per stage was a 3x scan) ---
@@ -2683,6 +2717,15 @@ grid AS (
         " FROM final_state"
         " WHERE final_op <> 'Delete' AND cast(doc_id AS bigint) % 17 = 5",
         _X_ENRICHED + "," + _X_FINAL_STATE,
+    )
+    o["time_travel_read"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, final_op, final_seq"
+        " FROM (SELECT database_name, table_name, doc_id,"
+        "   arg_max(op, event_seq) AS final_op,"
+        "   max(event_seq) AS final_seq"
+        "   FROM kept WHERE event_seq % 3 <> 0 GROUP BY 1, 2, 3)"
+        " WHERE final_op <> 'Delete'",
+        _X_ENRICHED,
     )
     _cdf_state = (
         "SELECT database_name, table_name, doc_id,"
