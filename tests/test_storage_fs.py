@@ -96,3 +96,42 @@ def test_maintenance_over_file_uri(spark, tmp_path):
     assert exp["files_deleted"] == 6 and exp["bytes_freed"] > 0
     assert len(exp["snapshots_removed"]) == 3
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(30))
+
+
+def test_commit_lock_acquire_stale_break_release(tmp_path):
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from binlog_processer_spark.storage import fs as fsmod
+
+    f = fsmod.LocalFS()
+    lock = str(tmp_path / "_commit.lock")
+
+    # plain acquire/release, including release on exception
+    with fsmod.commit_lock(f, lock):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    with pytest.raises(RuntimeError, match="boom"):
+        with fsmod.commit_lock(f, lock):
+            raise RuntimeError("boom")
+    assert not os.path.exists(lock)
+
+    # a live foreign lock blocks
+    with open(lock, "w") as fh:
+        json.dump({"ts": time.time(), "pid": 0}, fh)
+    with pytest.raises(fsmod.LockHeld):
+        with fsmod.commit_lock(f, lock):
+            pass
+    os.remove(lock)
+
+    # a stale lock is broken via rename (no .broken residue) and acquired
+    with open(lock, "w") as fh:
+        json.dump({"ts": time.time() - 3600, "pid": 0}, fh)
+    with fsmod.commit_lock(f, lock, ttl_s=60):
+        held = json.load(open(lock))
+        assert held["pid"] == os.getpid()  # ours now
+    assert not os.path.exists(lock)
+    assert not [p for p in os.listdir(tmp_path) if ".broken-" in p]
