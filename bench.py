@@ -255,12 +255,17 @@ def run_query_bench(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(
         f"bench-q-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    from binlog_processer_spark.operators._cache import unpin_all
+
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
+        # each query is timed cold: release anything it pinned (LSH
+        # signatures etc.) so later queries aren't fighting its cache
+        unpin_all()
     spark.stop()
     return out
 

@@ -93,8 +93,15 @@ def merge_into(
     s = source.alias("s")
 
     if validate and (matched_update is not None or matched_delete):
+        # null-safe, matching the merge join itself: a NULL-keyed source
+        # row matching several NULL-keyed target rows must trip the check
+        # too, or the action silently applies to every match
         multi = (
-            t.join(s, on, "left_semi")
+            t.join(
+                s,
+                F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in on)),
+                "left_semi",
+            )
             .groupBy(*on)
             .count()
             .filter(F.col("count") > 1)
@@ -119,8 +126,13 @@ def merge_into(
     s_here = F.expr(" OR ".join(f"s.{c} IS NOT NULL" for c in tcols))
     matched = t_here & s_here
 
+    # SQL MERGE deletes only on cond = TRUE; a NULL condition (e.g. the
+    # predicate references a NULL column) must KEEP the row, so coalesce
+    # the three-valued result to false before it reaches filter()
     delete_cond = (
-        matched & F.expr(matched_delete) if matched_delete else F.lit(False)
+        matched & F.coalesce(F.expr(matched_delete), F.lit(False))
+        if matched_delete
+        else F.lit(False)
     )
 
     def _out(col: str) -> F.Column:

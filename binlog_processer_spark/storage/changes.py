@@ -106,13 +106,21 @@ def table_changes(
         change = F.when(F.col("__delta") > 0, "insert").otherwise("delete")
         classified = residue
     else:
-        # per-key sign presence classifies updates; the sides aggregate is
-        # bounded by the churned keys and AQE broadcasts it when tiny
-        sides = residue.groupBy(*key_cols).agg(
-            F.max(F.when(F.col("__delta") > 0, 1).otherwise(0)).alias("__hn"),
-            F.max(F.when(F.col("__delta") < 0, 1).otherwise(0)).alias("__ho"),
+        # per-key sign presence classifies updates. Window over the key
+        # cols, not aggregate+join: partitionBy groups NULL keys together
+        # (null-safe — an equi-join would drop NULL-keyed changes, since
+        # NULL != NULL), and it's one exchange on the residue instead of
+        # an aggregate plus a join.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols)
+        classified = residue.withColumn(
+            "__hn",
+            F.max(F.when(F.col("__delta") > 0, 1).otherwise(0)).over(w),
+        ).withColumn(
+            "__ho",
+            F.max(F.when(F.col("__delta") < 0, 1).otherwise(0)).over(w),
         )
-        classified = residue.join(sides, key_cols)
         change = F.when(
             F.col("__delta") > 0,
             F.when(F.col("__ho") == 1, "update_postimage").otherwise("insert"),

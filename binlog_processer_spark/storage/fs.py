@@ -58,6 +58,13 @@ def rel_to(path: str, base: str) -> str:
 
 
 class FS(Protocol):
+    #: True when ``rename`` is a single atomic metadata operation (POSIX,
+    #: HDFS). Object stores emulate it as copy+delete — two writers racing
+    #: a stale-lock break can then BOTH succeed, so ``commit_lock`` refuses
+    #: TTL breaks when this is False (the Iceberg HadoopCatalog caveat,
+    #: enforced instead of documented).
+    rename_is_atomic: bool
+
     def read_text(self, path: str) -> str: ...
     def write_text_atomic(self, path: str, text: str) -> None: ...
     def create_exclusive(self, path: str, text: str) -> bool: ...
@@ -72,6 +79,8 @@ class FS(Protocol):
 
 
 class LocalFS:
+    rename_is_atomic = True  # POSIX rename(2)
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
@@ -141,6 +150,13 @@ class HadoopFS:
     """Hadoop FileSystem bridge (py4j). Needs an active SparkSession — the
     same requirement as every data read/write on a remote table."""
 
+    # schemes whose rename is one atomic namespace operation; everything
+    # else (s3a/s3/s3n/gs/oss/wasb/abfs/swift...) emulates rename as
+    # copy+delete and must not be trusted for stale-lock breaking
+    _ATOMIC_RENAME_SCHEMES = frozenset(
+        {"file", "hdfs", "viewfs", "webhdfs", "har", "local"}
+    )
+
     def __init__(self, uri: str):
         from pyspark.sql import SparkSession
 
@@ -157,6 +173,8 @@ class HadoopFS:
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI.create(uri), hconf
         )
+        scheme = (self._fs.getUri().getScheme() or "file").lower()
+        self.rename_is_atomic = scheme in self._ATOMIC_RENAME_SCHEMES
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -290,6 +308,18 @@ def commit_lock(fs: FS, lock_path: str, ttl_s: float = 60.0):
         except (FileNotFoundError, ValueError):
             stale = False  # vanished mid-read: owner released; re-contend
         if stale:
+            if not getattr(fs, "rename_is_atomic", True):
+                # copy+delete rename (S3A-style): two breakers racing the
+                # same stale lock can BOTH "win" and double-commit. Fail
+                # loudly — clearing a crashed committer's lock on such a
+                # store is an operator action (or a conditional-put
+                # catalog's job), never an automatic TTL break.
+                raise LockHeld(
+                    f"{lock_path}: stale (> {ttl_s}s) but this filesystem's "
+                    "rename is copy+delete, so an automatic break could "
+                    "double-commit; remove the lock manually or commit "
+                    "through a catalog with conditional puts"
+                )
             moved = f"{lock_path}.broken-{os.getpid()}-{_time.time_ns()}"
             if fs.rename(lock_path, moved):  # exactly one breaker wins
                 try:

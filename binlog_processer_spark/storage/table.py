@@ -168,6 +168,9 @@ class SnapshotTable:
     # a crashed committer's lock blocks writers for at most this long;
     # the lock is held only across two metadata reads + one pointer flip
     _LOCK_TTL_S = 60.0
+    # a reserved-but-uncommitted snap dir younger than this survives
+    # expire_snapshots (in-flight writer grace — Iceberg orphan min-age)
+    _RESERVE_GRACE_S = 300.0
     _UNCHECKED = object()  # sentinel: pointer move without a parent check
 
     def _commit(self, snap: int, expected_parent=_UNCHECKED) -> None:
@@ -1165,6 +1168,27 @@ class SnapshotTable:
             s = int(name.split("-", 1)[1])
             if s in kept:
                 continue
+            # an in-flight writer's freshly reserved dir (marker, no
+            # manifest yet) must survive expiry: Spark may be mid-save
+            # into it, and rmtree here loses its files between the save
+            # and the commit-time inventory (Iceberg's orphan-file
+            # min-age). Only stale reservations (crashed writers) past
+            # the grace TTL are vacuumed.
+            try:
+                self._manifest(s)
+            except FileNotFoundError:
+                try:
+                    token = json.loads(
+                        self._fs.read_text(
+                            fsmod.join(self._join(name), ".reserved")
+                        )
+                    )
+                    if time.time() - float(token.get("ts", 0)) < (
+                        self._RESERVE_GRACE_S
+                    ):
+                        continue  # live reservation — leave it alone
+                except (FileNotFoundError, ValueError, TypeError):
+                    pass  # no marker / unreadable: legacy orphan, vacuum
             removed_snaps.append(s)
             # expired snapshot's files that no kept snapshot still reads
             try:

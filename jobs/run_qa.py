@@ -195,6 +195,11 @@ def main() -> None:
         out["vectors_unusable"] = eq.filter(~F.col("usable")).count()
 
     print(json.dumps(out))
+    # release anything an operator pinned (filter_funnel etc. persist
+    # intermediates); a long QA session must not accumulate cached plans
+    from binlog_processer_spark.operators._cache import unpin_all
+
+    unpin_all()
     spark.stop()
 
 

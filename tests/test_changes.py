@@ -165,3 +165,36 @@ def test_change_feed_cursor_at_least_once(spark, tmp_path):
     assert {r._change_type for r in df4.collect()} == {"insert"}
     boot.commit(snap4)
     assert boot.poll(spark)[0] is None
+
+
+def test_null_keyed_changes_survive_key_classification(spark, tmp_path):
+    """A NULL-keyed insert/delete must not vanish when key_cols is set:
+    the classifier groups per key null-safely (window partitionBy), where
+    a plain equi-join against a per-key sides table drops NULL keys."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([("a", 1)], "k string, v long").coalesce(1)
+    )
+    t.write(
+        spark.createDataFrame([(None, 9), ("b", 2)], "k string, v long")
+        .coalesce(1),
+        mode="append",
+    )
+    ch = table_changes(spark, t, since=0, key_cols=["k"])
+    rows = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    assert rows == {(None, 9, "insert"), ("b", 2, "insert")}
+
+    # and a NULL-keyed update classifies as pre/postimage, not insert+delete
+    f = t.read(spark).withColumn("f", F.input_file_name()).filter(
+        "k IS NULL"
+    ).collect()[0]["f"]
+    mod = t.read_files(spark, [f]).withColumn(
+        "v", F.when(F.col("k").isNull(), F.lit(-9)).otherwise(F.col("v"))
+    )
+    t.rewrite_files([f], mod)
+    ch2 = table_changes(spark, t, since=1, key_cols=["k"])
+    rows2 = {(r.k, r.v, r._change_type) for r in ch2.collect()}
+    assert rows2 == {
+        (None, 9, "update_preimage"),
+        (None, -9, "update_postimage"),
+    }

@@ -121,3 +121,40 @@ def test_merge_null_keys_are_planned_and_matched(spark, tmp_path):
     nulls = [r.v for r in t.read(spark).collect() if r.k is None]
     assert nulls == [-2]  # updated in place, not duplicated
     assert got == [("a", 1), ("b", 3), ("c", 4)]
+
+
+def test_matched_delete_null_condition_keeps_the_row(spark, tmp_path):
+    """SQL MERGE deletes only on cond = TRUE: a condition that evaluates
+    to NULL (predicate over a NULL column) must keep the matched row."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v long"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [("a", None), ("b", 99)],
+        "k string, v long",
+    )
+    # s.v = 99 is NULL for k='a' (s.v NULL) — 'a' must survive, updated
+    merge_into(
+        spark, t, src, on=["k"],
+        matched_update="all", matched_delete="s.v = 99",
+    )
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {"a": None}  # 'b' deleted, 'a' kept (updated to NULL)
+
+
+def test_cardinality_check_catches_null_key_multimatch(spark, tmp_path):
+    """Validation must use the same null-safe join as the merge itself:
+    one NULL-keyed source row matching two NULL-keyed target rows is
+    ambiguous and must raise, not apply the update to both."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(None, 1), (None, 2), ("b", 3)], "k string, v long"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame([(None, 99)], "k string, v long")
+    with pytest.raises(MergeCardinalityError):
+        merge_into(spark, t, src, on=["k"], matched_update="all")

@@ -135,3 +135,52 @@ def test_commit_lock_acquire_stale_break_release(tmp_path):
         assert held["pid"] == os.getpid()  # ours now
     assert not os.path.exists(lock)
     assert not [p for p in os.listdir(tmp_path) if ".broken-" in p]
+
+
+def test_commit_lock_refuses_ttl_break_on_copy_delete_rename(tmp_path):
+    """On a store whose rename is copy+delete (S3A-style), two writers
+    racing a stale-lock break can both 'win' — so commit_lock must refuse
+    the automatic TTL break and raise LockHeld instead."""
+    import json
+    import os
+    import shutil
+    import time
+
+    import pytest
+
+    from binlog_processer_spark.storage import fs as fsmod
+
+    class CopyDeleteFS(fsmod.LocalFS):
+        """LocalFS with an object-store rename: copy then delete. Both of
+        two racing breakers' renames 'succeed' (copy overwrites, delete
+        is idempotent) — the double-commit hazard."""
+        rename_is_atomic = False
+
+        def rename(self, src, dst):
+            try:
+                shutil.copyfile(src, dst)
+                os.remove(src)
+                return True
+            except FileNotFoundError:
+                return False
+
+    f = CopyDeleteFS()
+    lock = str(tmp_path / "_commit.lock")
+
+    # sanity: the emulated rename really is non-atomic — a second breaker
+    # whose copy raced the first's delete would also report success, which
+    # is exactly why the TTL break below must be refused
+    with open(lock, "w") as fh:
+        json.dump({"ts": time.time() - 3600, "pid": 0}, fh)
+
+    with pytest.raises(fsmod.LockHeld, match="copy"):
+        with fsmod.commit_lock(f, lock, ttl_s=60):
+            pass
+    assert os.path.exists(lock)  # the stale lock was NOT broken
+
+    # uncontended acquire still works on such stores (create_exclusive
+    # needs no rename), and a live lock still blocks
+    os.remove(lock)
+    with fsmod.commit_lock(f, lock):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

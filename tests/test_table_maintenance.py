@@ -282,3 +282,34 @@ def test_concurrent_appends_serialize_without_lost_updates(spark, tmp_path):
     chain = t.history()
     assert len(chain) == 9 and chain[-1]["parent"] is None
     assert not os.path.exists(os.path.join(t.root, "_commit.lock"))
+
+
+def test_expire_spares_live_reservation_vacuums_stale(spark, tmp_path):
+    """expire_snapshots must not rmtree a concurrent writer's freshly
+    reserved (marker, no manifest yet) snap dir — Spark may be mid-save
+    into it. A stale reservation past the grace TTL is vacuumed."""
+    import json as _json
+    import time as _time
+
+    t = _t(spark, tmp_path)
+    _append(spark, t, 100, 110)
+    _append(spark, t, 110, 120)
+    # simulate an in-flight writer: reserved dir + staged data, no manifest
+    live = os.path.join(t.root, "snap-99")
+    os.makedirs(live)
+    with open(os.path.join(live, ".reserved"), "w") as f:
+        f.write(_json.dumps({"ts": _time.time(), "pid": 1}))
+    with open(os.path.join(live, "part-0.parquet"), "w") as f:
+        f.write("staged")
+    # and a crashed writer long past the grace window
+    stale = os.path.join(t.root, "snap-98")
+    os.makedirs(stale)
+    with open(os.path.join(stale, ".reserved"), "w") as f:
+        f.write(_json.dumps({"ts": _time.time() - 10_000, "pid": 2}))
+
+    res = t.expire_snapshots(keep_last=2)
+    assert os.path.isdir(live), "live reservation was vacuumed"
+    assert os.path.exists(os.path.join(live, "part-0.parquet"))
+    assert not os.path.isdir(stale), "stale reservation survived"
+    assert 99 not in res["snapshots_removed"]
+    assert 98 in res["snapshots_removed"]

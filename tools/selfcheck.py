@@ -5,7 +5,13 @@ Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
 row-count, column names, and order-insensitive values (columns sorted by
 name, rows sorted) — approximating the driver's value-hash compare.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--out ARTIFACT.json] [sf_dir] [query ...]
+
+With ``--out``, writes a driver-shaped JSON artifact — per query:
+``rows_match`` / ``schema_match`` / ``hash_match`` booleans (rows-only
+queries report ``hash_match: null``), row counts, error, and wall time —
+so the full-suite sweep is a committed, auditable record rather than a
+claim (VERDICT r3 next-round item 2).
 """
 
 from __future__ import annotations
@@ -94,13 +100,23 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
 
 
 def main():
+    import json
+    import time
+
     import duckdb
 
     import __spark_entry__ as entrymod
+    from binlog_processer_spark.operators._cache import unpin_all
     from binlog_processer_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -111,31 +127,80 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    record: dict[str, dict] = {}
+
+    def _rec(name, spdf=None, dpdf=None, errs=None, err=None, wall=0.0):
+        etxt = "; ".join(errs) if errs else err
+        record[name] = {
+            "rows_match": bool(
+                spdf is not None
+                and (dpdf is None or len(spdf) == len(dpdf))
+                and not any("rowcount" in e for e in errs or [])
+            ),
+            "schema_match": bool(
+                spdf is not None
+                and not any(
+                    e.startswith(("columns", "dtype-kind"))
+                    for e in errs or []
+                )
+            ),
+            # rows-only queries (no oracle) report null, like the driver
+            "hash_match": (
+                None
+                if spdf is not None and dpdf is None and not err
+                else bool(spdf is not None and dpdf is not None and not errs)
+            ),
+            "spark_rows": len(spdf) if spdf is not None else None,
+            "oracle_rows": len(dpdf) if dpdf is not None else None,
+            "err": etxt or None,
+            "wall_sec": round(wall, 3),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            _rec(name, err=f"spark error: {e}", wall=time.time() - t0)
             continue
+        finally:
+            unpin_all()  # queries pin LSH/IVF intermediates; time them cold
         if name not in oracles:
             print(f"PASS {name} (rows-only: {len(spdf)} rows)")
+            _rec(name, spdf=spdf, wall=time.time() - t0)
             continue
         try:
             dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            _rec(name, spdf=spdf, err=f"duckdb error: {e}",
+                 wall=time.time() - t0)
             continue
         errs = compare(name, spdf, dpdf)
+        _rec(name, spdf=spdf, dpdf=dpdf, errs=errs, wall=time.time() - t0)
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             failed.append(name)
         else:
             print(f"PASS {name} ({len(spdf)} rows)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    n_run = len(record) if only else len(qs)
+    print(f"\n{n_run - len(failed)}/{n_run} pass")
+    if out_path:
+        doc = {
+            "sf_dir": sf_dir,
+            "queries_total": len(qs),
+            "queries_run": len(record),
+            "failed": sorted(failed),
+            "results": record,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        print(f"artifact: {out_path}")
     sys.exit(1 if failed else 0)
 
 
