@@ -42,6 +42,25 @@ from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from . import fs as fsmod
 
+
+def _bloom_bits_from_keys(
+    keys, n: int, bits_per_key: int, k: int
+) -> tuple[int, bytes]:
+    """Bloom bit array over ``n`` canonical byte keys — module-level so
+    the commit-time ``applyInPandas`` builder ships it to executors by
+    module reference. Same blake2b double-hash scheme as
+    ``SnapshotTable._bloom_seed``/``_bloom_might_contain`` probe-side."""
+    m_bits = max(64, ((n * bits_per_key + 7) // 8) * 8)
+    bits = bytearray(m_bits // 8)
+    for vb in keys:
+        d = hashlib.blake2b(vb, digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    return m_bits, bytes(bits)
+
 # widening promotions the Spark 4 parquet reader applies at SCAN time (so a
 # migrated schema serves old files unrewritten) — deliberately the same set
 # the reference's SchemaConverter.java:14-74 promotes between schema
@@ -271,68 +290,151 @@ class SnapshotTable:
             return v.isoformat()
         return None
 
-    def _footer_stats(
-        self, rel_files: list[str], columns: list[str]
-    ) -> dict[str, dict]:
-        """Per-file ``{col: [min, max]}`` zone maps for top-level columns,
-        read from parquet FOOTERS only (no data pages) — one bounded
-        driver-side pass per commit, the Iceberg-manifest technique that
-        lets selective reads skip files entirely at 10^12 rows.
+    # Spark dtypes whose min/max survive a JSON round-trip order-intact
+    # (the _stat_scalar contract); everything else is skipped → unknown →
+    # pruning keeps the file, exactness never at risk
+    _STAT_DTYPES = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "boolean", "date", "timestamp",
+    )
+    # dtypes whose canonical byte form matches _bloom_bytes after a
+    # cast-to-string (str(int) == Spark's int→string cast; strings as-is)
+    _BLOOM_DTYPES = ("string", "tinyint", "smallint", "int", "bigint")
 
-        Per column per file: ``[min, max]`` when every column chunk
-        carries trustworthy min/max; ``None`` when the column holds no
-        non-null value in the file (range predicates can drop it
-        outright); ABSENT when any chunk lacks stats or the value type
-        is not order-comparable across JSON (pruning then keeps the
-        file — unknown is always safe). URI-rooted tables record no
-        stats here (footers are not reachable driver-side without a
-        Hadoop stream); on a real cluster collect them executor-side
-        with an ``input_file_name()`` aggregate instead.
+    def _collect_file_stats(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        stats_columns: list[str],
+        bloom_columns: list[str],
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """Per-file zone maps AND bloom filters for freshly written files,
+        computed ON THE EXECUTORS — ``(file_stats, blooms)``.
+
+        One column-pruned Spark read of the new files, keyed by
+        ``input_file_name()``:
+
+        - zone maps: a codegen min/max aggregate, one tiny row per file
+          collected. ``[min, max]`` per column; ``None`` when the file
+          holds no non-null value (range predicates drop it outright);
+          ABSENT when the column is missing from the files' physical
+          schema (partition columns live in the path) or its type has no
+          stable JSON order — pruning then keeps the file, always safe.
+        - blooms: distinct ``(file, column, value)`` triples (map-side
+          partial distinct shrinks the shuffle to the keys), then an
+          ``applyInPandas`` per (file, column) group builds the bit
+          array — Python cost bounded by distinct keys per file, parallel
+          across files, never on the driver.
+
+        Works identically for plain and URI-rooted (HDFS/S3) tables: the
+        executors read through Hadoop exactly as the write did, so remote
+        tables keep file pruning — the feature that matters most at 10^12
+        rows (the reference's native habitat is HDFS,
+        HdfsStorage.java:40-104). The commit critical section (_commit's
+        pointer flip) stays metadata-only; this runs before it.
+
+        New files always come from ONE DataFrame's save, so they share a
+        physical schema — mixed-schema hazards (a column in one file's
+        data and another file's path) cannot arise within a commit.
         """
-        if fsmod.is_uri(self.root):
-            return {}
-        try:
-            import pyarrow.parquet as pq
-        except ImportError:  # pragma: no cover - pyarrow ships in env
-            return {}
-        want = set(columns)
-        out: dict[str, dict] = {}
-        for rel in rel_files:
-            md = pq.ParquetFile(self._join(rel)).metadata
-            agg: dict[str, list | None] = {}
-            unknown: set[str] = set()
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                for i in range(rg.num_columns):
-                    cc = rg.column(i)
-                    name = cc.path_in_schema
-                    if name not in want or name in unknown:
+        if not rel_files or not (stats_columns or bloom_columns):
+            return {}, {}
+        df = spark.read.parquet(*[self._join(p) for p in rel_files])
+        have = dict(df.dtypes)
+        scols = [
+            c
+            for c in stats_columns or []
+            if have.get(c, "").startswith(self._STAT_DTYPES)
+        ]
+        bcols = [
+            c
+            for c in bloom_columns or []
+            if have.get(c) in self._BLOOM_DTYPES
+        ]
+
+        file_stats: dict[str, dict] = {}
+        if scols:
+            aggs = []
+            for i, c in enumerate(scols):
+                aggs += [
+                    F.min(c).alias(f"__mn{i}"),
+                    F.max(c).alias(f"__mx{i}"),
+                ]
+            for r in (
+                df.groupBy(F.input_file_name().alias("__f"))
+                .agg(*aggs)
+                .collect()
+            ):
+                per: dict = {}
+                for i, c in enumerate(scols):
+                    mn, mx = r[f"__mn{i}"], r[f"__mx{i}"]
+                    if mn is None:
+                        per[c] = None  # no non-null values in this file
                         continue
-                    st = cc.statistics
-                    if st is None:
-                        unknown.add(name)
-                        continue
-                    if not st.has_min_max:
-                        # no bounds: fine only if the chunk is all-null
-                        if st.null_count == cc.num_values:
-                            agg.setdefault(name, None)
-                        else:
-                            unknown.add(name)
-                        continue
-                    mn = self._stat_scalar(st.min)
-                    mx = self._stat_scalar(st.max)
-                    if mn is None or mx is None:
-                        unknown.add(name)  # not JSON-order-comparable
-                        continue
-                    cur = agg.get(name)
-                    if cur is None:
-                        agg[name] = [mn, mx]
-                    else:
-                        agg[name] = [min(cur[0], mn), max(cur[1], mx)]
-            out[rel] = {
-                c: v for c, v in agg.items() if c not in unknown
-            }
-        return out
+                    mns, mxs = self._stat_scalar(mn), self._stat_scalar(mx)
+                    if mns is None or mxs is None:
+                        continue  # not JSON-order-comparable → unknown
+                    per[c] = [mns, mxs]
+                file_stats[self._rel(r["__f"])] = per
+
+        blooms: dict[str, dict] = {}
+        if bcols:
+            kv = [
+                x
+                for c in bcols
+                for x in (F.lit(c), F.col(c).cast("string"))
+            ]
+            pairs = (
+                df.select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.create_map(*kv)).alias("__c", "__v"),
+                )
+                .where(F.col("__v").isNotNull())
+                .distinct()
+            )
+            bpk, k, max_keys = (
+                self._BLOOM_BITS_PER_KEY,
+                self._BLOOM_K,
+                self._BLOOM_MAX_KEYS,
+            )
+
+            def _build(pdf):
+                import pandas as pd
+
+                n = len(pdf)
+                if n == 0 or n > max_keys:
+                    # beyond the cap: not recorded (pruning keeps the file)
+                    return pd.DataFrame(
+                        {"__f": [], "__c": [], "m": [], "k": [], "b64": []}
+                    )
+                m_bits, raw = _bloom_bits_from_keys(
+                    (v.encode("utf-8") for v in pdf["__v"]), n, bpk, k
+                )
+                return pd.DataFrame(
+                    [
+                        {
+                            "__f": pdf["__f"].iloc[0],
+                            "__c": pdf["__c"].iloc[0],
+                            "m": m_bits,
+                            "k": k,
+                            "b64": base64.b64encode(raw).decode("ascii"),
+                        }
+                    ]
+                )
+
+            for r in (
+                pairs.groupBy("__f", "__c")
+                .applyInPandas(
+                    _build, "__f string, __c string, m int, k int, b64 string"
+                )
+                .collect()
+            ):
+                blooms.setdefault(self._rel(r["__f"]), {})[r["__c"]] = {
+                    "m": r["m"],
+                    "k": r["k"],
+                    "b64": r["b64"],
+                }
+        return file_stats, blooms
 
     # -- bloom file index --------------------------------------------------
     _BLOOM_BITS_PER_KEY = 16
@@ -374,70 +476,6 @@ class SnapshotTable:
             for p in ((h1 + i * h2) % m for i in range(k))
         )
 
-    def _build_blooms(
-        self, rel_files: list[str], columns: list[str]
-    ) -> dict[str, dict]:
-        """Per-file per-column bloom filters over the DISTINCT values of
-        string/int columns — the point-lookup complement to the min/max zone
-        maps: a high-cardinality key spread uniformly across files has a
-        useless min/max range (every file spans the domain) but an excellent
-        bloom (each file holds few of the keys). Iceberg ships the same idea
-        as parquet bloom filters / Puffin sidecars. ~2 bytes per distinct
-        key per file at fpp ≈ 0.05%.
-
-        One column-pruned read of each NEW file at commit time, driver-side
-        (the _footer_stats posture — commit cost scales with new files only;
-        on a real cluster collect these executor-side with an
-        input_file_name() aggregate). Columns absent from a file (partition
-        columns live in the path) or of unsupported type are simply not
-        recorded — pruning keeps such files, exactness is never at risk."""
-        if fsmod.is_uri(self.root):
-            return {}
-        try:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-        except ImportError:  # pragma: no cover - pyarrow ships in env
-            return {}
-        out: dict[str, dict] = {}
-        for rel in rel_files:
-            pf = pq.ParquetFile(self._join(rel))
-            names = set(pf.schema_arrow.names)
-            per_col: dict[str, dict] = {}
-            for c in columns:
-                if c not in names:
-                    continue
-                vals = pc.unique(pf.read(columns=[c]).column(c))
-                keys: set[bytes] = set()
-                supported = True
-                for v in vals.to_pylist():
-                    vb = self._bloom_bytes(v)
-                    if vb is None:
-                        if v is not None:
-                            supported = False
-                            break
-                        continue  # nulls never match an equality probe
-                    keys.add(vb)
-                if not supported or len(keys) > self._BLOOM_MAX_KEYS:
-                    continue
-                m_bits = max(
-                    64,
-                    ((len(keys) * self._BLOOM_BITS_PER_KEY + 7) // 8) * 8,
-                )
-                bits = bytearray(m_bits // 8)
-                for vb in keys:
-                    h1, h2 = self._bloom_seed(vb)
-                    for i in range(self._BLOOM_K):
-                        p = (h1 + i * h2) % m_bits
-                        bits[p >> 3] |= 1 << (p & 7)
-                per_col[c] = {
-                    "m": m_bits,
-                    "k": self._BLOOM_K,
-                    "b64": base64.b64encode(bytes(bits)).decode("ascii"),
-                }
-            if per_col:
-                out[rel] = per_col
-        return out
-
     def _load_blooms(self, m: dict) -> dict:
         rel = m.get("blooms")
         if not rel:
@@ -452,16 +490,17 @@ class SnapshotTable:
         self,
         snap_dir: str,
         parent_m: dict | None,
-        new_files: list[str],
+        new_blooms: dict[str, dict],
         bloom_columns: list[str] | None = None,
         drop: set[str] | frozenset[str] = frozenset(),
     ) -> dict:
         """Manifest entries for the bloom index at commit: inherit the
         parent's column contract (a table that records blooms keeps
-        recording them), carry surviving per-file entries, build blooms
-        for the new files, and write THIS snapshot's own sidecar — snap
-        dirs are self-contained because expire_snapshots deletes expired
-        dirs wholesale. Returns {} when the table records no blooms."""
+        recording them), carry surviving per-file entries, merge the new
+        files' executor-built blooms (``_collect_file_stats``), and write
+        THIS snapshot's own sidecar — snap dirs are self-contained because
+        expire_snapshots deletes expired dirs wholesale. Returns {} when
+        the table records no blooms."""
         cols = bloom_columns or (parent_m or {}).get("bloom_columns")
         if not cols:
             return {}
@@ -470,8 +509,7 @@ class SnapshotTable:
             for f, e in self._load_blooms(parent_m or {}).items()
             if f not in drop
         }
-        if new_files:
-            carried.update(self._build_blooms(new_files, cols))
+        carried.update(new_blooms)
         p = fsmod.join(snap_dir, "blooms.json")
         self._fs.write_text_atomic(p, json.dumps(carried))
         return {
@@ -739,15 +777,29 @@ class SnapshotTable:
         files = sorted(sizes)
         new_files = files
         file_stats: dict[str, dict] = {}
+        parent_for_blooms = None
         if mode == "append" and parent is not None:
             pm = self._manifest(parent)
             data_dirs_parent = pm["data_dirs"]
+            parent_for_blooms = pm
             # a table that records zone maps keeps recording them: appends
             # inherit the stats contract (and the parent files' stats)
             stats_columns = stats_columns or pm.get("stats_columns") or None
             file_stats.update(pm.get("file_stats", {}))
-        if stats_columns and file_format == "parquet":
-            file_stats.update(self._footer_stats(new_files, stats_columns))
+        eff_bloom_cols = (
+            bloom_columns or (parent_for_blooms or {}).get("bloom_columns")
+        )
+        new_blooms: dict[str, dict] = {}
+        if file_format == "parquet" and (stats_columns or eff_bloom_cols):
+            # executor-side stats+bloom pass over the new files only —
+            # works for URI-rooted tables too, never reads driver-side
+            new_stats, new_blooms = self._collect_file_stats(
+                df.sparkSession,
+                new_files,
+                stats_columns or [],
+                eff_bloom_cols or [],
+            )
+            file_stats.update(new_stats)
         data_dirs = [fsmod.rel_to(data_dir, self.root)]
         if mode == "append" and parent is not None:
             data_dirs = data_dirs_parent + data_dirs
@@ -786,8 +838,8 @@ class SnapshotTable:
             manifest.update(
                 self._bloom_manifest_keys(
                     snap_dir,
-                    pm if (mode == "append" and parent is not None) else None,
-                    new_files,
+                    parent_for_blooms,
+                    new_blooms,
                     bloom_columns=bloom_columns,
                 )
             )
@@ -830,7 +882,7 @@ class SnapshotTable:
         # self-contained sidecar: re-point "blooms" at THIS snap dir
         # (expired parents' dirs are deleted wholesale), dropping the
         # excluded files' entries
-        manifest.update(self._bloom_manifest_keys(snap_dir, m, [], drop=rel))
+        manifest.update(self._bloom_manifest_keys(snap_dir, m, {}, drop=rel))
         self._write_manifest(snap_dir, manifest)
         self._commit(snap, expected_parent=parent)
         return snap
@@ -896,7 +948,7 @@ class SnapshotTable:
             "schema": new_schema.json(),
         }
         # carry the bloom sidecar into this (self-contained) snap dir
-        manifest.update(self._bloom_manifest_keys(snap_dir, m, []))
+        manifest.update(self._bloom_manifest_keys(snap_dir, m, {}))
         self._write_manifest(snap_dir, manifest)
         self._commit(snap, expected_parent=parent)
         return snap
@@ -983,6 +1035,16 @@ class SnapshotTable:
             # columns the table never recorded; kept files simply lack the
             # new columns' stats (pruning keeps them — always safe)
             stats_cols = sorted(set(stats_cols or []) | set(extra_stats_columns))
+        bloom_cols = pm.get("bloom_columns")
+        new_stats: dict[str, dict] = {}
+        new_blooms: dict[str, dict] = {}
+        if file_format == "parquet" and (stats_cols or bloom_cols):
+            new_stats, new_blooms = self._collect_file_stats(
+                replacement.sparkSession,
+                sorted(new_sizes),
+                stats_cols or [],
+                bloom_cols or [],
+            )
         if stats_cols and file_format == "parquet":
             kept_stats = {
                 p: s
@@ -990,14 +1052,11 @@ class SnapshotTable:
                 if p not in rel_removed
             }
             manifest["stats_columns"] = stats_cols
-            manifest["file_stats"] = {
-                **kept_stats,
-                **self._footer_stats(sorted(new_sizes), stats_cols),
-            }
+            manifest["file_stats"] = {**kept_stats, **new_stats}
         if file_format == "parquet":
             manifest.update(
                 self._bloom_manifest_keys(
-                    snap_dir, pm, sorted(new_sizes), drop=rel_removed
+                    snap_dir, pm, new_blooms, drop=rel_removed
                 )
             )
         self._write_manifest(snap_dir, manifest)

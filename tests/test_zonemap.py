@@ -153,3 +153,60 @@ def test_cluster_by_makes_pruning_effective(spark, tmp_path):
     a = sorted(r.v for r in flat.read_where(spark, pred).collect())
     b = sorted(r.v for r in clus.read_where(spark, pred).collect())
     assert a == b and len(a) == 41
+
+
+def test_uri_rooted_table_records_stats_and_blooms(spark, tmp_path):
+    """Zone maps AND blooms must exist for URI-rooted tables (HDFS/S3 is
+    the reference's native habitat, HdfsStorage.java:40-104): the commit
+    collects them executor-side via input_file_name(), so pruning works
+    through the HadoopFS metadata path too."""
+    t = SnapshotTable(f"file://{tmp_path}/rt")
+    df = spark.range(0, 800).select(
+        "id", F.concat(F.lit("k"), F.col("id")).alias("key")
+    ).repartitionByRange(8, "id")
+    t.write(df, stats_columns=["id"], bloom_columns=["key"])
+
+    m = t._manifest(t.current_snapshot())
+    assert m["stats_columns"] == ["id"]
+    assert set(m["file_stats"]) == set(m["files"])
+    assert m["bloom_columns"] == ["key"]
+    assert set(t._load_blooms(m)) == set(m["files"])
+
+    all_files = t.data_files()
+    assert 0 < len(t.prune_files({"id": (42, 58)})) < len(all_files)
+    hit = t.prune_files({"key": ("k42", "k42")})
+    assert len(hit) == 1  # bloom point-lookup narrows to one file
+    got = t.read_where(spark, {"key": ("k42", "k42")})
+    assert [r.id for r in got.collect()] == [42]
+
+    # appends inherit the contract on the URI path as well
+    t.write(
+        spark.range(800, 900).select(
+            "id", F.concat(F.lit("k"), F.col("id")).alias("key")
+        ).coalesce(1),
+        mode="append",
+    )
+    m2 = t._manifest(t.current_snapshot())
+    assert set(m2["file_stats"]) == set(m2["files"])
+    assert set(t._load_blooms(m2)) == set(m2["files"])
+    assert len(t.prune_files({"key": ("k850", "k850")})) == 1
+
+
+def test_commit_never_reads_files_driver_side(spark, tmp_path, monkeypatch):
+    """Stats/bloom collection is an executor job: a commit of N files must
+    trigger ZERO driver-side parquet reads (pyarrow) — at a 100× commit,
+    driver-side per-file Python serializes minutes inside the commit."""
+    import pyarrow.parquet as pq
+
+    def _boom(*a, **kw):
+        raise AssertionError("driver-side pq.ParquetFile read at commit")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    t = SnapshotTable(str(tmp_path / "nt"))
+    df = spark.range(0, 400).select(
+        "id", F.concat(F.lit("k"), F.col("id")).alias("key")
+    ).repartitionByRange(4, "id")
+    t.write(df, stats_columns=["id"], bloom_columns=["key"])
+    m = t._manifest(t.current_snapshot())
+    assert set(m["file_stats"]) == set(m["files"])
+    assert len(t.prune_files({"key": ("k7", "k7")})) == 1
