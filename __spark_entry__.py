@@ -2189,6 +2189,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    def multimodal_real_decode(spark, sf_dir):
+        # REAL decode gate: payloads are valid binary PPM images
+        # (multimodal.encode_ppm) whose pixels are a closed-form function
+        # of doc_id (media_pixels), decoded back by the pure-numpy
+        # fake=False kernel — the oracle recomputes width/height/n_bytes/
+        # pixel-checksum from the same closed form in SQL, so a hash match
+        # proves actual pixel decoding, not plumbing
+        from binlog_processer_spark.multimodal import (
+            extract_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(_docs(spark, sf_dir), codec="ppm")
+        return extract_features(media, fake=False).select(
+            "doc_id", "n_bytes", "checksum", "width", "height"
+        )
+
+    q["multimodal_real_decode"] = multimodal_real_decode
+
     return q
 
 
@@ -3918,5 +3937,28 @@ grid AS (
         "  cast(len(list_filter(range(1, length(t) + 1),"
         "  i -> ascii(substr(t, i, 1)) // 64 = k)) AS int)), ',')) AS feat_md5"
         " FROM t"
+    )
+    # real PPM decode: dims from media_dims, payload size from the P6
+    # header layout ('P6 w h 255\\n' = 9 + digits(w) + digits(h) bytes,
+    # then w*h*3 raw), checksum = sum over the media_pixels closed form
+    # (doc_id*7 + y*3 + x*5 + c*11) % 256 — all recomputed in SQL
+    o["multimodal_real_decode"] = (
+        "WITH d AS (SELECT doc_id,"
+        "  (doc_id % 16) * 4 + 8 AS w, (doc_id % 12) * 4 + 8 AS h"
+        "  FROM documents),"
+        # fixed pixel grid up to the max dims (w<=68, h<=52), theta-joined
+        # per doc — DuckDB's generate_series takes no lateral parameters
+        " g AS (SELECT y.g AS y, x.g AS x, c.g AS c"
+        "  FROM generate_series(0, 51) y(g), generate_series(0, 67) x(g),"
+        "       generate_series(0, 2) c(g))"
+        " SELECT d.doc_id,"
+        " cast(9 + length(cast(d.w AS varchar))"
+        "  + length(cast(d.h AS varchar)) + d.w * d.h * 3 AS int)"
+        "  AS n_bytes,"
+        " cast(sum((d.doc_id * 7 + g.y * 3 + g.x * 5 + g.c * 11) % 256)"
+        "  AS bigint) AS checksum,"
+        " cast(d.w AS int) AS width, cast(d.h AS int) AS height"
+        " FROM d JOIN g ON g.y < d.h AND g.x < d.w"
+        " GROUP BY d.doc_id, d.w, d.h"
     )
     return o

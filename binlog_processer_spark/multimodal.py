@@ -2,13 +2,16 @@
 
 Training pipelines carry images/audio/video as ``binary`` columns with a
 metadata struct; the engine treats them exactly like the reference treats
-opaque row payloads (bytes in, bytes out, per-row invariants). Real
-decode/resize/frame-sample needs codec libraries that are NOT in this
-environment, so the decode kernel is stubbed: ``fake=True`` (default)
-computes deterministic byte-level features (real Spark plumbing, fake
-pixels); ``fake=False`` raises NotImplementedError where PIL/ffmpeg would be
-called. Schema, partitioning, UDF signature, and Arrow batch shape are real
-and tested either way.
+opaque row payloads (bytes in, bytes out, per-row invariants).
+
+Decode is REAL for two self-describing formats — PPM (P5/P6) and
+uncompressed 24-bit BMP — implemented in pure numpy (``decode_image``), so
+``fake=False`` works end-to-end in this environment with no codec
+libraries. Other containers (JPEG/PNG/audio/video) probe for PIL/libav at
+runtime and raise NotImplementedError with an actionable message when the
+env lacks them. ``fake=True`` (default) computes deterministic byte-level
+features without decoding at all. Schema, partitioning, UDF signature, and
+Arrow batch shape are identical on every path.
 """
 
 from __future__ import annotations
@@ -20,7 +23,115 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
+    import numpy as np
     import pandas as pd
+
+
+# -- pure-numpy codecs: PPM (P5/P6) and uncompressed 24-bit BMP -----------
+# module-level so mapInPandas ships them to executors by module reference
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Binary PPM/PGM: ``P6`` for HxWx3 RGB, ``P5`` for HxW grayscale."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"encode_ppm: shape {a.shape} is not HxWx3 or HxW")
+    h, w = a.shape[:2]
+    return b"%s %d %d 255\n" % (magic, w, h) + a.tobytes()
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding, BGR byte order) from an HxWx3 uint8 array."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_bmp: shape {a.shape} is not HxWx3")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raw = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835,
+                    2835, 0, 0)
+    return header + raw
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode a PPM (P6→HxWx3) / PGM (P5→HxW) / uncompressed 24-bit BMP
+    (→HxWx3) payload to a uint8 array, pure numpy. Raises ValueError for
+    any other container — callers fall through to their PIL probe."""
+    import re
+
+    import numpy as np
+
+    if payload[:2] in (b"P5", b"P6"):
+        # header: magic, width, height, maxval — whitespace separated,
+        # '#' comments legal between tokens; one whitespace byte ends it
+        toks, pos, want = [], 2, 3
+        while len(toks) < want:
+            m = re.match(
+                rb"(?:\s|#[^\n]*\n)*(\d+)", payload[pos:pos + 256]
+            )
+            if not m:
+                raise ValueError("bad PPM header")
+            toks.append(int(m.group(1)))
+            pos += m.end()
+        w, h, maxval = toks
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (255 only)")
+        pos += 1  # the single whitespace after maxval
+        ch = 3 if payload[:2] == b"P6" else 1
+        a = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                          offset=pos)
+        return a.reshape(h, w, 3) if ch == 3 else a.reshape(h, w)
+    if payload[:2] == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", payload, 10)[0]
+        dib = struct.unpack_from("<I", payload, 14)[0]
+        if dib < 40:
+            raise ValueError("BMP core-header variant unsupported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        a = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        return a[::-1] if flip else a
+    raise ValueError("not a PPM/PGM/BMP payload")
+
+
+def media_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic (width, height) for synthesized real images."""
+    return int(doc_id % 16 * 4 + 8), int(doc_id % 12 * 4 + 8)
+
+
+def media_pixels(doc_id: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic RGB pixel array for ``doc_id`` — the generator's
+    ground truth the decode tests compare against."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
 
 FEATURE_SCHEMA = (
     "doc_id bigint, modality string, n_bytes int, checksum bigint, "
@@ -29,9 +140,44 @@ FEATURE_SCHEMA = (
 FEATURE_COLS = [c.split(" ")[0] for c in FEATURE_SCHEMA.split(", ")]
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media: payload = utf-8 text bytes, metadata struct
-    (modality, width, height) derived from doc_id arithmetic."""
+def synthesize_media(docs: DataFrame, codec: str | None = None) -> DataFrame:
+    """Deterministic media column. Default (``codec=None``): payload =
+    utf-8 text bytes with doc_id-derived metadata — fast, container-less,
+    for the byte-level (``fake=True``) paths. ``codec='ppm'`` or
+    ``'bmp'``: payload is a VALID image in that format whose pixels are
+    ``media_pixels(doc_id, *media_dims(doc_id))`` — the real-decode test
+    corpus (all rows modality ``image``)."""
+    if codec is not None:
+        if codec not in ("ppm", "bmp"):
+            raise ValueError(f"codec must be 'ppm' or 'bmp', got {codec!r}")
+
+        def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            enc = encode_ppm if codec == "ppm" else encode_bmp
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    w, h = media_dims(d)
+                    rows.append((d, enc(media_pixels(d, w, h)), "image",
+                                 w, h))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "payload", "modality", "width",
+                             "height"],
+                )
+
+        flat = docs.select("doc_id").mapInPandas(
+            gen,
+            "doc_id bigint, payload binary, modality string, "
+            "width int, height int",
+        )
+        return flat.select(
+            "doc_id",
+            "payload",
+            F.struct("modality", "width", "height").alias("meta"),
+        )
     return docs.select(
         "doc_id",
         F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
@@ -52,20 +198,11 @@ def _extract_batches(fake: bool):
         import pandas as pd
 
         if not fake:
-            # probe at runtime instead of assuming: an env that ships PIL
-            # gets the real image path; otherwise fail with the actionable
-            # message (audio/video still need libav — not probed, no decoder
-            # here would use it yet)
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real decode requires PIL/libav (PIL import failed: "
-                    f"{e}); run with fake=True for deterministic "
-                    "byte-level features"
-                ) from e
-            import io
-
+            # decode order: the pure-numpy PPM/BMP codecs first (real, no
+            # deps — decode_image raises ValueError on other containers),
+            # then a runtime PIL probe for JPEG/PNG-style payloads;
+            # audio/video still need libav — not probed, no decoder here
+            # would use it yet
             def _decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 rows = []
                 for _, r in pdf.iterrows():
@@ -73,21 +210,48 @@ def _extract_batches(fake: bool):
                         raise NotImplementedError(
                             f"real {r['modality']} decode requires libav"
                         )
-                    img = Image.open(io.BytesIO(r["payload"])).convert("L")
-                    arr = np.asarray(img, dtype=np.float32)
-                    q = max(arr.shape[0] // 4, 1)
+                    payload = bytes(r["payload"])
+                    try:
+                        px = decode_image(payload)
+                        w, h = px.shape[1], px.shape[0]
+                    except ValueError:
+                        try:
+                            from PIL import Image
+                        except ImportError as e:
+                            raise NotImplementedError(
+                                "real decode of this container requires "
+                                f"PIL/libav (PIL import failed: {e}); only "
+                                "PPM/PGM/BMP decode in-env; run with "
+                                "fake=True for byte-level features"
+                            ) from e
+                        import io
+
+                        img = Image.open(io.BytesIO(payload))
+                        px = np.asarray(img.convert("RGB"))
+                        w, h = img.width, img.height
+                    # checksum: exact integer sum over raw channel values;
+                    # feat: 4 horizontal-band means of the channel-mean
+                    # grayscale — both reproducible by the generator
+                    gray = (
+                        px.astype(np.float32)
+                        if px.ndim == 2
+                        else px.mean(axis=2, dtype=np.float64).astype(
+                            np.float32
+                        )
+                    )
+                    q = max(h // 4, 1)
                     feat = np.array(
-                        [arr[i * q : (i + 1) * q].mean() for i in range(4)],
+                        [gray[i * q:(i + 1) * q].mean() for i in range(4)],
                         dtype=np.float32,
                     )
                     rows.append(
                         (
                             r["doc_id"],
                             r["modality"],
-                            len(r["payload"]),
-                            int(arr.sum()),
-                            img.width,
-                            img.height,
+                            len(payload),
+                            int(px.astype(np.int64).sum()),
+                            w,
+                            h,
                             feat,
                         )
                     )
@@ -166,9 +330,11 @@ def resize_plan(
     the fourth multimodal kernel (decode / feature-extract / resize /
     frame-sample). Target dims are REAL math (longest side → max_dim,
     aspect kept, floor, min 1 — the computation a PIL ``thumbnail`` call
-    would receive); the pixel kernel is a deterministic byte subsample
-    under ``fake=True`` and probes for PIL under ``fake=False`` like the
-    decode path. Images already within bounds pass through unchanged.
+    would receive). Pixel kernel: ``fake=True`` is a deterministic byte
+    subsample; ``fake=False`` really resizes PPM/PGM/BMP payloads
+    (pure-numpy decode → nearest-neighbor sample → re-encode as PPM/PGM)
+    and probes for PIL for other containers like the decode path. Images
+    already within bounds pass through unchanged.
 
     Plan shape: one mapInPandas over (payload, meta) batches — no
     shuffle; at corpus scale this pipelines with the scan exactly like
@@ -178,15 +344,6 @@ def resize_plan(
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
-
-        if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real resize requires PIL (import failed: "
-                    f"{e}); run with fake=True for the byte-subsample stub"
-                ) from e
 
         for pdf in batches:
             rows = []
@@ -206,15 +363,44 @@ def resize_plan(
                         k = max((w * h) // max(dw * dh, 1), 1)
                         payload = b[::k].tobytes()
                     else:
-                        import io
+                        raw = bytes(r["payload"])
+                        try:
+                            px = decode_image(raw)
+                        except ValueError:
+                            try:
+                                from PIL import Image
+                            except ImportError as e:
+                                raise NotImplementedError(
+                                    "real resize of this container requires "
+                                    f"PIL (import failed: {e}); only "
+                                    "PPM/PGM/BMP resize in-env; run with "
+                                    "fake=True for the byte-subsample stub"
+                                ) from e
+                            import io
 
-                        from PIL import Image
-
-                        img = Image.open(io.BytesIO(r["payload"]))
-                        img.thumbnail((max_dim, max_dim))
-                        buf = io.BytesIO()
-                        img.save(buf, format=img.format or "PNG")
-                        payload = buf.getvalue()
+                            img = Image.open(io.BytesIO(raw))
+                            img.thumbnail((max_dim, max_dim))
+                            buf = io.BytesIO()
+                            img.save(buf, format=img.format or "PNG")
+                            payload = buf.getvalue()
+                            px = None
+                        if px is not None:
+                            # nearest-neighbor sample on the decode dims
+                            # (the meta dims may disagree with the
+                            # container's own header — trust the pixels),
+                            # re-encoded as PPM/PGM (the normalization a
+                            # curation pipeline wants anyway)
+                            sh, sw = px.shape[0], px.shape[1]
+                            sc = max_dim / max(sw, sh)
+                            dw = max(int(sw * sc), 1) if sc < 1 else sw
+                            dh = max(int(sh * sc), 1) if sc < 1 else sh
+                            ys = (
+                                np.arange(dh) * (sh / dh)
+                            ).astype(np.int64)
+                            xs = (
+                                np.arange(dw) * (sw / dw)
+                            ).astype(np.int64)
+                            payload = encode_ppm(px[ys][:, xs])
                 rows.append(
                     (r["doc_id"], r["modality"], w, h, dw, dh, payload)
                 )

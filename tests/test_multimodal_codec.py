@@ -1,0 +1,100 @@
+"""Real multimodal decode: pure-numpy PPM/PGM/BMP codecs, the
+``fake=False`` feature-extraction path end-to-end on Spark against the
+generator's pixel ground truth, and real nearest-neighbor resize.
+
+Unlike the PIL-gated containers, these paths run fully in-env — the
+decode kernel the brief names is exercised on real bytes, not a stub."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_processer_spark.multimodal import (
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    extract_features,
+    media_dims,
+    media_pixels,
+    resize_plan,
+    synthesize_media,
+)
+
+
+def _arr(w=13, h=7, seed=5):
+    return media_pixels(seed, w, h)
+
+
+def test_ppm_roundtrip_rgb_and_gray():
+    a = _arr()
+    assert np.array_equal(decode_image(encode_ppm(a)), a)
+    g = a[:, :, 0]
+    assert np.array_equal(decode_image(encode_ppm(g)), g)
+
+
+def test_ppm_header_comments_and_whitespace():
+    a = _arr(w=3, h=2)
+    body = a.tobytes()
+    payload = b"P6 # wide\n# comment line\n 3\n2 # h\n255\n" + body
+    assert np.array_equal(decode_image(payload), a)
+
+
+def test_bmp_roundtrip_includes_row_padding():
+    # w=13 -> 39-byte rows pad to 40: the stride path is exercised
+    a = _arr(w=13, h=7)
+    assert np.array_equal(decode_image(encode_bmp(a)), a)
+    a2 = _arr(w=16, h=4)  # stride == w*3: no padding
+    assert np.array_equal(decode_image(encode_bmp(a2)), a2)
+
+
+def test_unknown_container_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\nnot really")
+    with pytest.raises(ValueError):
+        decode_image(b"plain text payload")
+
+
+@pytest.mark.parametrize("codec", ["ppm", "bmp"])
+def test_real_decode_matches_generator_ground_truth(spark, codec):
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(docs, codec=codec)
+    feats = {
+        r.doc_id: r
+        for r in extract_features(media, fake=False).collect()
+    }
+    assert len(feats) == 40
+    for d in range(40):
+        w, h = media_dims(d)
+        px = media_pixels(d, w, h)
+        r = feats[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.checksum == int(px.astype(np.int64).sum())  # exact
+        gray = px.mean(axis=2, dtype=np.float64).astype(np.float32)
+        q = max(h // 4, 1)
+        want = [float(gray[i * q:(i + 1) * q].mean()) for i in range(4)]
+        assert r.feat == pytest.approx(want, rel=1e-5)
+
+
+def test_real_resize_nearest_neighbor_ground_truth(spark):
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(docs, codec="bmp")
+    got = {
+        r.doc_id: r
+        for r in resize_plan(media, max_dim=16, fake=False).collect()
+    }
+    for d in range(12):
+        w, h = media_dims(d)
+        px = media_pixels(d, w, h)
+        r = got[d]
+        if max(w, h) <= 16:
+            assert (r.dst_width, r.dst_height) == (w, h)
+            assert bytes(r.payload) == encode_bmp(px)  # pass-through
+            continue
+        sc = 16 / max(w, h)
+        dw, dh = max(int(w * sc), 1), max(int(h * sc), 1)
+        assert (r.dst_width, r.dst_height) == (dw, dh)
+        out = decode_image(bytes(r.payload))
+        assert out.shape == (dh, dw, 3)
+        ys = (np.arange(dh) * (h / dh)).astype(np.int64)
+        xs = (np.arange(dw) * (w / dw)).astype(np.int64)
+        assert np.array_equal(out, px[ys][:, xs])
