@@ -86,6 +86,7 @@ def run_pipeline_bench(
     with_metrics: bool = True,
     profile: bool = False,
     warmup: bool = True,
+    write_clustering: str = "salt",
 ) -> dict:
     """Materialize raw input to parquet, then measure read→parse→enrich→
     route→write→aggregate wall time.
@@ -173,6 +174,7 @@ def run_pipeline_bench(
             resume=False,
             with_metrics=with_metrics,
             profile=profile,
+            write_clustering=write_clustering,
         )
         wall = time.time() - t0
         gc_sec = round((_gc_ms() - gc0) / 1000, 3)
@@ -185,6 +187,8 @@ def run_pipeline_bench(
             "pipeline_sec": round(wall, 3),
             "throughput_seq_per_sec": round(n_events / wall, 1),
             "with_metrics": with_metrics,
+            "write_clustering": write_clustering,
+            "routed_files": len(res.tables["routed"].data_files()),
             "phase_sec": res.metrics.get("phase_sec", {}),
         }
     finally:
@@ -991,6 +995,9 @@ def main() -> None:
                     metavar=("N", "4N"),
                     help="core counts for the two scaling legs (must be "
                          "N and 4N)")
+    ap.add_argument("--write-clustering", default="salt",
+                    choices=["salt", "rebalance"],
+                    help="routed-write clustering strategy (pipeline-only)")
     ap.add_argument("--pin", action="store_true",
                     help="CPU-pin every leg and probe to exactly its core "
                          "count (taskset/sched_setaffinity) — the faithful "
@@ -1014,6 +1021,7 @@ def main() -> None:
             args.cpus, n_docs,
             with_metrics=not args.no_metrics, profile=args.profile,
             warmup=not args.no_warmup,
+            write_clustering=args.write_clustering,
         )))
         return
 

@@ -184,7 +184,7 @@ def fan_out_trees(df: DataFrame) -> DataFrame:
 
 def route(
     enriched: DataFrame,
-    cluster_for_write: bool = False,
+    cluster_for_write: bool | str = False,
     sign_timeline: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full routing stage: filters → soft-delete → envelope → dual trees.
@@ -195,22 +195,32 @@ def route(
     explode — each sink partition dir then gets written by one task (the
     reference's one-writer-per-sink-path invariant,
     PartitionWriterManager.java:139-167) and the shuffle moves each token
-    array once, not twice. Off by default so pure query composition stays
-    shuffle-free.
+    array once, not twice. Off (False) by default so pure query composition
+    stays shuffle-free. Two clustering strategies:
+
+    - ``True`` / ``"salt"``: hash-repartition on (db, table, bucket-4 of
+      doc_id). Sink sizes are skewed (hot tables), and a plain hash of
+      ~sinks keys leaves straggler reducers; the salt splits each sink
+      across <=4 tasks (bounded files-per-dir) while evening the load —
+      the aggregation analogue lives in operators/skew.py.
+      pmod(xxhash64(doc_id), 4) is exactly Iceberg's bucket(4, doc_id)
+      partition transform, so the physical clustering matches the mandated
+      (source-derived sink, bucket(doc_id)) layout.
+    - ``"rebalance"``: AQE rebalance hint on (db, table) — Spark sizes the
+      write tasks at runtime from the actual shuffle bytes
+      (advisoryPartitionSizeInBytes): hot sinks split by DATA SIZE instead
+      of a fixed 4, and many small sinks coalesce into one task (one file
+      per dir instead of up to 4) — the write.distribution-mode=hash +
+      target-file-size posture. File count then tracks data volume at any
+      scale; the fixed salt is the deterministic-layout alternative.
     """
     df = filter_system_schemas(enriched)
     kept, ignored_counts = split_ignored(df)
     kept = apply_soft_delete(kept, timeline=sign_timeline)
     kept = with_envelope(kept)
-    if cluster_for_write:
-        # salt the cluster key: sink sizes are skewed (hot tables), and a
-        # plain hash of ~sinks keys into ~2x-cores partitions leaves
-        # straggler reducers; a small salt splits each sink across <=4 tasks
-        # (bounded files-per-dir) while evening the load — the aggregation
-        # analogue lives in operators/skew.py. pmod(xxhash64(doc_id), 4) is
-        # exactly Iceberg's bucket(4, doc_id) partition transform, so the
-        # physical clustering matches the mandated (source-derived sink,
-        # bucket(doc_id)) layout
+    if cluster_for_write == "rebalance":
+        kept = kept.hint("rebalance", "database_name", "table_name")
+    elif cluster_for_write:
         kept = kept.repartition(
             "database_name",
             "table_name",

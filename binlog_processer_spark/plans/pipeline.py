@@ -42,6 +42,7 @@ def run_pipeline(
     with_metrics: bool = True,
     profile: bool = False,
     stats_columns: list[str] | None = None,
+    write_clustering: str = "salt",
 ) -> PipelineResult:
     """raw_df: one `raw` string column (the serialized event log).
     routing_df: broadcast dimension (table_key → sink attributes).
@@ -108,7 +109,7 @@ def run_pipeline(
     # token array a second time, and no consumer needs the arrays again —
     # the aggregates below re-read the committed parquet with the token
     # column pruned away (a few % of the written bytes).
-    routed, ignored_counts = route(enriched, cluster_for_write=True)
+    routed, ignored_counts = route(enriched, cluster_for_write=write_clustering)
     # storage flattens the image: img.doc_id / img.n_tok always equal the
     # top-level columns (with_envelope builds the image from the same row),
     # so persisting the struct would carry a second doc_id STRING and n_tok

@@ -96,3 +96,28 @@ def test_pipeline_fully_resumed_rerun_metrics_survive_empty_increment(
         r2.tables["routed"].read(spark).count()
         == r1.tables["routed"].read(spark).count()
     )
+
+
+def test_pipeline_rebalance_clustering_equivalent_fewer_files(
+    spark, tmp_path
+):
+    """write_clustering='rebalance' (AQE size-targeted write tasks) must
+    produce byte-identical table content to the default salt-4 layout —
+    clustering changes file layout only — with no more data files."""
+    a = run_pipeline(
+        spark, _raw(spark), routing_dim(spark), str(tmp_path / "a")
+    )
+    b = run_pipeline(
+        spark, _raw(spark), routing_dim(spark), str(tmp_path / "b"),
+        write_clustering="rebalance",
+    )
+    ra = a.tables["routed"].read(spark)
+    rb = b.tables["routed"].read(spark)
+    assert ra.count() == rb.count()
+    assert ra.exceptAll(rb).isEmpty() and rb.exceptAll(ra).isEmpty()
+    ca = {tuple(r) for r in a.tables["sink_counts"].read(spark).collect()}
+    cb = {tuple(r) for r in b.tables["sink_counts"].read(spark).collect()}
+    assert ca == cb
+    assert len(b.tables["routed"].data_files()) <= len(
+        a.tables["routed"].data_files()
+    )
