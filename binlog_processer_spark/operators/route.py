@@ -211,8 +211,20 @@ def route(
       (advisoryPartitionSizeInBytes): hot sinks split by DATA SIZE instead
       of a fixed 4, and many small sinks coalesce into one task (one file
       per dir instead of up to 4) — the write.distribution-mode=hash +
-      target-file-size posture. File count then tracks data volume at any
-      scale; the fixed salt is the deterministic-layout alternative.
+      target-file-size posture, so file count tracks data volume at any
+      scale. Measured r4 A/B at sf0.1 (3 interleaved quiet-host pairs,
+      local[16]): rebalance won every pair — median pipeline 8.24 s vs
+      9.56 s salt (−14%), 95 files vs 350 (BENCH/BASELINE.md "routed-write
+      clustering A/B") — and is therefore the pipeline default. The hint
+      deliberately omits the bucket(4, doc_id) column: hashing it scatters
+      each sink's four cells across the partition space, so AQE can no
+      longer give a small sink one writer (measured: re-adding it restored
+      the 350-file layout and the salt-level wall time). At production
+      scale, where every (sink, bucket) cell exceeds the advisory
+      partition size, add the bucket column back — splitting then happens
+      within cells and the mandated bucket clustering is preserved for
+      free; at any scale where cells are below it, the column only
+      fragments files.
     """
     df = filter_system_schemas(enriched)
     kept, ignored_counts = split_ignored(df)

@@ -42,7 +42,7 @@ def run_pipeline(
     with_metrics: bool = True,
     profile: bool = False,
     stats_columns: list[str] | None = None,
-    write_clustering: str = "salt",
+    write_clustering: str = "rebalance",
 ) -> PipelineResult:
     """raw_df: one `raw` string column (the serialized event log).
     routing_df: broadcast dimension (table_key → sink attributes).

@@ -44,7 +44,7 @@ def main() -> None:
                          "per partition per run; see jobs/run_compact.py for "
                          "the standalone/offline form)")
     ap.add_argument("--compact-target-mb", type=int, default=128)
-    ap.add_argument("--write-clustering", default="salt",
+    ap.add_argument("--write-clustering", default="rebalance",
                     choices=["salt", "rebalance"],
                     help="routed-write clustering: 'salt' (deterministic "
                          "bucket(4, doc_id) layout, the mandated partition "

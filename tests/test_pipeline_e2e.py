@@ -101,11 +101,13 @@ def test_pipeline_fully_resumed_rerun_metrics_survive_empty_increment(
 def test_pipeline_rebalance_clustering_equivalent_fewer_files(
     spark, tmp_path
 ):
-    """write_clustering='rebalance' (AQE size-targeted write tasks) must
-    produce byte-identical table content to the default salt-4 layout —
-    clustering changes file layout only — with no more data files."""
+    """write_clustering='rebalance' (AQE size-targeted write tasks, the
+    default since the r4 A/B) must produce byte-identical table content to
+    the salt-4 layout — clustering changes file layout only — with no more
+    data files."""
     a = run_pipeline(
-        spark, _raw(spark), routing_dim(spark), str(tmp_path / "a")
+        spark, _raw(spark), routing_dim(spark), str(tmp_path / "a"),
+        write_clustering="salt",
     )
     b = run_pipeline(
         spark, _raw(spark), routing_dim(spark), str(tmp_path / "b"),
