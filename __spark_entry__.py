@@ -1200,6 +1200,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_rebalance"] = mix_rebalance
 
+    def mix_temperature_targets(spark, sf_dir):
+        # temperature-scaled mixing planner: targets derived from observed
+        # shares (p ∝ share^(1/T)), then the same max-retention rate solve
+        from binlog_processer_spark.operators.mix import temperature_targets
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        return temperature_targets(d, temperature=2.0)
+
+    q["mix_temperature_targets"] = mix_temperature_targets
+
+    def mix_weighted_sample(spark, sf_dir):
+        # Efraimidis–Spirakis weighted sample without replacement, u from
+        # the md5-prefix canon — deterministic, engine-reproducible top-n
+        from binlog_processer_spark.operators.mix import weighted_sample
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        return weighted_sample(d, n=200, weight_col="n_tok")
+
+    q["mix_weighted_sample"] = mix_weighted_sample
+
     def mix_shard_incremental(spark, sf_dir):
         # append a new batch (doc_id % 10 = 0) to shards exported for the
         # rest of the corpus: positions continue after each shard's tail
@@ -3056,6 +3086,39 @@ grid AS (
         "  AS target_share_bp,"
         " cast(floor(rate * 10000) AS bigint) AS rate_bp,"
         " cast(floor(rate * tokens) AS bigint) AS kept_tokens FROM r"
+    )
+
+    o["mix_temperature_targets"] = (
+        "WITH tok AS (SELECT source,"
+        " cast(sum(greatest(1, cast(floor(n_chars / 4) AS bigint)))"
+        "  AS bigint) AS tokens FROM documents GROUP BY 1),"
+        " s AS (SELECT source, tokens, sum(tokens) OVER () AS total,"
+        " tokens / sum(tokens) OVER () AS share FROM tok),"
+        " p AS (SELECT source, tokens, total,"
+        " CASE WHEN tokens > 0 THEN pow(share, 0.5) END AS sc FROM s),"
+        " t AS (SELECT source, tokens, total,"
+        " sc / sum(sc) OVER () AS tgt FROM p),"
+        " c AS (SELECT source, tokens, total, tgt,"
+        " min(CASE WHEN tokens > 0 THEN tokens / tgt END) OVER ()"
+        "  AS cmin FROM t),"
+        " r AS (SELECT source, tokens, total, tgt,"
+        " CASE WHEN tokens = 0 THEN 0.0"
+        "  ELSE least(1.0, cmin * tgt / tokens) END AS rate FROM c)"
+        " SELECT source, tokens,"
+        " cast(floor(tokens * 10000 / total) AS bigint) AS cur_share_bp,"
+        " cast(floor(coalesce(tgt, 0.0) * 10000) AS bigint)"
+        "  AS target_share_bp,"
+        " cast(floor(rate * 10000) AS bigint) AS rate_bp,"
+        " cast(floor(rate * tokens) AS bigint) AS kept_tokens FROM r"
+    )
+
+    o["mix_weighted_sample"] = (
+        "WITH d AS (SELECT doc_id, source,"
+        " greatest(1, cast(floor(n_chars / 4) AS bigint)) AS n_tok,"
+        " (cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))"
+        "  AS ubigint) + 0.5) / 4294967296.0 AS u FROM documents)"
+        " SELECT doc_id, source, n_tok FROM d WHERE n_tok > 0"
+        " ORDER BY ln(u) / n_tok DESC LIMIT 200"
     )
 
     o["mix_shard_incremental"] = (

@@ -581,3 +581,113 @@ def epoch_order(
         F.lit(int(epoch)).cast("int").alias("epoch"),
         key.alias("order_key"),
     )
+
+
+def temperature_targets(
+    df: DataFrame,
+    temperature: float,
+    tok_col: str = "n_tok",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixing planner: derive the target token shares
+    FROM the observed shares — p_s ∝ share_s^(1/T) — then solve the same
+    max-retention rate system as ``rebalance_report``. T = 1 keeps the
+    natural mix (every rate 1.0); T → ∞ flattens toward uniform; the
+    T ≈ 2–5 band is the standard multilingual/multi-source rebalancing
+    (upweight the tail without drowning the head) when nobody hands you
+    an explicit target dict.
+
+    Unlike ``rebalance_report(df, targets)`` this never touches the
+    driver: shares, the power transform, its normalizer, the binding
+    constant c = min_s tokens_s / target_s, and the rates are all
+    computed in ONE bounded aggregate (a row per source) plus one tiny
+    unpartitioned window — nothing row-scale shuffles, so it composes
+    into a job DAG over 10^12 rows as a side branch. Output schema is
+    identical to ``rebalance_report`` (floored basis points; feed
+    ``rate_bp / 10000`` per source to ``stratified_sample``).
+    """
+    if not temperature > 0:
+        raise ValueError(f"temperature {temperature} must be > 0")
+    alpha = 1.0 / float(temperature)
+    tok = df.groupBy(strat_col).agg(
+        F.sum(tok_col).cast("bigint").alias("tokens")
+    )
+    w = Window.partitionBy()  # bounded: n_sources rows
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    scaled = F.when(F.col("tokens") > 0, F.pow(share, F.lit(alpha)))
+    out = (
+        tok.withColumn("__tgt", scaled / F.sum(scaled).over(w))
+        .withColumn(
+            "__c",
+            F.min(
+                F.when(F.col("tokens") > 0, F.col("tokens") / F.col("__tgt"))
+            ).over(w),
+        )
+        .withColumn("__total", F.sum("tokens").over(w))
+        .withColumn(
+            "__rate",
+            F.when(F.col("tokens") == 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__c") * F.col("__tgt") / F.col("tokens"),
+                )
+            ),
+        )
+    )
+    return out.select(
+        strat_col,
+        "tokens",
+        F.when(F.col("__total") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("tokens") * 10000 / F.col("__total")))
+        .cast("bigint")
+        .alias("cur_share_bp"),
+        F.floor(F.coalesce(F.col("__tgt"), F.lit(0.0)) * 10000)
+        .cast("bigint")
+        .alias("target_share_bp"),
+        F.floor(F.col("__rate") * 10000).cast("bigint").alias("rate_bp"),
+        F.floor(F.col("__rate") * F.col("tokens"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets key u^(1/w) for a uniform u and weight
+    w; the n largest keys are exactly a weighted sample without
+    replacement. Ordering by the monotone transform ln(u)/w avoids the
+    overflow-prone power.
+
+    u is NOT an RNG draw: it is the row's md5-prefix integer
+    (``_md5_prefix_int``, the same canon behind shard assignment)
+    mapped to (0, 1), so the sample is a pure function of the ids —
+    identical on every run, any cluster size, any task retry, and
+    reproducible bit-for-bit by any engine that can md5 (the DuckDB
+    oracle recomputes it). Rows with weight <= 0 or NULL are excluded
+    (a zero-weight row must never be drawn; NULL would order as a key
+    of its own).
+
+    Plan: filter + projection + global top-n — Spark executes
+    ``orderBy(key).limit(n)`` as TakeOrderedAndProject (a bounded
+    n-row heap per partition, then an n·partitions merge on the
+    driver), NOT a full sort shuffle, so it survives 10^12 rows for
+    any n that fits a heap. Use for quality-weighted corpus draws:
+    w = quality score (or n_tok for token-proportional document
+    selection).
+    """
+    if n <= 0:
+        raise ValueError(f"n {n} must be > 0")
+    u = (_md5_prefix_int(F.col(id_col)) + F.lit(0.5)) / F.lit(
+        float(16**8)
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .orderBy(key.desc())
+        .limit(int(n))
+    )

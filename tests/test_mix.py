@@ -495,3 +495,112 @@ def test_epoch_order_is_pure_projection(spark):
     assert "BatchEvalPython" not in plan, plan
     with pytest.raises(ValueError):
         epoch_order(docs, epoch=-1)
+
+
+def test_temperature_targets_flattens_toward_uniform(spark):
+    import math
+
+    from binlog_processer_spark.operators.mix import temperature_targets
+
+    d = _docs(spark)  # 4 sources, known token sums
+    tok = {
+        r.source: r.t
+        for r in d.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    out = {r.source: r.asDict() for r in temperature_targets(d, 2.0).collect()}
+    assert set(out) == set(tok)
+    total = sum(tok.values())
+    # oracle recomputation of the closed form in python floats
+    sc = {s: math.pow(t / total, 0.5) for s, t in tok.items()}
+    z = sum(sc.values())
+    tgt = {s: v / z for s, v in sc.items()}
+    c = min(tok[s] / tgt[s] for s in tok)
+    for s in tok:
+        r = out[s]
+        assert r["tokens"] == tok[s]
+        rate = min(1.0, c * tgt[s] / tok[s])
+        assert abs(r["target_share_bp"] - math.floor(tgt[s] * 10000)) <= 1
+        assert abs(r["rate_bp"] - math.floor(rate * 10000)) <= 1
+        assert abs(r["kept_tokens"] - math.floor(rate * tok[s])) <= 1
+    # the binding (smallest-share) source keeps (essentially) everything
+    smallest = min(tok, key=tok.get)
+    assert out[smallest]["rate_bp"] >= 9999
+    # temperature flattening: kept shares sit strictly between the natural
+    # share and uniform for the dominant source
+    kept_total = sum(out[s]["kept_tokens"] for s in tok)
+    biggest = max(tok, key=tok.get)
+    nat = tok[biggest] / total
+    kept_share = out[biggest]["kept_tokens"] / kept_total
+    assert 1 / len(tok) < kept_share < nat
+
+
+def test_temperature_one_keeps_everything(spark):
+    from binlog_processer_spark.operators.mix import temperature_targets
+
+    out = temperature_targets(_docs(spark), 1.0).collect()
+    for r in out:
+        # T=1 → targets equal current shares → every source binds: rate 1
+        # (9999 admissible: float (a/b)*b/a may land one ulp under 1.0)
+        assert r.rate_bp >= 9999
+        assert r.kept_tokens >= r.tokens - 1
+
+
+def test_temperature_targets_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    from binlog_processer_spark.operators.mix import temperature_targets
+
+    with _pytest.raises(ValueError):
+        temperature_targets(_docs(spark), 0.0)
+
+
+def test_weighted_sample_matches_python_oracle_exactly(spark):
+    import hashlib
+    import math
+
+    from binlog_processer_spark.operators.mix import weighted_sample
+
+    d = _docs(spark, 500)
+    got = sorted(r.doc_id for r in weighted_sample(d, 50).collect())
+    # independent recomputation: same md5-prefix u, same ES key, top-50
+    rows = d.collect()
+    keyed = []
+    for r in rows:
+        v = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 16**8
+        keyed.append((math.log(u) / r.n_tok, r.doc_id))
+    want = sorted(i for _, i in sorted(keyed, reverse=True)[:50])
+    assert got == want
+    # deterministic under repartitioning
+    again = sorted(
+        r.doc_id for r in weighted_sample(d.repartition(13), 50).collect()
+    )
+    assert again == got
+
+
+def test_weighted_sample_favors_heavy_rows_and_drops_nonpositive(spark):
+    from binlog_processer_spark.operators.mix import weighted_sample
+
+    d = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit(100)).otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    out = weighted_sample(d, 100).collect()
+    heavy = sum(1 for r in out if r.doc_id < 200)
+    assert len(out) == 100
+    assert heavy >= 85  # w=100 vs w=1: heavy class dominates the draw
+    # zero/negative weights are never drawn
+    z = d.withColumn(
+        "n_tok", F.when(F.col("doc_id") < 390, F.lit(0)).otherwise(F.lit(5))
+    )
+    kept = {r.doc_id for r in weighted_sample(z, 10).collect()}
+    assert kept == set(range(390, 400))
+
+
+def test_weighted_sample_plan_is_top_n_not_full_sort(spark):
+    from binlog_processer_spark.operators.mix import weighted_sample
+
+    plan = weighted_sample(_docs(spark), 25)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
