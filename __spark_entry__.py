@@ -638,6 +638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_stats"] = vocab_stats
 
+    def token_ngram_diversity(spark, sf_dir):
+        # per-source distinct-1/2/3 corpus diversity (cross-document
+        # boilerplate lens: repetition_stats is within-doc only)
+        from binlog_processer_spark.operators.tokens import ngram_diversity
+
+        return ngram_diversity(_kept(spark, sf_dir), ns=(1, 2, 3))
+
+    q["token_ngram_diversity"] = token_ngram_diversity
+
     def doc_idf_score(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import (
             doc_idf_score as dis,
@@ -2573,6 +2582,40 @@ grid AS (
         " (SELECT source, cast(count(DISTINCT token) AS bigint) AS distinct_tok"
         "  FROM (SELECT source, unnest(tokens) AS token FROM kept)"
         "  GROUP BY source) b USING (source)",
+        _X_ENRICHED,
+    )
+    # per-source distinct-n / total-n diversity in ppm; gram strings are
+    # the '-'-joined decimal form shared with the Spark _gram_strings canon
+    o["token_ngram_diversity"] = _oracle_full(
+        "SELECT source, n, total_grams, distinct_grams,"
+        " CASE WHEN total_grams = 0 THEN 0"
+        "      ELSE cast(floor(distinct_grams * 1000000 / total_grams)"
+        "           AS bigint) END AS diversity_ppm"
+        " FROM ("
+        "  SELECT source, cast(1 AS int) AS n,"
+        "         cast(count(*) AS bigint) AS total_grams,"
+        "         cast(count(DISTINCT gram) AS bigint) AS distinct_grams"
+        "  FROM (SELECT source, unnest(tokens) AS gram FROM kept)"
+        "  GROUP BY source"
+        "  UNION ALL"
+        "  SELECT source, cast(2 AS int) AS n,"
+        "         cast(count(*) AS bigint) AS total_grams,"
+        "         cast(count(DISTINCT gram) AS bigint) AS distinct_grams"
+        "  FROM (SELECT source,"
+        "        unnest(list_transform(range(1, greatest(len(tokens), 1)),"
+        "          i -> array_to_string(tokens[i:i+1], '-'))) AS gram"
+        "        FROM kept)"
+        "  GROUP BY source"
+        "  UNION ALL"
+        "  SELECT source, cast(3 AS int) AS n,"
+        "         cast(count(*) AS bigint) AS total_grams,"
+        "         cast(count(DISTINCT gram) AS bigint) AS distinct_grams"
+        "  FROM (SELECT source,"
+        "        unnest(list_transform("
+        "          range(1, greatest(len(tokens) - 1, 1)),"
+        "          i -> array_to_string(tokens[i:i+2], '-'))) AS gram"
+        "        FROM kept)"
+        "  GROUP BY source)",
         _X_ENRICHED,
     )
     # per-event mean unigram surprisal in milli-nats (CCNet-style quality)

@@ -747,3 +747,77 @@ def merge_pair_counts(kept: DataFrame, top_k: int = 100) -> DataFrame:
         .orderBy(F.desc("cnt"), "p1", "p2")
         .limit(top_k)
     )
+
+
+def ngram_diversity(
+    kept: DataFrame, ns: tuple[int, ...] = (1, 2, 3), approx: bool = False
+) -> DataFrame:
+    """Per-source n-gram diversity: distinct-n / total-n in ppm — the
+    corpus-level distinct-1/distinct-2/distinct-3 report (Li et al. 2016's
+    generation-diversity metric applied as a data-quality lens: a source
+    whose bigram diversity collapses is boilerplate- or template-heavy
+    even when every individual document passes the within-document
+    repetition gate, because the duplication lives ACROSS documents).
+    Complements ``repetition_stats`` (within-doc) and ``vocab_stats``
+    (unigrams only).
+
+    Output: one row per (source, n) with total gram occurrences, distinct
+    grams, and ``diversity_ppm = floor(distinct * 1e6 / total)`` (bigint,
+    hash-stable across engines).
+
+    Scale posture: one explode + ONE hash aggregate per n — total and
+    distinct come out of the same scan. Exact ``count_distinct`` shuffles
+    source × gram-vocabulary after partial aggregation: fine for unigrams
+    (bounded vocab) and acceptable for small-n grams; for large n or
+    10^12-row corpora pass ``approx=True`` to swap in HyperLogLog++
+    (rsd 1%) — the shuffle then carries one fixed-size sketch per
+    (task, source, n) regardless of gram-space size. Sketches are
+    engine-specific, so the approx path is gated by a pytest tolerance
+    test against the exact path, not by the cross-engine oracle. Grams
+    are '-'-joined decimal strings (``_gram_strings``) so Spark and the
+    DuckDB oracle agree bit-for-bit.
+    """
+    if not ns:
+        raise ValueError("ns must name at least one gram order")
+    parts = []
+    for n in ns:
+        if n < 1:
+            raise ValueError(f"gram order {n} must be >= 1")
+        distinct_agg = (
+            F.approx_count_distinct("gram", rsd=0.01)
+            if approx
+            else F.count_distinct("gram")
+        )
+        parts.append(
+            kept.select(
+                "source", F.explode(_gram_strings(int(n))).alias("gram")
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+                distinct_agg.cast("bigint").alias("distinct_grams"),
+            )
+            .select(
+                "source",
+                F.lit(int(n)).cast("int").alias("n"),
+                "total_grams",
+                "distinct_grams",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "source",
+        "n",
+        "total_grams",
+        "distinct_grams",
+        F.when(F.col("total_grams") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("distinct_grams") * 1_000_000 / F.col("total_grams")
+            )
+        )
+        .cast("bigint")
+        .alias("diversity_ppm"),
+    )

@@ -377,3 +377,66 @@ def test_merge_pair_counts_bpe_step(spark):
     # top-k is per-partition heaps, never a global sort
     plan = merge_pair_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_diversity_exact_small(spark):
+    from binlog_processer_spark.operators.tokens import ngram_diversity
+
+    # row 1: tokens [1,1,2] -> unigrams {1,1,2}, bigrams {1-1, 1-2},
+    # trigrams {1-1-2}; row 2: [1,2] -> unigrams {1,2}, bigram {1-2};
+    # row 3 (source b): [5] -> one unigram, no bi/trigrams
+    df = _df(spark, [("a", [1, 1, 2]), ("a", [1, 2]), ("b", [5])])
+    got = {
+        (r.source, r.n): (r.total_grams, r.distinct_grams, r.diversity_ppm)
+        for r in ngram_diversity(df).collect()
+    }
+    assert got[("a", 1)] == (5, 2, 400_000)
+    assert got[("a", 2)] == (3, 2, 666_666)
+    assert got[("a", 3)] == (1, 1, 1_000_000)
+    assert got[("b", 1)] == (1, 1, 1_000_000)
+    # sources with zero grams at an order produce no row (nothing to
+    # divide) — b has no bigrams/trigrams
+    assert ("b", 2) not in got and ("b", 3) not in got
+
+
+def test_ngram_diversity_approx_within_tolerance(spark):
+    from binlog_processer_spark.operators.tokens import ngram_diversity
+
+    rows = [
+        ("s%d" % (i % 2), [(i * j) % 97 for j in range(1, 30)])
+        for i in range(300)
+    ]
+    df = _df(spark, rows).repartition(8)
+    exact = {
+        (r.source, r.n): r.distinct_grams
+        for r in ngram_diversity(df, ns=(1, 2)).collect()
+    }
+    approx = {
+        (r.source, r.n): r.distinct_grams
+        for r in ngram_diversity(df, ns=(1, 2), approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (k, ex, approx[k])
+    # totals identical regardless of the distinct estimator
+    te = {
+        (r.source, r.n): r.total_grams
+        for r in ngram_diversity(df, ns=(1, 2)).collect()
+    }
+    ta = {
+        (r.source, r.n): r.total_grams
+        for r in ngram_diversity(df, ns=(1, 2), approx=True).collect()
+    }
+    assert te == ta
+
+
+def test_ngram_diversity_rejects_bad_orders(spark):
+    import pytest as _pytest
+
+    from binlog_processer_spark.operators.tokens import ngram_diversity
+
+    df = _df(spark, [("a", [1, 2])])
+    with _pytest.raises(ValueError):
+        ngram_diversity(df, ns=())
+    with _pytest.raises(ValueError):
+        ngram_diversity(df, ns=(0,))
