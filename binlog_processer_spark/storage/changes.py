@@ -80,9 +80,35 @@ def table_changes(
     new_files = set(table._files_rel(m_new))
     new_schema = StructType.fromJson(json.loads(m_new["schema"]))
 
-    added = table._scan(spark, m_new, sorted(new_files - old_files))
+    # merge-on-read equality deletes change rows WITHOUT changing the file
+    # inventory, so the file diff alone would report a delete commit as
+    # zero changes. Files carried by both snapshots whose applicable
+    # delete set differs are scanned on BOTH sides (each side under its
+    # own manifest, so each applies its own delete state); the signed
+    # residue below cancels the surviving rows and emits exactly the rows
+    # the new deletes removed. Cost still scales with churn: only files a
+    # changed delete could touch (older commit sequence) are re-read.
+    def _dkey(e: dict) -> tuple:
+        return (e["path"], int(e["seq"]), tuple(e["key_cols"]))
+
+    d_old = {_dkey(e) for e in m_old.get("delete_files", [])}
+    d_new = {_dkey(e) for e in m_new.get("delete_files", [])}
+    affected: set[str] = set()
+    changed_deletes = d_old ^ d_new
+    if changed_deletes:
+        affected = {
+            f
+            for f in old_files & new_files
+            if any(
+                seq > SnapshotTable._dir_seq(f)
+                for _, seq, _ in changed_deletes
+            )
+        }
+
+    added = table._scan(spark, m_new, sorted((new_files - old_files) | affected))
     removed = _align(
-        table._scan(spark, m_old, sorted(old_files - new_files)), new_schema
+        table._scan(spark, m_old, sorted((old_files - new_files) | affected)),
+        new_schema,
     )
     cols = [f.name for f in new_schema.fields]
 

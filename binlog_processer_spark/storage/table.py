@@ -13,8 +13,11 @@ same contract is implemented on partitioned Parquet + JSON manifests:
   many files the table has, and the same contract ports to HDFS/S3 where
   listing is slow and non-atomic;
 - ``rewrite_files`` commits a snapshot that replaces a subset of files
-  (the partition/file-scoped alternative to a full-table overwrite — the
-  row-level-delete stand-in);
+  (the partition/file-scoped alternative to a full-table overwrite);
+- ``write_deletes`` commits Iceberg-v2-style equality-delete files
+  (merge-on-read row-level deletes: kilobytes written, no data file
+  touched; readers apply a sequence-scoped anti-join and
+  ``materialize_deletes`` folds the debt in);
 - ``_current`` is flipped by an atomic rename — the temp→rename commit the
   reference does per Avro file (PartitionWriterManager.java:98-116,
   HdfsStorage.java:40-51), promoted to table level;
@@ -827,6 +830,14 @@ class SnapshotTable:
             "schema": df.schema.json(),
             "properties": properties or {},
         }
+        if mode == "append" and parent is not None:
+            # equality-delete debt outlives appends: the new files' commit
+            # sequence is later than every carried delete, so the deletes
+            # keep applying to old files only (overwrite resets the debt
+            # with everything else)
+            carried_deletes = pm.get("delete_files")
+            if carried_deletes:
+                manifest["delete_files"] = carried_deletes
         if stats_columns and file_format == "parquet":
             # per-file [min,max] zone maps from the commit-time footer
             # pass — prune_files/read_where plan file-skipping from these
@@ -883,6 +894,116 @@ class SnapshotTable:
         # (expired parents' dirs are deleted wholesale), dropping the
         # excluded files' entries
         manifest.update(self._bloom_manifest_keys(snap_dir, m, {}, drop=rel))
+        self._write_manifest(snap_dir, manifest)
+        self._commit(snap, expected_parent=parent)
+        return snap
+
+    def write_deletes(
+        self, keys: DataFrame, key_cols: list[str] | None = None
+    ) -> int:
+        """Merge-on-read equality-delete commit (Iceberg v2 semantics):
+        record the key tuples to delete in small parquet delete files under
+        this commit's snap dir instead of rewriting any data file. Readers
+        apply them as a scoped anti-join (see ``_apply_deletes``); rows with
+        a matching key written in LATER commits are unaffected (sequence-
+        number scoping), so delete-then-reappend round-trips correctly.
+
+        This is THE row-level delete at 10^12 rows: a GDPR erasure of a few
+        thousand keys on a 100 TB table commits in seconds and moves
+        kilobytes; the read-side anti-join cost is amortized until
+        ``materialize_deletes`` (or any compaction/rewrite of the affected
+        files) folds the debt in. ``keys`` is distinct-reduced and cast to
+        the table's column types before writing, so the stored keys match
+        the data bit-for-bit however the caller derived them.
+
+        Reference parity note: the reference deletes rows only by rewriting
+        whole files at repair time (PartitionWriterManager.java analogue);
+        delete files are the scale-path generalization.
+        """
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        pm = self._manifest(parent)
+        schema = StructType.fromJson(json.loads(pm["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        kcols = list(keys.columns if key_cols is None else key_cols)
+        if not kcols:
+            raise ValueError("write_deletes: key_cols must be non-empty")
+        unknown = [c for c in kcols if c not in types]
+        if unknown:
+            raise ValueError(
+                f"write_deletes: key columns {unknown} not in the table "
+                f"schema of {self.root}"
+            )
+        snap, snap_dir = self._reserve_snapshot()
+        del_dir = fsmod.join(snap_dir, "deletes")
+        (
+            keys.select(
+                *[F.col(c).cast(types[c]).alias(c) for c in kcols]
+            )
+            .distinct()
+            .write.mode("errorifexists")
+            .parquet(del_dir)
+        )
+        new_rel = self._walk_rel(del_dir, ".parquet")
+        manifest = {
+            **pm,
+            "snapshot": snap,
+            "parent": parent,
+            "mode": "delete",
+            "created_ms": int(time.time() * 1000),
+            "delete_files": list(pm.get("delete_files") or [])
+            + [
+                {"path": p, "seq": snap, "key_cols": kcols}
+                for p in new_rel
+            ],
+        }
+        # re-point the bloom sidecar at THIS (self-contained) snap dir
+        manifest.update(self._bloom_manifest_keys(snap_dir, pm, {}))
+        self._write_manifest(snap_dir, manifest)
+        self._commit(snap, expected_parent=parent)
+        return snap
+
+    def materialize_deletes(self, spark: SparkSession) -> int:
+        """Fold the table's equality-delete debt into the data files: every
+        data file some delete could apply to (commit sequence older than a
+        delete's) is rewritten with the deletes applied; files newer than
+        every delete are untouched (carried by reference, never read); the
+        delete files are dropped from the new manifest. Reads before and
+        after return identical rows — this trades the per-read anti-join
+        for one bounded rewrite, the compaction half of the merge-on-read
+        contract. Returns the new snapshot (current one if there was no
+        debt to fold)."""
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._manifest(parent)
+        entries = m.get("delete_files") or []
+        if not entries:
+            return parent
+        max_seq = max(int(e["seq"]) for e in entries)
+        candidates = sorted(
+            f
+            for f in self._files_rel(m)
+            if self._dir_seq(f) < max_seq
+        )
+        if candidates:
+            replacement = self._scan(spark, m, candidates)
+            return self.rewrite_files(
+                candidates, replacement, _clear_deletes=True
+            )
+        # deletes with no live target files: metadata-only clear
+        snap, snap_dir = self._reserve_snapshot()
+        self._fs.mkdirs(snap_dir)
+        manifest = {
+            **m,
+            "snapshot": snap,
+            "parent": parent,
+            "mode": "materialize",
+            "created_ms": int(time.time() * 1000),
+            "delete_files": [],
+        }
+        manifest.update(self._bloom_manifest_keys(snap_dir, m, {}))
         self._write_manifest(snap_dir, manifest)
         self._commit(snap, expected_parent=parent)
         return snap
@@ -970,6 +1091,7 @@ class SnapshotTable:
         removed: list[str],
         replacement: DataFrame,
         extra_stats_columns: list[str] | None = None,
+        _clear_deletes: bool = False,
     ) -> int:
         """Commit a snapshot that drops ``removed`` data files and adds the
         ``replacement`` rows — the file-scoped overwrite (Iceberg's
@@ -1029,6 +1151,11 @@ class SnapshotTable:
             "schema": pm["schema"],
             "properties": pm.get("properties", {}),
         }
+        if not _clear_deletes and pm.get("delete_files"):
+            # kept (unrewritten) files may still owe equality deletes; the
+            # new files' later sequence exempts them (their rows came from
+            # a read that already applied the deletes)
+            manifest["delete_files"] = pm["delete_files"]
         stats_cols = pm.get("stats_columns")
         if extra_stats_columns:
             # a clustering rewrite (e.g. z-order) may introduce pruning
@@ -1128,7 +1255,11 @@ class SnapshotTable:
         return self._scan(spark, m, rel)
 
     def _scan(
-        self, spark: SparkSession, m: dict, rel_files: list[str]
+        self,
+        spark: SparkSession,
+        m: dict,
+        rel_files: list[str],
+        apply_deletes: bool = True,
     ) -> DataFrame:
         fmt = m.get("format", "parquet")
         schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1140,19 +1271,87 @@ class SnapshotTable:
                 raise ValueError(f"{rel} not under any data_dir of the manifest")
             by_dir.setdefault(d, []).append(self._join(rel))
 
-        branches = [
-            spark.read.schema(schema)
-            .option("basePath", self._join(d))
-            .format(fmt)
-            .load(files)
-            for d, files in sorted(by_dir.items())
-        ]
+        # merge-on-read equality deletes: when the manifest carries delete
+        # files, every branch is tagged with its commit sequence (parsed
+        # from the snap-N dir — each data dir belongs to exactly one
+        # commit) so the anti-join below can scope each delete to rows
+        # written BEFORE it. Tables without deletes pay nothing.
+        entries = (m.get("delete_files") or []) if apply_deletes else []
+        branches = []
+        for d, files in sorted(by_dir.items()):
+            b = (
+                spark.read.schema(schema)
+                .option("basePath", self._join(d))
+                .format(fmt)
+                .load(files)
+            )
+            if entries:
+                b = b.withColumn(
+                    "__mor_seq__", F.lit(self._dir_seq(d)).cast("bigint")
+                )
+            branches.append(b)
         if not branches:
             return spark.createDataFrame([], schema)
         out = branches[0]
         for d in branches[1:]:
             out = out.unionByName(d)
+        if entries:
+            out = self._apply_deletes(spark, out, schema, entries)
         return out
+
+    @staticmethod
+    def _dir_seq(rel_path: str) -> int:
+        """Commit sequence of a root-relative data/delete path: the snap-N
+        prefix every committed path carries by construction."""
+        head = rel_path.split("/", 1)[0]
+        if not head.startswith("snap-"):
+            raise ValueError(f"no snap-N prefix on {rel_path!r}")
+        return int(head[5:])
+
+    def _apply_deletes(
+        self,
+        spark: SparkSession,
+        data: DataFrame,
+        schema: StructType,
+        entries: list[dict],
+    ) -> DataFrame:
+        """Anti-join the scan against the manifest's equality-delete files
+        (Iceberg v2 merge-on-read): a row is dropped iff some delete whose
+        commit sequence is LATER than the row's data file matches its key
+        (null-safe, Iceberg's equality semantics) — so a key re-appended
+        AFTER its delete survives. Delete files of one key set are unioned
+        and reduced to max(seq) per key (a row dies iff ANY later delete
+        matches ⟺ the max is later), keeping the join side one row per
+        key; distinct key_cols sets (rare) each get their own anti-join.
+        The join is an equi-hash anti join on the keys — AQE broadcasts
+        the delete side when it is small (the common case: deletes are
+        thousands of keys against billions of rows)."""
+        types = {f.name: f for f in schema.fields}
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            groups.setdefault(tuple(e["key_cols"]), []).append(e)
+        for kcols, es in sorted(groups.items()):
+            kschema = StructType([types[c] for c in kcols])
+            by_seq: dict[int, list[str]] = {}
+            for e in es:
+                by_seq.setdefault(int(e["seq"]), []).append(e["path"])
+            sides = [
+                spark.read.schema(kschema)
+                .parquet(*[self._join(p) for p in paths])
+                .withColumn("__mor_dseq__", F.lit(seq).cast("bigint"))
+                for seq, paths in sorted(by_seq.items())
+            ]
+            dels = sides[0]
+            for s in sides[1:]:
+                dels = dels.unionByName(s)
+            dels = dels.groupBy(*kcols).agg(
+                F.max("__mor_dseq__").alias("__mor_dseq__")
+            )
+            cond = data["__mor_seq__"] < dels["__mor_dseq__"]
+            for c in kcols:
+                cond = cond & data[c].eqNullSafe(dels[c])
+            data = data.join(dels, cond, "left_anti")
+        return data.drop("__mor_seq__")
 
     def added_files(self, since: int, snapshot: int | None = None) -> list[str]:
         """Root-relative data files present in ``snapshot`` (default
@@ -1161,9 +1360,10 @@ class SnapshotTable:
 
         File-level semantics (same caveat as Iceberg's incremental scan):
         on an append-only history the diff is exactly the new rows; a
-        rewrite (compaction, repair) surfaces its rewritten files, because
-        row-level change tracking needs delete files this format doesn't
-        keep."""
+        rewrite (compaction, repair) surfaces its rewritten files. For
+        row-level change semantics — including merge-on-read delete
+        commits, which change rows without changing this file set — use
+        ``storage.changes.table_changes``."""
         snap = self.current_snapshot() if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
@@ -1216,9 +1416,15 @@ class SnapshotTable:
         referenced: set[str] = set()
         for s in sorted(kept):
             try:
-                referenced.update(self._files_rel(self._manifest(s)))
+                km = self._manifest(s)
             except FileNotFoundError:
                 kept.discard(s)  # tag predating this retention scheme
+                continue
+            referenced.update(self._files_rel(km))
+            # live equality-delete files are load-bearing for kept reads
+            referenced.update(
+                e["path"] for e in km.get("delete_files", [])
+            )
 
         removed_snaps, removed_files, freed = [], 0, 0
         for name in self._fs.list_dirs(self.root):
@@ -1252,8 +1458,10 @@ class SnapshotTable:
             # expired snapshot's files that no kept snapshot still reads
             try:
                 m = self._manifest(s)
-                candidates = set(self._files_rel(m)) | set(
-                    m.get("excluded_files", [])
+                candidates = (
+                    set(self._files_rel(m))
+                    | set(m.get("excluded_files", []))
+                    | {e["path"] for e in m.get("delete_files", [])}
                 )
             except FileNotFoundError:
                 candidates = set()
