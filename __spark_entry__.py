@@ -909,6 +909,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_roundtrip"] = merge_roundtrip
 
+    # --- merge-on-read equality deletes (Iceberg-v2 semantics): a delete
+    #     commit writes ONLY key tuples (kilobytes on a 100 TB table) and
+    #     rewrites no data file; readers apply a sequence-scoped anti-join,
+    #     so a key re-appended AFTER its delete survives ---
+    def _mor_table(spark, sf_dir, prefix):
+        import os
+        import tempfile
+
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        fs = _final_state(spark, sf_dir)
+        base = fs.filter(F.col("final_op") != "Delete").select(
+            "database_name", "table_name", "doc_id", "final_seq"
+        )
+        tbl = SnapshotTable(
+            os.path.join(tempfile.mkdtemp(prefix=prefix), "state")
+        )
+        tbl.write(base.repartition(8))
+        doomed = base.filter(F.col("doc_id").cast("bigint") % 13 == 4)
+        tbl.write_deletes(
+            doomed.select("database_name", "table_name", "doc_id"),
+            ["database_name", "table_name", "doc_id"],
+        )
+        return tbl, doomed
+
+    def mor_equality_delete(spark, sf_dir):
+        tbl, doomed = _mor_table(spark, sf_dir, "blp_mor_")
+        # the merge-on-read claim, checked: the delete commit carried the
+        # parent's data files byte-identically
+        snap = tbl.current_snapshot()
+        assert tbl.data_files(snap) == tbl.data_files(snap - 1)
+        # re-append half the erased keys AFTER the delete — sequence
+        # scoping must let exactly these rows survive
+        tbl.write(
+            doomed.filter(F.col("doc_id").cast("bigint") % 26 == 4)
+            .withColumn("final_seq", F.lit(-5).cast("bigint")),
+            mode="append",
+        )
+        return tbl.read(spark)
+
+    q["mor_equality_delete"] = mor_equality_delete
+
+    def mor_materialize(spark, sf_dir):
+        tbl, doomed = _mor_table(spark, sf_dir, "blp_morm_")
+        tbl.write(
+            doomed.filter(F.col("doc_id").cast("bigint") % 26 == 4)
+            .withColumn("final_seq", F.lit(-5).cast("bigint")),
+            mode="append",
+        )
+        snap = tbl.materialize_deletes(spark)
+        m = tbl._manifest(snap)
+        # debt folded: no delete files remain, and no first-generation
+        # data file survived the rewrite
+        assert not m.get("delete_files")
+        assert not any(f.startswith("snap-0/") for f in tbl.data_files(snap))
+        return tbl.read(spark)
+
+    q["mor_materialize"] = mor_materialize
+
+    def mor_cdf_delete(spark, sf_dir):
+        from binlog_processer_spark.storage.changes import table_changes
+
+        tbl, _doomed = _mor_table(spark, sf_dir, "blp_morc_")
+        # the delete commit changed rows without changing the file
+        # inventory — the CDF must still surface exactly the erased rows
+        return table_changes(spark, tbl, since=tbl.current_snapshot() - 1)
+
+    q["mor_cdf_delete"] = mor_cdf_delete
+
     # --- time travel: a tagged snapshot and a timestamp read both serve
     #     the table EXACTLY as committed, after an overwrite replaced it ---
     def time_travel_read(spark, sf_dir):
@@ -2808,6 +2877,32 @@ grid AS (
         " cast(cast(doc_id AS bigint) + 1000000 AS bigint) AS final_seq"
         " FROM final_state"
         " WHERE final_op <> 'Delete' AND cast(doc_id AS bigint) % 17 = 5",
+        _X_ENRICHED + "," + _X_FINAL_STATE,
+    )
+    _mor_live = (
+        "SELECT database_name, table_name, doc_id, final_seq"
+        " FROM final_state WHERE final_op <> 'Delete'"
+    )
+    _mor_expected = (
+        _mor_live + " AND cast(doc_id AS bigint) % 13 <> 4"
+        " UNION ALL "
+        "SELECT database_name, table_name, doc_id,"
+        " cast(-5 AS bigint) AS final_seq"
+        " FROM final_state WHERE final_op <> 'Delete'"
+        " AND cast(doc_id AS bigint) % 26 = 4"
+    )
+    o["mor_equality_delete"] = _oracle_full(
+        _mor_expected, _X_ENRICHED + "," + _X_FINAL_STATE
+    )
+    # materialize is read-preserving by contract: same expected rows
+    o["mor_materialize"] = _oracle_full(
+        _mor_expected, _X_ENRICHED + "," + _X_FINAL_STATE
+    )
+    o["mor_cdf_delete"] = _oracle_full(
+        "SELECT database_name, table_name, doc_id, final_seq,"
+        " 'delete' AS _change_type"
+        " FROM final_state WHERE final_op <> 'Delete'"
+        " AND cast(doc_id AS bigint) % 13 = 4",
         _X_ENRICHED + "," + _X_FINAL_STATE,
     )
     o["time_travel_read"] = _oracle_full(

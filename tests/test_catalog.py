@@ -123,7 +123,11 @@ def test_compact_advances_catalog_and_expiry_respects_pins(tmp_path, spark):
         )
 
     wh = str(tmp_path / "wh")
-    _run(["jobs/run_pipeline.py", "--generate", "20000", "--output", wh])
+    # salt clustering on purpose: the test NEEDS a fragmented routed table
+    # for compaction to have work (the default rebalance write produces
+    # right-sized files — the compactor correctly no-ops on it)
+    _run(["jobs/run_pipeline.py", "--generate", "20000", "--output", wh,
+          "--write-clustering", "salt"])
     cat = Catalog(wh)
     v0_routed = cat.pins()["routed"]
 

@@ -160,11 +160,12 @@ def test_pipeline_cli_inline_compact(tmp_path):
     """--compact bin-packs the routed table right after the run commits and
     the warehouse still verifies clean against the replica derivation."""
     wh = str(tmp_path / "wh")
-    # 20k docs: enough rows that the salted write spreads each sink
-    # partition over several tasks -> several files (smaller corpora land
-    # one file per partition and the compactor correctly no-ops)
+    # salt clustering: 20k docs under the salted write spreads each sink
+    # partition over several tasks -> several files, giving the inline
+    # compactor work (the default rebalance write is already right-sized
+    # and the compactor correctly no-ops on it)
     m = _run(["jobs/run_pipeline.py", "--generate", "20000", "--output", wh,
-              "--compact"])
+              "--compact", "--write-clustering", "salt"])
     assert m["rows_routed"] > 0
     assert m["compact_groups"] > 0
     assert m["compact_files_merged"] > m["compact_groups"]
@@ -565,3 +566,39 @@ def test_feed_cli_mirror_replication(tmp_path, spark):
     assert row_diff(src.read(spark), mirror.read(spark),
                     ["id", "v"]).count() == 0
     assert mirror.read(spark).count() == src.read(spark).count()
+
+
+def test_erase_cli_merge_on_read(tmp_path, spark):
+    """run_erase commits a GDPR erasure as equality-delete files: dry-run
+    counts without committing, the real run leaves every data file
+    untouched and hides the matches, --materialize folds the debt in."""
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    _run(["jobs/run_pipeline.py", "--generate", "2000", "--output", wh])
+    pred = "cast(doc_id as bigint) % 13 = 4"
+    base = ["jobs/run_erase.py", "--warehouse", wh, "--where", pred,
+            "--key-cols", "doc_id"]
+
+    dry = _run([*base, "--dry-run"])
+    assert dry["keys_matched"] > 0 and dry["committed"] is False
+
+    m = _run([*base, "--verify"])
+    assert m["committed"] is True
+    assert m["keys_matched"] == dry["keys_matched"]
+    assert m["data_files_untouched"] is True
+    assert m["visible_matches_after"] == 0
+
+    # idempotent-ish second pass: nothing left to match, nothing committed
+    again = _run([*base])
+    assert again["keys_matched"] == 0 and again["committed"] is False
+
+    # materialize via a fresh predicate: debt folds, rows stay erased
+    pred2 = "cast(doc_id as bigint) % 17 = 3"
+    m2 = _run(["jobs/run_erase.py", "--warehouse", wh, "--where", pred2,
+               "--key-cols", "doc_id", "--materialize", "--verify"])
+    assert m2["committed"] is True
+    assert m2["delete_debt_after"] == 0
+    assert m2["visible_matches_after"] == 0
+    tbl = SnapshotTable(os.path.join(wh, "routed"))
+    assert tbl.read(spark).filter(pred).count() == 0  # first erase persists
