@@ -620,6 +620,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_merge_pairs"] = token_merge_pairs
 
+    # BPE tokenizer (operators/bpe.py): iterative merge learning, so
+    # deliberately rows-only (no DuckDB twin) — exactness is pinned by
+    # tests/test_bpe.py's from-scratch reference implementation.
+    def token_bpe_merges(spark, sf_dir):
+        from binlog_processer_spark.operators.bpe import (
+            merges_df,
+            train_bpe,
+        )
+
+        _, merges = train_bpe(
+            _docs(spark, sf_dir), num_merges=64, min_count=2
+        )
+        return merges_df(spark, merges)
+
+    q["token_bpe_merges"] = token_bpe_merges
+
+    def token_bpe_encode_stats(spark, sf_dir):
+        from binlog_processer_spark.operators.bpe import (
+            encode,
+            encode_stats,
+            train_bpe,
+        )
+
+        docs = _docs(spark, sf_dir)
+        model, _ = train_bpe(docs, num_merges=64, min_count=2)
+        return encode_stats(encode(docs, model))
+
+    q["token_bpe_encode_stats"] = token_bpe_encode_stats
+
     def token_doc_frequency(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import (
             token_doc_frequency as tdf,

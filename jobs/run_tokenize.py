@@ -1,0 +1,91 @@
+"""spark-submit entry point for BPE tokenizer training + corpus encode.
+
+The thirteenth CLI: learns a subword vocabulary from the corpus (one
+distributed word-count pass, driver merge loop over the compact word
+table — operators/bpe.py), encodes every document with the broadcast
+ranks, and writes the artifacts a training pipeline hands to the data
+loader:
+
+- ``<output>/vocab.json``        — merges + piece→id map (BpeModel dict)
+- ``<output>/encoded``           — snapshot table: doc_id, source,
+                                   n_words, n_pieces, n_chars, ids
+- stdout                         — one JSON summary line (per-source
+                                   compression, vocab size, merge count)
+
+Usage::
+
+    spark-submit --py-files dist/engine.zip jobs/run_tokenize.py \
+        --docs /root/testdata/sf0.01/documents.parquet \
+        [--output /tmp/tok_wh] [--num-merges 256] [--min-count 2] \
+        [--max-words 65536]
+
+Without --output nothing is written; the job just trains and prints the
+report (a dry-run of the vocabulary before committing to a tokenization
+of 100 TB).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binlog_processer_spark.operators._cache import unpin_all
+from binlog_processer_spark.operators.bpe import (
+    encode,
+    encode_stats,
+    train_bpe,
+)
+from binlog_processer_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--output", help="artifact dir (omit for dry-run)")
+    ap.add_argument("--num-merges", type=int, default=256)
+    ap.add_argument("--min-count", type=int, default=2)
+    ap.add_argument("--max-words", type=int, default=65536)
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    spark = get_spark("run_tokenize")
+    docs = spark.read.parquet(args.docs)
+
+    model, merges = train_bpe(
+        docs,
+        num_merges=args.num_merges,
+        min_count=args.min_count,
+        max_words=args.max_words,
+        text_col=args.text_col,
+    )
+    encoded = encode(docs, model, text_col=args.text_col)
+    stats = [r.asDict() for r in encode_stats(encoded).collect()]
+
+    out = {
+        "merges_learned": len(merges),
+        "vocab_size": len(model.vocab),
+        "per_source": stats,
+        "written": False,
+    }
+
+    if args.output:
+        from binlog_processer_spark.storage.table import SnapshotTable
+
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "vocab.json"), "w") as f:
+            json.dump(model.to_dict(), f)
+        t = SnapshotTable(os.path.join(args.output, "encoded"))
+        t.write(encode(docs, model, text_col=args.text_col))
+        out["written"] = True
+        out["encoded_rows"] = t.read(spark).count()
+
+    unpin_all()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
