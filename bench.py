@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_containment",
     "session_funnel",
     "token_bm25_topk",
+    "token_bpe_encode_stats",
 ]
 
 

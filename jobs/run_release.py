@@ -25,6 +25,9 @@ stage can be audited or resumed from; one JSON summary line at the end.
 Token arrays are synthesized from text with the corpus module's
 deterministic hash tokenizer when the input carries no ``tokens``
 column (the 10^12-row production input is already pre-tokenized).
+With ``--bpe-merges N`` the job instead trains a real BPE vocabulary
+on the kept corpus (operators/bpe.py) and packs learned subword ids,
+writing ``<output>/vocab.json`` for the loader.
 """
 
 from __future__ import annotations
@@ -77,6 +80,16 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--targets", help="source=share[,source=share...]")
     ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="train a BPE vocabulary of this many merges on the kept "
+        "corpus and tokenize with it (writes <output>/vocab.json; "
+        "unseen characters encode as UNK id -1). Default 0: pass "
+        "through a pre-tokenized column / the deterministic hash "
+        "tokenizer",
+    )
     ap.add_argument("--pack-shards", type=int, default=4)
     ap.add_argument("--export-shards", type=int, default=16)
     ap.add_argument(
@@ -104,16 +117,39 @@ def main() -> None:
         eligible.select("doc_id", "source"), comp
     ).join(eligible, ["doc_id", "source"])
 
-    # tokens: pass through a pre-tokenized column, else synthesize with
-    # the deterministic hash tokenizer (same expression family as the
-    # corpus generator)
-    if "tokens" not in kept.columns:
-        kept = kept.withColumn(
-            "tokens", F.expr(tokens_expr("text", _DIALECTS["spark"]))
+    # tokens: a learned BPE vocabulary when asked for, else pass through
+    # a pre-tokenized column, else synthesize with the deterministic
+    # hash tokenizer (same expression family as the corpus generator)
+    bpe_info = None
+    if args.bpe_merges > 0:
+        from binlog_processer_spark.operators.bpe import encode, train_bpe
+
+        model, _ = train_bpe(
+            kept, num_merges=args.bpe_merges, min_count=1
         )
-    kept = kept.withColumn(
-        "n_tok", F.size("tokens").cast("bigint")
-    ).persist()
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "vocab.json"), "w") as f:
+            json.dump(model.to_dict(), f)
+        # encode() carries doc_id/source through, so no join back: the
+        # packed shards downstream need exactly (doc_id, source, tokens,
+        # n_tok) and get real subword ids instead of surrogate hashes
+        kept = encode(kept, model).select(
+            "doc_id",
+            "source",
+            F.col("ids").alias("tokens"),
+            F.col("n_pieces").cast("bigint").alias("n_tok"),
+        )
+        bpe_info = {
+            "merges": len(model.merges),
+            "vocab_size": len(model.vocab),
+        }
+    else:
+        if "tokens" not in kept.columns:
+            kept = kept.withColumn(
+                "tokens", F.expr(tokens_expr("text", _DIALECTS["spark"]))
+            )
+        kept = kept.withColumn("n_tok", F.size("tokens").cast("bigint"))
+    kept = kept.persist()
     kept_t = SnapshotTable(os.path.join(args.output, "kept"))
     kept_t.write(kept.select("doc_id", "source", "tokens", "n_tok"))
     n_kept = kept.count()
@@ -164,6 +200,8 @@ def main() -> None:
         "pack_shards": args.pack_shards,
         "export_shards": args.export_shards,
     }
+    if bpe_info:
+        summary["bpe"] = bpe_info
     if args.tag:
         tagged = []
         for name in ("kept", "mix_report", "packed", "boundaries",

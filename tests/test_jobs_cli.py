@@ -602,3 +602,48 @@ def test_erase_cli_merge_on_read(tmp_path, spark):
     assert m2["visible_matches_after"] == 0
     tbl = SnapshotTable(os.path.join(wh, "routed"))
     assert tbl.read(spark).filter(pred).count() == 0  # first erase persists
+
+
+def test_release_cli_bpe_tokenization(tmp_path, spark):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, "the a of and to in is for on with "
+             + " ".join(f"w{i}x{j}" for j in range(10 + i % 20)),
+             "en", f"s{i % 3}", 200)
+            for i in range(120)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "rel_bpe_wh")
+    m = _run([
+        "jobs/run_release.py", "--docs", docs, "--output", wh,
+        "--max-tokens", "64", "--pack-shards", "2", "--bpe-merges", "24",
+    ])
+    assert m["bpe"]["merges"] == 24 and m["bpe"]["vocab_size"] > 24
+    assert m["sequences"] > 0 and m["tokens_total"] > 0
+
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.bpe import BpeModel
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    with open(_os.path.join(wh, "vocab.json")) as f:
+        model = BpeModel.from_dict(_json.load(f))
+    assert len(model.vocab) == m["bpe"]["vocab_size"]
+
+    kept = SnapshotTable(wh + "/kept").read(spark)
+    # packed tokens are real vocabulary ids: min_count=1 training covers
+    # the whole kept corpus, so no UNK (-1) anywhere
+    low, high = kept.agg(
+        F.min(F.array_min("tokens")), F.max(F.array_max("tokens"))
+    ).collect()[0]
+    assert low >= 0 and high < len(model.vocab)
+    # and a kept row's ids decode back to its word stream
+    row = kept.orderBy("doc_id").limit(1).collect()[0]
+    rev = {v: k for k, v in model.vocab.items()}
+    decoded = model.decode_pieces(rev[i] for i in row["tokens"])
+    assert decoded.startswith("the a of and to in is for on with")
