@@ -2345,6 +2345,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_real_decode"] = multimodal_real_decode
 
+    def multimodal_audio_decode(spark, sf_dir):
+        # REAL audio decode gate: payloads are valid PCM 16-bit mono WAV
+        # files (multimodal.encode_wav) whose samples are a closed-form
+        # function of doc_id (media_samples), decoded back by the
+        # pure-numpy fake=False kernel — the oracle recomputes
+        # n_bytes/sample-sum/n_samples/rate from the same closed form in
+        # SQL, so a hash match proves actual sample decoding
+        from binlog_processer_spark.multimodal import (
+            extract_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(_docs(spark, sf_dir), codec="wav")
+        return extract_features(media, fake=False).select(
+            "doc_id", "n_bytes", "checksum", "width", "height"
+        )
+
+    q["multimodal_audio_decode"] = multimodal_audio_decode
+
     return q
 
 
@@ -4190,5 +4209,23 @@ grid AS (
         " cast(d.w AS int) AS width, cast(d.h AS int) AS height"
         " FROM d JOIN g ON g.y < d.h AND g.x < d.w"
         " GROUP BY d.doc_id, d.w, d.h"
+    )
+    # real WAV decode: params from media_audio_params (n = doc_id%128*16
+    # + 128 <= 2160, rate = 8000 + doc_id%4*4000), payload size = 44-byte
+    # canonical RIFF header + 2 bytes/sample, checksum = sum over the
+    # media_samples closed form (doc_id*13 + i*7 + i*i*3) % 4096 - 2048
+    o["multimodal_audio_decode"] = (
+        "WITH d AS (SELECT doc_id,"
+        "  (doc_id % 128) * 16 + 128 AS n,"
+        "  8000 + (doc_id % 4) * 4000 AS rate"
+        "  FROM documents),"
+        " g AS (SELECT g AS i FROM generate_series(0, 2159) t(g))"
+        " SELECT d.doc_id,"
+        " cast(44 + d.n * 2 AS int) AS n_bytes,"
+        " cast(sum((d.doc_id * 13 + g.i * 7 + g.i * g.i * 3) % 4096"
+        "  - 2048) AS bigint) AS checksum,"
+        " cast(d.n AS int) AS width, cast(d.rate AS int) AS height"
+        " FROM d JOIN g ON g.i < d.n"
+        " GROUP BY d.doc_id, d.n, d.rate"
     )
     return o

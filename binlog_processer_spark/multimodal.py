@@ -4,12 +4,12 @@ Training pipelines carry images/audio/video as ``binary`` columns with a
 metadata struct; the engine treats them exactly like the reference treats
 opaque row payloads (bytes in, bytes out, per-row invariants).
 
-Decode is REAL for two self-describing formats — PPM (P5/P6) and
-uncompressed 24-bit BMP — implemented in pure numpy (``decode_image``), so
-``fake=False`` works end-to-end in this environment with no codec
-libraries. Other containers (JPEG/PNG/audio/video) probe for PIL/libav at
-runtime and raise NotImplementedError with an actionable message when the
-env lacks them. ``fake=True`` (default) computes deterministic byte-level
+Decode is REAL for three self-describing formats — PPM (P5/P6) and
+uncompressed 24-bit BMP images (``decode_image``), and PCM 16-bit mono
+WAV audio (``decode_wav``) — implemented in pure numpy, so ``fake=False``
+works end-to-end in this environment with no codec libraries. Other
+containers (JPEG/PNG/MP3/video) probe for PIL/libav at runtime and raise
+NotImplementedError with an actionable message when the env lacks them. ``fake=True`` (default) computes deterministic byte-level
 features without decoding at all. Schema, partitioning, UDF signature, and
 Arrow batch shape are identical on every path.
 """
@@ -118,6 +118,83 @@ def decode_image(payload: bytes) -> "np.ndarray":
     raise ValueError("not a PPM/PGM/BMP payload")
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE, PCM 16-bit mono, from an int16
+    sample array."""
+    import struct
+
+    import numpy as np
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError(f"encode_wav: shape {s.shape} is not 1-D")
+    data = s.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            sample_rate * 2,
+            2,
+            16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode RIFF/WAVE PCM 16-bit mono to ``(int16 samples, rate)``,
+    pure numpy. Walks the chunk list (extra chunks between fmt and data
+    are legal WAV), raises ValueError for any other container/encoding —
+    callers fall through to their libav probe."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"WAV format={audio_format} ch={channels} bits={bits} "
+            "unsupported (PCM 16-bit mono only)"
+        )
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def media_audio_params(doc_id: int) -> tuple[int, int]:
+    """Deterministic (n_samples, sample_rate) for synthesized audio."""
+    return int(doc_id % 128 * 16 + 128), int(8000 + doc_id % 4 * 4000)
+
+
+def media_samples(doc_id: int, n: int) -> "np.ndarray":
+    """Deterministic int16 sample array — the generator's ground truth,
+    closed-form so the DuckDB oracle recomputes its sum in SQL:
+    ``(doc_id*13 + i*7 + i*i*3) % 4096 - 2048``."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 13 + i * 7 + i * i * 3) % 4096 - 2048).astype(
+        np.int16
+    )
+
+
 def media_dims(doc_id: int) -> tuple[int, int]:
     """Deterministic (width, height) for synthesized real images."""
     return int(doc_id % 16 * 4 + 8), int(doc_id % 12 * 4 + 8)
@@ -146,10 +223,15 @@ def synthesize_media(docs: DataFrame, codec: str | None = None) -> DataFrame:
     for the byte-level (``fake=True``) paths. ``codec='ppm'`` or
     ``'bmp'``: payload is a VALID image in that format whose pixels are
     ``media_pixels(doc_id, *media_dims(doc_id))`` — the real-decode test
-    corpus (all rows modality ``image``)."""
+    corpus (all rows modality ``image``). ``codec='wav'``: payload is a
+    VALID PCM 16-bit mono WAV whose samples are ``media_samples(doc_id,
+    n)`` (all rows modality ``audio``; meta width carries n_samples,
+    meta height the sample rate)."""
     if codec is not None:
-        if codec not in ("ppm", "bmp"):
-            raise ValueError(f"codec must be 'ppm' or 'bmp', got {codec!r}")
+        if codec not in ("ppm", "bmp", "wav"):
+            raise ValueError(
+                f"codec must be 'ppm', 'bmp' or 'wav', got {codec!r}"
+            )
 
         def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             import pandas as pd
@@ -159,6 +241,13 @@ def synthesize_media(docs: DataFrame, codec: str | None = None) -> DataFrame:
                 rows = []
                 for d in pdf["doc_id"]:
                     d = int(d)
+                    if codec == "wav":
+                        n, rate = media_audio_params(d)
+                        rows.append(
+                            (d, encode_wav(media_samples(d, n), rate),
+                             "audio", n, rate)
+                        )
+                        continue
                     w, h = media_dims(d)
                     rows.append((d, enc(media_pixels(d, w, h)), "image",
                                  w, h))
@@ -198,19 +287,61 @@ def _extract_batches(fake: bool):
         import pandas as pd
 
         if not fake:
-            # decode order: the pure-numpy PPM/BMP codecs first (real, no
-            # deps — decode_image raises ValueError on other containers),
-            # then a runtime PIL probe for JPEG/PNG-style payloads;
-            # audio/video still need libav — not probed, no decoder here
-            # would use it yet
+            # decode order: the pure-numpy codecs first (real, no deps —
+            # decode_image/decode_wav raise ValueError on other
+            # containers), then a runtime PIL probe for JPEG/PNG-style
+            # image payloads; non-WAV audio and all video still need
+            # libav — not probed, no decoder here would use it yet
             def _decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 rows = []
                 for _, r in pdf.iterrows():
+                    payload = bytes(r["payload"])
+                    if r["modality"] == "audio":
+                        # real audio decode: WAV PCM in pure numpy; any
+                        # other audio container still needs libav
+                        try:
+                            samples, rate = decode_wav(payload)
+                        except ValueError as e:
+                            raise NotImplementedError(
+                                "real decode of this audio container "
+                                f"requires libav ({e}); only WAV PCM "
+                                "16-bit mono decodes in-env; run with "
+                                "fake=True for byte-level features"
+                            ) from e
+                        n = len(samples)
+                        q = max(n // 4, 1)
+                        # feat: 4 segment RMS values; checksum: exact
+                        # integer sample sum — the oracle's anchor
+                        feat = np.array(
+                            [
+                                np.sqrt(
+                                    np.mean(
+                                        samples[i * q:(i + 1) * q]
+                                        .astype(np.float64) ** 2
+                                    )
+                                )
+                                if len(samples[i * q:(i + 1) * q])
+                                else 0.0
+                                for i in range(4)
+                            ],
+                            dtype=np.float32,
+                        )
+                        rows.append(
+                            (
+                                r["doc_id"],
+                                "audio",
+                                len(payload),
+                                int(samples.astype(np.int64).sum()),
+                                n,
+                                rate,
+                                feat,
+                            )
+                        )
+                        continue
                     if r["modality"] != "image":
                         raise NotImplementedError(
                             f"real {r['modality']} decode requires libav"
                         )
-                    payload = bytes(r["payload"])
                     try:
                         px = decode_image(payload)
                         w, h = px.shape[1], px.shape[0]

@@ -98,3 +98,76 @@ def test_real_resize_nearest_neighbor_ground_truth(spark):
         ys = (np.arange(dh) * (h / dh)).astype(np.int64)
         xs = (np.arange(dw) * (w / dw)).astype(np.int64)
         assert np.array_equal(out, px[ys][:, xs])
+
+
+# -- WAV PCM audio codec ---------------------------------------------------
+
+def test_wav_roundtrip():
+    from binlog_processer_spark.multimodal import (
+        decode_wav,
+        encode_wav,
+        media_samples,
+    )
+
+    s = media_samples(5, 300)
+    got, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and np.array_equal(got, s)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    # a LIST chunk between fmt and data is legal WAV; odd-size chunks pad
+    import struct
+
+    from binlog_processer_spark.multimodal import decode_wav, encode_wav
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    canonical = encode_wav(s, 8000)
+    fmt = canonical[12:36]
+    data = canonical[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # padded
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", len(fmt) + len(extra) + len(data), b"WAVE")
+        + fmt + extra + data
+    )
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_wav_unsupported_encodings_raise_value_error():
+    from binlog_processer_spark.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x04mp3 payload here")
+    stereo = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    stereo[22] = 2  # channels=2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_real_audio_decode_matches_generator_ground_truth(spark):
+    from binlog_processer_spark.multimodal import (
+        media_audio_params,
+        media_samples,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(docs, codec="wav")
+    feats = {
+        r.doc_id: r
+        for r in extract_features(media, fake=False).collect()
+    }
+    assert len(feats) == 40
+    for d in range(40):
+        n, rate = media_audio_params(d)
+        s = media_samples(d, n)
+        r = feats[d]
+        assert r.modality == "audio"
+        assert (r.width, r.height) == (n, rate)  # n_samples, sample_rate
+        assert r.n_bytes == 44 + n * 2  # canonical header + 16-bit mono
+        assert r.checksum == int(s.astype(np.int64).sum())  # exact
+        q = max(n // 4, 1)
+        want = [
+            float(np.sqrt(np.mean(s[i * q:(i + 1) * q].astype(np.float64) ** 2)))
+            for i in range(4)
+        ]
+        assert r.feat == pytest.approx(want, rel=1e-5)
