@@ -21,7 +21,9 @@ Usage::
 
 Without --output nothing is written; the job just trains and prints the
 report (a dry-run of the vocabulary before committing to a tokenization
-of 100 TB).
+of 100 TB). With ``--vocab <vocab.json>`` the job skips training and
+encodes with the frozen vocabulary — the daily-ingest shape: ids stay
+stable across batches.
 """
 
 from __future__ import annotations
@@ -46,6 +48,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="documents parquet path")
     ap.add_argument("--output", help="artifact dir (omit for dry-run)")
+    ap.add_argument(
+        "--vocab",
+        help="apply-only mode: load this vocab.json (from a previous "
+        "run's --output) and encode --docs with the FROZEN vocabulary "
+        "instead of training — the daily-ingest shape: one training "
+        "run, then stable ids for every later batch",
+    )
     ap.add_argument("--num-merges", type=int, default=256)
     ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--max-words", type=int, default=65536)
@@ -55,19 +64,27 @@ def main() -> None:
     spark = get_spark("run_tokenize")
     docs = spark.read.parquet(args.docs)
 
-    model, merges = train_bpe(
-        docs,
-        num_merges=args.num_merges,
-        min_count=args.min_count,
-        max_words=args.max_words,
-        text_col=args.text_col,
-    )
+    if args.vocab:
+        from binlog_processer_spark.operators.bpe import BpeModel
+
+        with open(args.vocab) as f:
+            model = BpeModel.from_dict(json.load(f))
+        merges = list(model.merges)
+    else:
+        model, merges = train_bpe(
+            docs,
+            num_merges=args.num_merges,
+            min_count=args.min_count,
+            max_words=args.max_words,
+            text_col=args.text_col,
+        )
     encoded = encode(docs, model, text_col=args.text_col)
     stats = [r.asDict() for r in encode_stats(encoded).collect()]
 
     out = {
         "merges_learned": len(merges),
         "vocab_size": len(model.vocab),
+        "trained": not args.vocab,
         "per_source": stats,
         "written": False,
     }

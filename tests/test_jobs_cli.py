@@ -647,3 +647,33 @@ def test_release_cli_bpe_tokenization(tmp_path, spark):
     rev = {v: k for k, v in model.vocab.items()}
     decoded = model.decode_pieces(rev[i] for i in row["tokens"])
     assert decoded.startswith("the a of and to in is for on with")
+
+
+def test_tokenize_cli_train_then_frozen_apply(tmp_path, spark):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, "low lower lowest new newer renew " + f"w{i % 7}", "en",
+             f"s{i % 2}", 40)
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "tok_wh")
+    trained = _run([
+        "jobs/run_tokenize.py", "--docs", docs, "--output", wh,
+        "--num-merges", "16", "--min-count", "1",
+    ])
+    assert trained["trained"] and trained["merges_learned"] == 16
+    assert trained["written"] and trained["encoded_rows"] == 60
+
+    import os as _os
+
+    frozen = _run([
+        "jobs/run_tokenize.py", "--docs", docs,
+        "--vocab", _os.path.join(wh, "vocab.json"),
+    ])
+    # frozen apply reproduces the training run's encode exactly
+    assert not frozen["trained"]
+    assert frozen["vocab_size"] == trained["vocab_size"]
+    assert frozen["per_source"] == trained["per_source"]
