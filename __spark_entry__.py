@@ -1718,6 +1718,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    # k-means-refined IVF: float cluster means are IEEE-order-dependent,
+    # so these two are deliberately rows-only — exactness vs a numpy
+    # reference and the recall/quality gates live in tests/test_kmeans.py
+    def ann_ivf_refined(spark, sf_dir):
+        from binlog_processer_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(
+            _embs(spark, sf_dir), query_ids=list(range(10)), k=5,
+            n_centroids=16, n_probe=4, refine_iters=2,
+        )
+
+    q["ann_ivf_refined"] = ann_ivf_refined
+
+    def ann_kmeans_quality(spark, sf_dir):
+        from binlog_processer_spark.operators.similarity import (
+            ivf_centroids,
+            kmeans_quality,
+            kmeans_refine,
+        )
+
+        embs = _embs(spark, sf_dir)
+        cent = kmeans_refine(embs, ivf_centroids(embs, 16), n_iters=2)
+        return kmeans_quality(embs, cent)
+
+    q["ann_kmeans_quality"] = ann_kmeans_quality
+
     def ann_recall(spark, sf_dir):
         # recall@5 acceptance gate: how much of the exact top-5 the
         # banded sign-LSH arm recovers, per query

@@ -399,16 +399,23 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: exact search restricted to the ``n_probe`` closest centroid
     partitions per query — candidates shrink to ~n·n_probe/n_centroids.
     At scale the assignment is computed once and the candidate fetch is a
     join on centroid_id (a balanced, low-cardinality key); only candidates
-    are scored exactly."""
+    are scored exactly. ``refine_iters > 0`` runs that many Lloyd rounds
+    (``kmeans_refine``) on the seeded centroids first — better-centered
+    partitions raise recall at the same n_probe, at one corpus scan per
+    round (float means make the result IEEE-order-dependent, so refined
+    variants are rows-only in the oracle contract)."""
     from ._cache import pin
 
     emb = embeddings.select("vec_id", "embedding")
     cent = ivf_centroids(emb, n_centroids)
+    if refine_iters > 0:
+        cent = kmeans_refine(emb, cent, n_iters=refine_iters)
     # pin = the INDEX BUILD: materializing the assignment ends the literal
     # centroid expression's lineage here, so the query side composes against
     # a short InMemoryRelation. Without it, every downstream operator that
@@ -513,6 +520,101 @@ def cosine_topk_int8(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_bp", "rank")
+    )
+
+
+def kmeans_refine(
+    embeddings: DataFrame, centroids: DataFrame, n_iters: int = 3
+) -> DataFrame:
+    """Distributed spherical-k-means (Lloyd) refinement of an IVF
+    centroid set — the refinement step ``ivf_centroids`` reserves a slot
+    for.
+
+    Each round: (1) nearest-centroid assignment by cosine via the
+    zero-Exchange literal-matrix argmax (``ivf_assignments``, embedding
+    kept in-row); (2) per-cluster mean as d independent ``avg``
+    aggregates inside ONE hash groupBy — map-side partial combine means
+    the shuffle carries k × tasks partial rows, never vectors; (3) the
+    k×d result (tiny by construction) collects to the driver and
+    re-enters the next round as a fresh literal matrix, so the collect
+    truncates lineage every round — the same posture as
+    connected_components' localCheckpoint. Empty clusters keep their
+    previous centroid (standard Lloyd). Cost per round: one corpus scan
+    plus one bounded aggregate; ``n_iters`` is fixed — the production
+    knob, since each extra round is a full scan.
+
+    Float means depend on partial-aggregation order, so refined
+    centroids are deterministic only up to IEEE reordering — the
+    refinement is gated by pytest (numpy-reference tolerance + quality
+    improvement on a clustered corpus), not by the cross-engine
+    value-hash oracle; queries built on it are deliberately rows-only.
+    """
+    spark = centroids.sparkSession
+    old = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+        for r in centroids.collect()
+    )
+    if not old:
+        raise ValueError("kmeans_refine: empty centroid set")
+    d = len(old[0][1])
+    cents = centroids
+    for _ in range(n_iters):
+        asg = ivf_assignments(embeddings, cents, keep_embedding=True)
+        means = asg.groupBy("centroid_id").agg(
+            *[
+                F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+                for i in range(d)
+            ]
+        )
+        new = {
+            int(r["centroid_id"]): [float(r[f"m{i}"]) for i in range(d)]
+            for r in means.collect()
+        }
+        old = [(cid, new.get(cid, emb)) for cid, emb in old]
+        cents = spark.createDataFrame(
+            old, schema="centroid_id bigint, c_emb array<double>"
+        )
+    return cents
+
+
+def kmeans_quality(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """One-row clustering-quality report: mean cosine similarity (in
+    basis points) of every vector to its assigned centroid, plus the
+    live-cluster count — one assignment scan, one global aggregate."""
+    asg = ivf_assignments(embeddings, centroids, keep_embedding=True)
+    cmap = {
+        int(r["centroid_id"]): [float(x) for x in r["c_emb"]]
+        for r in centroids.collect()
+    }
+    c_emb = F.element_at(
+        F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in emb) + ")"
+                for _, emb in sorted(cmap.items())
+            )
+            + ")"
+        ),
+        F.expr(
+            "array_position(array("
+            + ", ".join(f"{cid}L" for cid in sorted(cmap))
+            + "), centroid_id)"
+        ).cast("int"),
+    )
+    return (
+        asg.withColumn("__c", c_emb)
+        .select(
+            cosine_expr("embedding", "__c").alias("sim"), "centroid_id"
+        )
+        .agg(
+            F.round(F.avg("sim") * 10000)
+            .cast("bigint")
+            .alias("mean_sim_bp"),
+            F.count_distinct("centroid_id").alias("live_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("vectors"),
+        )
     )
 
 
