@@ -1744,6 +1744,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_kmeans_quality"] = ann_kmeans_quality
 
+    # model-based quality filtering (operators/classifier.py): iterative
+    # GD with IEEE-order-dependent float sums, so rows-only — exactness
+    # is pinned by tests/test_classifier.py's numpy reference
+    def quality_classifier(spark, sf_dir):
+        from binlog_processer_spark.operators.classifier import (
+            quality_classifier_report,
+        )
+
+        d = _docs(spark, sf_dir).withColumn(
+            "y", (F.length("text") > 120).cast("int")
+        )
+        return quality_classifier_report(
+            d, label_col="y", k=64, n_iters=15
+        )
+
+    q["quality_classifier"] = quality_classifier
+
     def ann_recall(spark, sf_dir):
         # recall@5 acceptance gate: how much of the exact top-5 the
         # banded sign-LSH arm recovers, per query
