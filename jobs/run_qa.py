@@ -80,6 +80,14 @@ def main() -> None:
         "non-null doc_id/text, n_chars >= 0",
     )
     ap.add_argument(
+        "--distill",
+        action="store_true",
+        help="train the logistic-regression quality model on the rule "
+        "verdicts (operators/classifier.py) and publish model scores + "
+        "rule/model agreement — the learned gate that replaces the rule "
+        "cascade where only a cheap score can run",
+    )
+    ap.add_argument(
         "--inject-noise",
         action="store_true",
         help="plant deterministic mojibake/PII so every gate is exercised",
@@ -193,6 +201,42 @@ def main() -> None:
         eq = emb_t.read(spark)
         out["vectors_in"] = eq.count()
         out["vectors_unusable"] = eq.filter(~F.col("usable")).count()
+
+    if args.distill:
+        # self-distillation: learn the rule cascade's verdict as a model
+        # so downstream consumers that can only afford one cheap score
+        # (zero-shuffle literal-weight projection) approximate the full
+        # gate; agreement_ppm is the monitoring number — a drop means
+        # the corpus drifted away from what the rules were written for
+        from binlog_processer_spark.operators.classifier import (
+            hash_features,
+            score,
+            train_logreg,
+        )
+
+        k = 128
+        labeled = hash_features(docs, k).join(
+            verdict.select(
+                "doc_id", F.col("qa_pass").cast("int").alias("y")
+            ),
+            "doc_id",
+        )
+        w, history = train_logreg(labeled, k=k, n_iters=25)
+        scores = score(hash_features(docs, k), w)
+        SnapshotTable(os.path.join(args.output, "model_scores")).write(
+            scores, mode="overwrite"
+        )
+        judged = scores.join(
+            verdict.select("doc_id", "qa_pass"), "doc_id"
+        )
+        agree = judged.filter(
+            ((F.col("prob_bp") >= 5000) & F.col("qa_pass"))
+            | ((F.col("prob_bp") < 5000) & ~F.col("qa_pass"))
+        ).count()
+        out["distill_agreement_ppm"] = int(
+            agree * 1_000_000 / max(out["docs_in"], 1)
+        )
+        out["distill_final_loss_ppm"] = history[-1]["loss_ppm"]
 
     print(json.dumps(out))
     # release anything an operator pinned (filter_funnel etc. persist

@@ -677,3 +677,31 @@ def test_tokenize_cli_train_then_frozen_apply(tmp_path, spark):
     assert not frozen["trained"]
     assert frozen["vocab_size"] == trained["vocab_size"]
     assert frozen["per_source"] == trained["per_source"]
+
+
+def test_qa_cli_distilled_quality_model(tmp_path, spark):
+    # a corpus whose funnel verdict IS word-predictable: keepers are
+    # long stopword-laden prose, droppers are short junk — the distilled
+    # model must recover the rule cascade near-perfectly
+    docs = str(tmp_path / "docs.parquet")
+    rows = []
+    for i in range(60):
+        rows.append((i, "the a of and to in is for on with "
+                     + " ".join(f"w{i}x{j}" for j in range(20)),
+                     "en", f"s{i % 2}", 300))
+    for i in range(60, 120):
+        rows.append((i, "junk spam", "en", f"s{i % 2}", 9))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "qa_wh")
+    m = _run([
+        "jobs/run_qa.py", "--docs", docs, "--output", wh, "--distill",
+    ])
+    assert m["docs_in"] == 120 and m["funnel_kept"] == 60
+    assert m["distill_agreement_ppm"] >= 950_000
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    scores = SnapshotTable(wh + "/model_scores").read(spark)
+    assert scores.count() == 120
