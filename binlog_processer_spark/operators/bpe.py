@@ -173,7 +173,15 @@ class BpeModel:
 
     @property
     def ranks(self) -> dict:
-        return {p: r for r, p in enumerate(self.merges)}
+        # built once per model (lazy, cached around the frozen dataclass):
+        # encode_word consults it per merge step, and rebuilding an
+        # n-merge dict on every cache-miss word would dominate encode
+        # cost for production-sized (30k+) vocabularies
+        cached = self.__dict__.get("_ranks")
+        if cached is None:
+            cached = {p: r for r, p in enumerate(self.merges)}
+            object.__setattr__(self, "_ranks", cached)
+        return cached
 
     def encode_word(self, word: str) -> tuple[str, ...]:
         """Standard rank-greedy BPE encode: repeatedly merge the
