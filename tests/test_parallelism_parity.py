@@ -94,3 +94,30 @@ def test_results_identical_at_n_and_4n(tmp_path):
         con.execute(cdig.format(l=2)).fetchone()[0]
         == con.execute(cdig.format(l=8)).fetchone()[0]
     )
+
+
+def _run_tokenize(cpus: int, docs: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_tokenize.py"),
+         "--docs", docs, "--num-merges", "48", "--min-count", "2"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_bpe_tokenizer_identical_at_n_and_4n():
+    """The tokens-axis surface meets the same two-cluster-size bar as
+    the pipeline: the learned vocabulary and every per-source encode
+    count are pure functions of the corpus — word counts are integer
+    aggregates, the merge loop runs on a deterministically ordered
+    bounded collect, and encoding is per-word — so nothing may change
+    between local[2] and local[8]."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    m2 = _run_tokenize(2, docs)
+    m8 = _run_tokenize(8, docs)
+    assert m2["merges_learned"] == m8["merges_learned"] == 48
+    assert m2["vocab_size"] == m8["vocab_size"]
+    assert m2["per_source"] == m8["per_source"]  # every count, every source
