@@ -1731,6 +1731,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_refined"] = ann_ivf_refined
 
+    def ann_ivf_probe(spark, sf_dir):
+        # build-once/probe-many: materialize the inverted-list index,
+        # then probe it — must hash-match the inline ann_ivf_topk oracle
+        from binlog_processer_spark.operators.similarity import (
+            ivf_index,
+            ivf_probe,
+        )
+
+        index, cent = ivf_index(_embs(spark, sf_dir), n_centroids=16)
+        return ivf_probe(
+            index, cent, query_ids=list(range(10)), k=5, n_probe=4
+        )
+
+    q["ann_ivf_probe"] = ann_ivf_probe
+
     def ann_kmeans_quality(spark, sf_dir):
         from binlog_processer_spark.operators.similarity import (
             ivf_centroids,
@@ -3875,6 +3890,11 @@ grid AS (
         + " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
         " FROM ranked WHERE rank <= 5"
     )
+    # probing the MATERIALIZED index is bit-identical to computing it
+    # inline (same fixed-point scoring, same tie order), so the probe
+    # query shares the inline oracle verbatim — the hash match is the
+    # build-once/probe-many equivalence proof
+    o["ann_ivf_probe"] = o["ann_ivf_topk"]
     # recall@5 of the IVF arm vs the exact ranking — second consumer of
     # similarity.topk_recall, proving the gate generalizes across arms
     o["ann_recall_ivf"] = (

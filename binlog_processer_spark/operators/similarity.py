@@ -461,6 +461,79 @@ def ivf_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(index, centroids): the build half of build-once/probe-many IVF.
+
+    ``index`` is the inverted-list layout — (vec_id, centroid_id,
+    embedding), embedding kept IN-ROW so probes never join back to the
+    corpus. Persist it partitioned by ``centroid_id`` (jobs/run_index.py
+    does) and a probe touches only its ``n_probe`` lists; everything else
+    stays on disk. Incremental ingest is ``ivf_assignments(new_batch,
+    centroids)`` appended to the same table — the centroids are frozen,
+    so old lists never rewrite."""
+    emb = embeddings.select("vec_id", "embedding")
+    cent = ivf_centroids(emb, n_centroids)
+    if refine_iters > 0:
+        cent = kmeans_refine(emb, cent, n_iters=refine_iters)
+    return ivf_assignments(emb, cent, keep_embedding=True), cent
+
+
+def ivf_probe(
+    index: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine against a PERSISTED IVF index — the probe half.
+
+    Same scoring math as ``ivf_topk`` (same 1e-7 fixed-point centroid
+    ranking, same basis-point rounding, same tie order), so probing a
+    materialized index returns bit-identical rows to computing the index
+    inline — pinned by tests and by the shared DuckDB oracle. The
+    embedding rides in the index row, so the only joins are two
+    broadcasts (queries × centroids, probes × lists); candidate volume
+    is ~n·n_probe/n_centroids of the corpus, and a centroid-partitioned
+    index prunes every unprobed list at the file level."""
+    q = index.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _sim_fp("q_emb", "c_emb").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(centroids.select("centroid_id", "c_emb")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_bp",
+            F.round(cosine_expr("q_emb", "embedding") * 10000).cast(
+                "bigint"
+            ),
+        )
+        .select("query_id", "vec_id", "cosine_bp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_bp").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", "rank")
+    )
+
+
 def quantize_expr(col: str = "embedding") -> F.Column:
     """Symmetric int8 quantization of a float vector as ONE codegen
     expression: per-vector scale ``max|x|/127``, elements
