@@ -3319,11 +3319,15 @@ grid AS (
         " CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3"
         "  WHEN 'src2' THEN 0.2 END AS tgt FROM tok),"
         " c AS (SELECT source, tokens, tgt,"
+        " CASE WHEN tgt IS NOT NULL THEN tokens / tgt END AS q,"
         " min(CASE WHEN tgt IS NOT NULL THEN tokens / tgt END) OVER ()"
         "  AS cmin, sum(tokens) OVER () AS total FROM t),"
+        # rate = cmin / q, same ratio form as the Spark side: the binding
+        # source divides the same double by itself (exactly 1.0), immune
+        # to the re-rounding that made cmin*tgt/tokens floor to 9999
         " r AS (SELECT source, tokens, tgt, total,"
         " CASE WHEN tgt IS NULL THEN 0.0"
-        "  ELSE least(1.0, cmin * tgt / tokens) END AS rate FROM c)"
+        "  ELSE least(1.0, cmin / q) END AS rate FROM c)"
         " SELECT source, tokens,"
         " cast(floor(tokens * 10000 / total) AS bigint) AS cur_share_bp,"
         " cast(floor(coalesce(tgt, 0.0) * 10000) AS bigint)"
@@ -3343,11 +3347,13 @@ grid AS (
         " t AS (SELECT source, tokens, total,"
         " sc / sum(sc) OVER () AS tgt FROM p),"
         " c AS (SELECT source, tokens, total, tgt,"
+        " CASE WHEN tokens > 0 THEN tokens / tgt END AS q,"
         " min(CASE WHEN tokens > 0 THEN tokens / tgt END) OVER ()"
         "  AS cmin FROM t),"
+        # cmin / q mirrors the Spark ratio form: binding source exactly 1.0
         " r AS (SELECT source, tokens, total, tgt,"
         " CASE WHEN tokens = 0 THEN 0.0"
-        "  ELSE least(1.0, cmin * tgt / tokens) END AS rate FROM c)"
+        "  ELSE least(1.0, cmin / q) END AS rate FROM c)"
         " SELECT source, tokens,"
         " cast(floor(tokens * 10000 / total) AS bigint) AS cur_share_bp,"
         " cast(floor(coalesce(tgt, 0.0) * 10000) AS bigint)"

@@ -173,7 +173,15 @@ def rebalance_report(
         F.col("tokens") / F.col("__tgt"),
     )
     out = (
-        tok.withColumn("__c", F.min(ratio).over(w))
+        # rate as c / (tokens/tgt), NOT c * tgt / tokens: the binding
+        # source (argmin of ratio) divides the SAME double by itself, so
+        # its rate is exactly 1.0 in IEEE arithmetic — the algebraically
+        # equal c*tgt/tokens re-rounds twice and can land at 0.999…,
+        # flipping floor(rate*10000) to 9999 (observed as a local[8] vs
+        # local[32] mismatch in temperature_targets, which shares this
+        # shape). Exactness here is the two-cluster-size invariant.
+        tok.withColumn("__q", ratio)
+        .withColumn("__c", F.min("__q").over(w))
         .withColumn("__total", F.sum("tokens").over(w))
         .withColumn(
             "__rate",
@@ -181,10 +189,7 @@ def rebalance_report(
                 F.col("__tgt").isNull() | (F.col("tokens") == 0),
                 F.lit(0.0),
             ).otherwise(
-                F.least(
-                    F.lit(1.0),
-                    F.col("__c") * F.col("__tgt") / F.col("tokens"),
-                )
+                F.least(F.lit(1.0), F.col("__c") / F.col("__q"))
             ),
         )
     )
@@ -616,21 +621,24 @@ def temperature_targets(
     share = F.col("tokens") / F.sum("tokens").over(w)
     scaled = F.when(F.col("tokens") > 0, F.pow(share, F.lit(alpha)))
     out = (
+        # __c / __q (not __c * __tgt / tokens): the binding source divides
+        # the same double by itself → rate exactly 1.0 at any parallelism.
+        # The product form re-rounds and flipped floor(rate*10000) from
+        # 10000 to 9999 between local[8] and local[32] (the sum(scaled)
+        # window normalizer accumulates in partition order, so __tgt moves
+        # by an ulp with cluster size; the ratio form is boundary-exact
+        # for the binding row no matter what __tgt's low bits are).
         tok.withColumn("__tgt", scaled / F.sum(scaled).over(w))
         .withColumn(
-            "__c",
-            F.min(
-                F.when(F.col("tokens") > 0, F.col("tokens") / F.col("__tgt"))
-            ).over(w),
+            "__q",
+            F.when(F.col("tokens") > 0, F.col("tokens") / F.col("__tgt")),
         )
+        .withColumn("__c", F.min("__q").over(w))
         .withColumn("__total", F.sum("tokens").over(w))
         .withColumn(
             "__rate",
             F.when(F.col("tokens") == 0, F.lit(0.0)).otherwise(
-                F.least(
-                    F.lit(1.0),
-                    F.col("__c") * F.col("__tgt") / F.col("tokens"),
-                )
+                F.least(F.lit(1.0), F.col("__c") / F.col("__q"))
             ),
         )
     )

@@ -108,6 +108,50 @@ def _run_tokenize(cpus: int, docs: str) -> dict:
     return json.loads(line)
 
 
+def test_mix_planner_rates_identical_at_n_and_4n():
+    """Regression pin for a real cluster-size leak: temperature_targets
+    normalizes pow(share, 1/T) with a sum-of-doubles window, whose
+    accumulation order follows partition count; the binding source's
+    rate, computed as c*tgt/tokens, re-rounded to 0.999… at local[8] but
+    1.0 at local[32], flipping floor(rate*10000) from 10000 to 9999.
+    The fix computes rate = c/q where q = tokens/tgt is the SAME double
+    the min was taken over — the binding row divides a value by itself,
+    which IEEE guarantees is exactly 1.0 at any parallelism. This test
+    runs the planner in-process at local[2] and local[8] (fresh sessions)
+    and demands every floored bp column be identical."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import json, sys
+from binlog_processer_spark.session import get_spark
+from binlog_processer_spark.operators.mix import temperature_targets, rebalance_report
+spark = get_spark("parity-mix")
+df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").selectExpr(
+    "source", "greatest(1, cast(floor(n_chars / 4) as bigint)) as n_tok")
+rows_t = sorted(map(tuple, temperature_targets(df, temperature=2.0).collect()))
+tgt = {f"src{i}": 1.0 for i in range(20)}
+rows_r = sorted(map(tuple, rebalance_report(df, tgt).collect()))
+print(json.dumps({"t": rows_t, "r": rows_r}, default=str))
+spark.stop()
+"""
+    out = {}
+    for cpus in (2, 8):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        r = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=600, env=env, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out[cpus] = json.loads(
+            [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        )
+    assert out[2]["t"] == out[8]["t"]
+    assert out[2]["r"] == out[8]["r"]
+    # the binding source keeps everything, exactly: one rate_bp == 10000
+    assert any(row[4] == 10000 for row in out[2]["t"])
+
+
 def test_bpe_tokenizer_identical_at_n_and_4n():
     """The tokens-axis surface meets the same two-cluster-size bar as
     the pipeline: the learned vocabulary and every per-source encode
