@@ -107,6 +107,7 @@ def main():
 
     import __spark_entry__ as entrymod
     from binlog_processer_spark.operators._cache import unpin_all
+    from binlog_processer_spark.plans import iostat
     from binlog_processer_spark.session import get_spark
 
     argv = sys.argv[1:]
@@ -129,9 +130,18 @@ def main():
     failed = []
     record: dict[str, dict] = {}
 
-    def _rec(name, spdf=None, dpdf=None, errs=None, err=None, wall=0.0):
+    def _rec(name, spdf=None, dpdf=None, errs=None, err=None, wall=0.0,
+             io=None):
         etxt = "; ".join(errs) if errs else err
         record[name] = {
+            # measured per-query Spark I/O (plans/iostat.py): shuffle
+            # bytes are exact, input bytes a lower bound on local files.
+            # Comparing the same query's shuffle volume across the
+            # sf0.01 and sf0.1 artifacts shows which operators' wire
+            # traffic grows with rows (row-scale ops) vs stays bounded
+            # (map-side-combined aggregates) — the 100 TB growth audit
+            # as committed data.
+            "io": io,
             "rows_match": bool(
                 spdf is not None
                 and (dpdf is None or len(spdf) == len(dpdf))
@@ -159,6 +169,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        pre = iostat.stage_totals(spark)
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
@@ -169,9 +180,10 @@ def main():
             continue
         finally:
             unpin_all()  # queries pin LSH/IVF intermediates; time them cold
+        io = iostat.to_mb(iostat.delta(pre, iostat.stage_totals(spark)))
         if name not in oracles:
             print(f"PASS {name} (rows-only: {len(spdf)} rows)")
-            _rec(name, spdf=spdf, wall=time.time() - t0)
+            _rec(name, spdf=spdf, wall=time.time() - t0, io=io)
             continue
         try:
             dpdf = con.execute(oracles[name]).df()
@@ -179,10 +191,11 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
             _rec(name, spdf=spdf, err=f"duckdb error: {e}",
-                 wall=time.time() - t0)
+                 wall=time.time() - t0, io=io)
             continue
         errs = compare(name, spdf, dpdf)
-        _rec(name, spdf=spdf, dpdf=dpdf, errs=errs, wall=time.time() - t0)
+        _rec(name, spdf=spdf, dpdf=dpdf, errs=errs, wall=time.time() - t0,
+             io=io)
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             failed.append(name)
