@@ -637,6 +637,19 @@ def _headline_block() -> str:
     )
 
 
+def _manual_block() -> str:
+    """Hand-authored evidence sections (BENCH/MANUAL.md) survive report
+    regeneration: scaling_report rewrites BENCH/BASELINE.md wholesale,
+    which round 4 discovered silently erases prose like the per-surface
+    two-cluster-size notes. Anything narrative belongs in MANUAL.md; the
+    generator re-appends it verbatim."""
+    try:
+        with open("BENCH/MANUAL.md") as f:
+            return "\n" + f.read()
+    except OSError:
+        return ""
+
+
 def _ab_block() -> str:
     """Routed-write clustering A/B (BENCH/ab_write_clustering.jsonl):
     interleaved salt vs AQE-rebalance pipeline runs in one quiet host
@@ -763,6 +776,7 @@ def scaling_report() -> None:
             "survivors — never best-window selection. Round-2 history\n"
             "(best-window methodology, superseded) is preserved in\n"
             "BENCH/scaling_history.jsonl.\n"
+            + _manual_block()
         )
     headline = summaries[
         f"local[{order[0][0][0]}]->local[{order[0][0][1]}]"
