@@ -95,6 +95,16 @@ def _sign_timeline(df: DataFrame) -> DataFrame:
     )
 
 
+def sign_timeline(enriched: DataFrame) -> DataFrame:
+    """Sign timeline from an enriched stream, after the same P1/P2 filters
+    ``route()`` applies before soft-delete — so a caller can derive the
+    timeline from a cheaper upstream (e.g. a sign-prefiltered sliver of the
+    raw scan) and pass it via ``route(sign_timeline=...)`` with semantics
+    identical to the in-route derivation."""
+    kept, _ = split_ignored(filter_system_schemas(enriched))
+    return _sign_timeline(kept)
+
+
 def _floor_flag_expr() -> F.Column:
     """Flag in effect at this row = last sign event with event_seq <= ours."""
     # get() (not [0]): ANSI mode throws on empty-array index, and "no sign

@@ -41,6 +41,9 @@ _KEYS = (
     "input_b",
     "output_b",
     "task_ms",
+    "cpu_ms",
+    "mem_spill_b",
+    "disk_spill_b",
 )
 
 
@@ -74,6 +77,12 @@ def stage_totals(spark: SparkSession) -> dict[str, int]:
         tot["input_b"] += s.inputBytes()
         tot["output_b"] += s.outputBytes()
         tot["task_ms"] += s.executorRunTime()
+        # CPU vs run-time gap exposes IO/scheduler wait; spills expose
+        # execution-memory pressure (the superlinear-growth suspects a
+        # fixed-memory host shows before a real cluster would)
+        tot["cpu_ms"] += s.executorCpuTime() // 1_000_000  # ns → ms
+        tot["mem_spill_b"] += s.memoryBytesSpilled()
+        tot["disk_spill_b"] += s.diskBytesSpilled()
     return tot
 
 
@@ -89,6 +98,6 @@ def to_mb(io: dict[str, int]) -> dict[str, float]:
     for k, v in io.items():
         if k.endswith("_b"):
             out[k[:-2] + "_mb"] = round(v / 1e6, 2)
-        elif k == "task_ms":
-            out["task_sec"] = round(v / 1e3, 2)
+        elif k.endswith("_ms"):
+            out[k[:-3] + "_sec"] = round(v / 1e3, 2)
     return out

@@ -23,7 +23,7 @@ from ..functions.parse import parse_raw, split_quarantine
 from ..operators import aggregate as agg
 from ..operators.enrich import enrich_routing
 from ..operators.resume import ProcessedManifest, remaining_events
-from ..operators.route import PARTITION_COLS, route
+from ..operators.route import PARTITION_COLS, route, sign_timeline
 from ..storage.table import SnapshotTable
 
 
@@ -99,6 +99,28 @@ def run_pipeline(
         good = remaining_events(good, already_done)
 
     enriched = enrich_routing(good, routing_df)
+    # Soft-delete needs the sign timeline, and deriving it from `enriched`
+    # (route()'s default) re-executes the whole scan→parse subtree as the
+    # broadcast-subquery job — a SECOND full hex-decode of every token
+    # payload just to find the rare administrative sign rows. The sign field
+    # is wire field 10, BEFORE the token payload (field 12), so a pure
+    # codegen split_part prefilter on the raw line finds candidate rows
+    # while scanning only the short fixed-field prefix — then the identical
+    # parse→resume→enrich→filter chain runs on that sliver only. Bit-equal
+    # by construction: concat_ws renders a NULL sign as the empty string, so
+    # non-empty field 10 ⇔ sign IS NOT NULL, and corrupt/resumed/ignored
+    # rows fall out of the sliver exactly as they fall out of `kept`.
+    sign_sliver = raw_df.filter(
+        F.split_part(F.col("raw"), F.lit("|"), F.lit(10)) != F.lit("")
+    )
+    sliver_good, _ = split_quarantine(parse_raw(sign_sliver, with_metrics=False))
+    sliver_good = sliver_good.withColumn(
+        "table_key",
+        F.concat_ws("#", F.col("source"), F.col("bucket").cast("string")),
+    )
+    if resume:
+        sliver_good = remaining_events(sliver_good, already_done)
+    timeline = sign_timeline(enrich_routing(sliver_good, routing_df))
     # cluster_for_write: the one fact shuffle in the whole plan — pre-explode
     # repartition by sink so each partition dir is written by one task.
     # The envelope keeps `before`/`after` as derived views for queries, but
@@ -109,7 +131,9 @@ def run_pipeline(
     # token array a second time, and no consumer needs the arrays again —
     # the aggregates below re-read the committed parquet with the token
     # column pruned away (a few % of the written bytes).
-    routed, ignored_counts = route(enriched, cluster_for_write=write_clustering)
+    routed, ignored_counts = route(
+        enriched, cluster_for_write=write_clustering, sign_timeline=timeline
+    )
     # storage flattens the image: img.doc_id / img.n_tok always equal the
     # top-level columns (with_envelope builds the image from the same row),
     # so persisting the struct would carry a second doc_id STRING and n_tok

@@ -62,6 +62,9 @@ def test_to_mb_shapes_the_emission():
         "input_b": 2_000_000,
         "output_b": 0,
         "task_ms": 1234,
+        "cpu_ms": 1000,
+        "mem_spill_b": 3_000_000,
+        "disk_spill_b": 0,
     }
     mb = iostat.to_mb(io)
     assert mb == {
@@ -70,6 +73,9 @@ def test_to_mb_shapes_the_emission():
         "input_mb": 2.0,
         "output_mb": 0.0,
         "task_sec": 1.23,
+        "cpu_sec": 1.0,
+        "mem_spill_mb": 3.0,
+        "disk_spill_mb": 0.0,
     }
 
 
