@@ -88,6 +88,7 @@ def run_pipeline_bench(
     profile: bool = False,
     warmup: bool = True,
     write_clustering: str = "rebalance",
+    max_tok: int = 64,
 ) -> dict:
     """Materialize raw input to parquet, then measure read→parse→enrich→
     route→write→aggregate wall time.
@@ -132,7 +133,7 @@ def run_pipeline_bench(
         (
             # fixed partition count → byte-identical input layout at every
             # parallelism level (two-cluster-size comparison fairness)
-            generate_corpus(spark, n_docs, partitions=64)
+            generate_corpus(spark, n_docs, partitions=64, max_tok=max_tok)
             .select(serialize_expr().alias("raw"))
             .write.mode("overwrite")
             .parquet(raw_path)
@@ -187,6 +188,7 @@ def run_pipeline_bench(
             "gc_sec": gc_sec,
             "cpus": cpus,
             "n_docs": n_docs,
+            "max_tok": max_tok,
             "n_events": n_events,
             "rows_routed": res.metrics["rows_routed"],
             "pipeline_sec": round(wall, 3),
@@ -205,7 +207,7 @@ def run_pipeline_bench(
             spark.stop()
 
 
-def run_nulljob_bench(cpus: int, n_docs: int) -> dict:
+def run_nulljob_bench(cpus: int, n_docs: int, max_tok: int = 64) -> dict:
     """Control job for the scaling campaign: the same corpus bytes through
     read → one repartition shuffle → parquet write, with NONE of the engine's
     operators (no parse, no joins, no routing, no commit protocol).
@@ -234,7 +236,7 @@ def run_nulljob_bench(cpus: int, n_docs: int) -> dict:
     try:
         raw_path = os.path.join(tmp, "raw")
         (
-            generate_corpus(spark, n_docs, partitions=64)
+            generate_corpus(spark, n_docs, partitions=64, max_tok=max_tok)
             .select(serialize_expr().alias("raw"))
             .write.mode("overwrite")
             .parquet(raw_path)
@@ -1082,6 +1084,10 @@ def main() -> None:
     ap.add_argument("--write-clustering", default="rebalance",
                     choices=["salt", "rebalance"],
                     help="routed-write clustering strategy (pipeline-only)")
+    ap.add_argument("--max-tok", type=int, default=64,
+                    help="max tokens per generated doc (1..N zipf-ish). 64 "
+                         "is the fast unit-shape; 1024+ benches the "
+                         "north-star training-sequence payload shape")
     ap.add_argument("--pin", action="store_true",
                     help="CPU-pin every leg and probe to exactly its core "
                          "count (taskset/sched_setaffinity) — the faithful "
@@ -1098,7 +1104,8 @@ def main() -> None:
 
     n_docs = args.docs or _bench_docs()
     if args.null_only:
-        print(json.dumps(run_nulljob_bench(args.cpus, n_docs)))
+        print(json.dumps(run_nulljob_bench(args.cpus, n_docs,
+                                           max_tok=args.max_tok)))
         return
     if args.pipeline_only:
         print(json.dumps(run_pipeline_bench(
@@ -1106,6 +1113,7 @@ def main() -> None:
             with_metrics=not args.no_metrics, profile=args.profile,
             warmup=not args.no_warmup,
             write_clustering=args.write_clustering,
+            max_tok=args.max_tok,
         )))
         return
 

@@ -32,7 +32,9 @@ N_SOURCES = 20
 EPOCH_S = 1704067200  # 2024-01-01 00:00:00 UTC
 
 
-def _gen_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+def _gen_batches(
+    batches: Iterator["pd.DataFrame"], max_tok: int = 64
+) -> Iterator["pd.DataFrame"]:
     import numpy as np
     import pandas as pd
 
@@ -52,8 +54,12 @@ def _gen_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         s = (doc * 3 + r) % 97
         sign = np.where(s == 0, 1, np.where(s == 1, 0, -1)).astype(np.int32)
 
-        # token payload: length 1..64 zipf-ish, values pure arithmetic
-        n_tok = (1 + (doc * 2654435761) % 64).astype(np.int32)
+        # token payload: length 1..max_tok zipf-ish, values pure arithmetic.
+        # Default 64 keeps unit tests fast; benchmarking the north-star
+        # corpus shape (pre-tokenized training sequences, 10^2-10^4
+        # tokens/row) passes max_tok=1024+ so payload-proportional costs
+        # (hex decode, shuffle bytes, parquet encode) dominate realistically.
+        n_tok = (1 + (doc * 2654435761) % max_tok).astype(np.int32)
         offs = (doc * 40503 % 32000).astype(np.int64)
         tokens = [
             ((o + np.arange(n, dtype=np.int64) * 97) % 32000).astype(np.int32)
@@ -89,10 +95,18 @@ def _gen_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
 
 
 def generate_corpus(
-    spark: SparkSession, n_docs: int, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    max_tok: int = 64,
 ) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism
-    return spark.range(0, n_docs, 1, parts).mapInPandas(_gen_batches, GEN_SCHEMA)
+    if max_tok == 64:
+        gen = _gen_batches
+    else:
+        def gen(batches):
+            return _gen_batches(batches, max_tok=max_tok)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(gen, GEN_SCHEMA)
 
 
 def routing_dim(spark: SparkSession, n_sources: int = N_SOURCES) -> DataFrame:
