@@ -695,6 +695,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_bm25_topk"] = token_bm25_topk
 
+    # --- mergeable distinct sketches (operators/sketch.py): KMV bottom-k
+    # and HyperLogLog registers over md5-prefix hashes, published next to
+    # the exact count + err_ppm. Hashing is the repo md5 canon, so the
+    # DuckDB oracle reproduces every register and estimate bit-for-bit.
+    def sketch_distinct_kmv(spark, sf_dir):
+        from binlog_processer_spark.operators.sketch import kmv_distinct
+
+        return kmv_distinct(_kept(spark, sf_dir), k=128)
+
+    q["sketch_distinct_kmv"] = sketch_distinct_kmv
+
+    def sketch_distinct_hll(spark, sf_dir):
+        from binlog_processer_spark.operators.sketch import hll_distinct
+
+        return hll_distinct(_kept(spark, sf_dir), b=10)
+
+    q["sketch_distinct_hll"] = sketch_distinct_hll
+
     _PROFILE_COLS = [
         "source", "database_name", "op", "doc_id",
         "event_seq", "n_tok", "commit_ts",
@@ -2791,6 +2809,72 @@ grid AS (
         "          i -> array_to_string(tokens[i:i+2], '-'))) AS gram"
         "        FROM kept)"
         "  GROUP BY source)",
+        _X_ENRICHED,
+    )
+    # KMV distinct sketch: bottom-k over the repo-canon md5-prefix
+    # hashes; the (k-1)*2^32/h_k order-statistic estimator next to the
+    # exact distinct count (sketch.py kmv_distinct, k=128)
+    o["sketch_distinct_kmv"] = _oracle_full(
+        "SELECT est.source, k_used, h_k, est_distinct, exact_distinct,"
+        " cast(floor(abs(est_distinct - exact_distinct) * 1000000.0"
+        "      / exact_distinct) AS bigint) AS err_ppm"
+        " FROM ("
+        "  SELECT source, cast(max(rk) AS int) AS k_used,"
+        "         cast(max(h) AS bigint) AS h_k,"
+        "   CASE WHEN max(rk) < 128 THEN cast(max(rk) AS bigint)"
+        "        ELSE cast(floor(127 * 4294967296.0 / max(h)) AS bigint)"
+        "   END AS est_distinct"
+        "  FROM ("
+        "   SELECT source, h,"
+        "          row_number() OVER (PARTITION BY source ORDER BY h) AS rk"
+        "   FROM (SELECT DISTINCT source,"
+        "         cast(('0x' || substr(md5(cast(token AS varchar)), 1, 8))"
+        "              AS ubigint) AS h"
+        "         FROM (SELECT source, unnest(tokens) AS token FROM kept)))"
+        "  WHERE rk <= 128 GROUP BY source) est"
+        " JOIN (SELECT source,"
+        "       cast(count(DISTINCT token) AS bigint) AS exact_distinct"
+        "       FROM (SELECT source, unnest(tokens) AS token FROM kept)"
+        "       GROUP BY source) ex USING (source)"
+        " ORDER BY source",
+        _X_ENRICHED,
+    )
+    # HyperLogLog b=10: register max-rank fold over the same hashes;
+    # harmonic-mean numerator kept as ONE precomputed double and the
+    # denominator as the exact integer sum of 2^(33-rho), so both
+    # engines divide identical operands (sketch.py hll_distinct)
+    o["sketch_distinct_hll"] = _oracle_full(
+        "SELECT e.source, zero_registers, sum_scaled, est_distinct,"
+        " exact_distinct,"
+        " cast(floor(abs(est_distinct - exact_distinct) * 1000000.0"
+        "      / exact_distinct) AS bigint) AS err_ppm"
+        " FROM ("
+        "  SELECT source, zero_registers, sum_scaled, cast(floor("
+        "   CASE WHEN (6490054181368802e0 / sum_scaled) <= 2560e0"
+        "        AND zero_registers > 0"
+        "   THEN 1024e0 * ln(1024e0 / zero_registers)"
+        "   ELSE 6490054181368802e0 / sum_scaled END) AS bigint)"
+        "   AS est_distinct"
+        "  FROM ("
+        "   SELECT source, cast(1024 - count(*) AS bigint) AS zero_registers,"
+        "    cast(sum(cast(2.0 ** (33 - rho) AS bigint))"
+        "         + (1024 - count(*)) * 8589934592 AS bigint) AS sum_scaled"
+        "   FROM ("
+        "    SELECT source, cast(floor(h / 4194304) AS int) AS bucket,"
+        "     cast(max(CASE WHEN h % 4194304 = 0 THEN 23"
+        "          ELSE 23 - length(to_base(cast(h % 4194304 AS bigint), 2))"
+        "          END) AS int) AS rho"
+        "    FROM (SELECT source,"
+        "          cast(('0x' || substr(md5(cast(token AS varchar)), 1, 8))"
+        "               AS ubigint) AS h"
+        "          FROM (SELECT source, unnest(tokens) AS token FROM kept))"
+        "    GROUP BY 1, 2)"
+        "   GROUP BY source)) e"
+        " JOIN (SELECT source,"
+        "       cast(count(DISTINCT token) AS bigint) AS exact_distinct"
+        "       FROM (SELECT source, unnest(tokens) AS token FROM kept)"
+        "       GROUP BY source) ex USING (source)"
+        " ORDER BY source",
         _X_ENRICHED,
     )
     # per-event mean unigram surprisal in milli-nats (CCNet-style quality)

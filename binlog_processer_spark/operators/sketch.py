@@ -1,0 +1,295 @@
+"""Mergeable distinct-count sketches: KMV (k-minimum values) and
+HyperLogLog, built from deterministic md5-prefix hashing so the DuckDB
+oracle reproduces every register bit-for-bit.
+
+Why these exist. `vocab_stats` counts distinct tokens EXACTLY — the
+right call when the id space is vocabulary-bounded. But a training
+pipeline also needs cardinalities over UNBOUNDED keys (doc ids,
+n-gram ids, url hosts), where exact distinct means shuffling the whole
+key set. The classical answer is a constant-size mergeable sketch:
+
+- **KMV** (Bar-Yossef et al. 2002, "Counting distinct elements in a
+  data stream"): keep the k smallest hash values; with h uniform on
+  [0, 2^32), the k-th smallest order statistic estimates the distinct
+  count as ``(k-1) * 2^32 / h_k``. Mergeable by union+re-truncate.
+- **HyperLogLog** (Flajolet et al. 2007): m = 2^b registers, each the
+  max leading-zero rank of the hashes routed to it; harmonic-mean
+  estimate with the standard small-range (linear counting) correction.
+  Mergeable by per-register max — exactly a ``groupBy(bucket).max``.
+
+Scale posture. Both sketches are aggregates with tiny, bounded state:
+
+- The KMV candidate pass runs per-partition inside ``mapInArrow``
+  (bottom-k per source per partition — an EXACT superset of the global
+  bottom-k, since the global k smallest are each in some partition's k
+  smallest), so only numPartitions x k candidate rows reach the single
+  final-ranking shuffle. Nothing is proportional to the stream.
+- HLL is two hash aggregates: distinct (source,bucket,rho-max) with
+  map-side combine bounded by m per source per task, then an m-row
+  per-source fold. At 10^12 rows the wire carries registers, not keys.
+
+Determinism / oracle parity. The hash is the repo-wide canon (first 8
+hex chars of md5 of the decimal string → uint32; see operators/mix.py),
+so Spark and DuckDB agree on every hash, every register, and — because
+the estimate arithmetic is integer until one final multiply/divide —
+on every published estimate. The HLL rank uses an integer bit-length
+(``conv(x, 10, 2)`` string length in Spark, ``to_base(x, 2)`` length in
+DuckDB; both render 0 as "0") instead of float log2, so there is no
+boundary ambiguity.
+
+Reference parity: the reference has no sketches (its counters are exact
+AtomicIntegers, WriteResultValue.java:7-36); this module is part of the
+training-pipeline surface the build brief mandates beyond SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+HASH_BITS = 32
+HASH_SPACE = 1 << HASH_BITS  # md5-prefix hashes are uniform on [0, 2^32)
+
+
+def hash32(col: Column) -> Column:
+    """Repo-canon uint32 hash: first 8 md5 hex chars of the decimal
+    string form, as bigint. DuckDB twin:
+    ``cast(('0x' || substr(md5(cast(x AS varchar)), 1, 8)) AS ubigint)``.
+    """
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _bottom_k_candidates(k: int):
+    """mapInArrow partition function: per-(source) bottom-k distinct
+    hash values within one partition — an exact superset of the global
+    per-source bottom-k (every one of the k globally smallest hashes
+    lives in some partition, where at most k-1 smaller ones can hide
+    it). Only numPartitions x sources x k rows cross the wire."""
+    import numpy as np
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        best: dict[str, np.ndarray] = {}
+        for batch in batches:
+            src = batch.column(0).to_numpy(zero_copy_only=False)
+            h = batch.column(1).to_numpy(zero_copy_only=False)
+            for s in np.unique(src):
+                hs = h[src == s]
+                prev = best.get(s)
+                if prev is not None:
+                    hs = np.concatenate([prev, hs])
+                hs = np.unique(hs)  # sorts ascending + dedupes
+                best[s] = hs[:k]
+        sources, hashes = [], []
+        for s, hs in best.items():
+            sources.extend([s] * len(hs))
+            hashes.extend(hs.tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(sources, type=pa.string()),
+                pa.array(hashes, type=pa.int64()),
+            ],
+            ["source", "h"],
+        )
+
+    return fn
+
+
+def kmv_distinct(
+    kept: DataFrame,
+    k: int = 256,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-source KMV distinct-token estimate, next to the exact count.
+
+    Plan: distinct (source, token) → hash → zero-shuffle per-partition
+    bottom-k (`mapInArrow`) → one tiny global ranking over the candidate
+    rows. ``with_exact=True`` adds the exact distinct count and an
+    ``err_ppm`` column — the self-auditing report form every sketch in
+    this repo ships with (recall gates for ANN, agreement columns for
+    the classifier). At 10^12 scale run ``with_exact=False``: the whole
+    job is then one candidate pass + a k-row-per-source fold.
+
+    Estimator: ``(k-1) * 2^32 / h_k`` with ``h_k`` the k-th smallest
+    DISTINCT hash (hash collisions collapse; at 2^32 space and corpus
+    vocabularies the bias is < 1e-5). If a source has fewer than k
+    distinct hashes the sketch is exhaustive and the estimate is the
+    candidate count itself.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    # NO pre-distinct: duplicates collapse inside the per-partition
+    # bottom-k (np.unique), so the plan stays map-only until the
+    # numPartitions x k candidate rows — a pre-distinct would pay the
+    # full (source, token) shuffle this sketch exists to avoid.
+    toks = kept.select(
+        "source", F.explode("tokens").alias("token")
+    ).select("source", hash32(F.col("token")).alias("h"))
+    cand = toks.mapInArrow(
+        _bottom_k_candidates(k), schema="source string, h bigint"
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = (
+        cand.distinct()  # candidates from different partitions can repeat
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    sk = ranked.groupBy("source").agg(
+        F.max("rk").cast("int").alias("k_used"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("bigint")
+    ).otherwise(
+        F.floor(
+            F.lit(k - 1) * F.lit(HASH_SPACE) / F.col("h_k")
+        ).cast("bigint")
+    )
+    sk = sk.select(
+        "source", "k_used", "h_k", est.alias("est_distinct")
+    )
+    if not with_exact:
+        return sk.orderBy("source")
+    exact = (
+        kept.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "k_used",
+            "h_k",
+            "est_distinct",
+            "exact_distinct",
+            F.floor(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bit_length(col: Column) -> Column:
+    """Integer bit length via base-2 string render (conv renders 0 as
+    "0", length 1 — callers guard the 0 case explicitly)."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+def hll_registers(kept: DataFrame, b: int = 10) -> DataFrame:
+    """Materialized HLL registers: one row per (source, bucket) with the
+    max rank. This IS the mergeable sketch state — union two corpora by
+    ``groupBy(source, bucket).max(rho)`` — and the unit the oracle
+    checks register-by-register."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll_registers: b must be in [4, 16], got {b}")
+    w = HASH_BITS - b  # bits left after the bucket index
+    # no pre-distinct: per-register max is idempotent under duplicate
+    # hashes, and the map-side partial max bounds each task's shuffle
+    # output at m rows per source — the register fold IS the dedupe
+    toks = kept.select(
+        "source", F.explode("tokens").alias("token")
+    ).select("source", hash32(F.col("token")).alias("h"))
+    bucket = F.floor(F.col("h") / F.lit(1 << w)).cast("int")
+    rest = (F.col("h") % F.lit(1 << w)).cast("bigint")
+    # rank = leading zeros in the w-bit remainder + 1
+    #      = w - bit_length(rest) + 1, and w + 1 when rest == 0
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - _bit_length(rest)
+    )
+    return (
+        toks.select("source", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_distinct(
+    kept: DataFrame, b: int = 10, with_exact: bool = True
+) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate from
+    ``hll_registers``, with the standard small-range correction.
+
+    The harmonic-mean denominator ``sum(2^-rho)`` is kept as the EXACT
+    integer ``sum(2^(33-rho))`` (rho <= 33, so every term is a
+    non-negative power of two; the sum fits comfortably in int64) —
+    published as ``sum_scaled`` so the oracle matches it exactly, with
+    the float division deferred to one final expression both engines
+    evaluate on identical operands.
+    """
+    m = 1 << b
+    # Flajolet's bias constant for m >= 128 (b=10 -> 0.72125...)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # ONE precomputed double constant (alpha * m^2 * 2^33): both engines
+    # then evaluate a single division on identical operands — no
+    # multiply-order or decimal-literal ambiguity can creep in
+    numer = ((alpha * m) * m) * float(1 << 33)
+    regs = hll_registers(kept, b)
+    agg = regs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(33) - F.col("rho")))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("present_scaled"),
+    )
+    zero = (F.lit(m) - F.col("nonzero")).cast("bigint")
+    # absent registers hold rho=0 -> 2^-0 = 1 -> 2^33 each, still exact
+    sum_scaled = (
+        F.col("present_scaled") + zero * F.lit(1 << 33)
+    ).cast("bigint")
+    agg = agg.select(
+        "source",
+        zero.alias("zero_registers"),
+        sum_scaled.alias("sum_scaled"),
+    )
+    raw = F.lit(numer) / F.col("sum_scaled")
+    # linear-counting correction for the small range (raw <= 2.5m and
+    # empty registers remain)
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers")),
+    ).otherwise(raw)
+    sk = agg.select(
+        "source",
+        "zero_registers",
+        "sum_scaled",
+        F.floor(corrected).cast("bigint").alias("est_distinct"),
+    )
+    if not with_exact:
+        return sk.orderBy("source")
+    exact = (
+        kept.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "zero_registers",
+            "sum_scaled",
+            "est_distinct",
+            "exact_distinct",
+            F.floor(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("source")
+    )
