@@ -649,6 +649,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_bpe_encode_stats"] = token_bpe_encode_stats
 
+    # Unigram-LM tokenizer (operators/unigram.py): the prune-down
+    # probabilistic counterpart to BPE's merge-up trainer. Iterative
+    # (EM), so rows-only like the BPE pair; exactness pinned by
+    # tests/test_unigram.py's hand-computed Viterbi/EM cases.
+    def token_unigram_vocab(spark, sf_dir):
+        from binlog_processer_spark.operators.unigram import (
+            train_unigram,
+            vocab_df,
+        )
+
+        model = train_unigram(
+            _docs(spark, sf_dir), vocab_size=48, seed_size=512,
+            min_count=2,
+        )
+        return vocab_df(spark, model)
+
+    q["token_unigram_vocab"] = token_unigram_vocab
+
+    def token_unigram_encode_stats(spark, sf_dir):
+        from binlog_processer_spark.operators.bpe import encode_stats
+        from binlog_processer_spark.operators.unigram import (
+            encode as uencode,
+            train_unigram,
+        )
+
+        docs = _docs(spark, sf_dir)
+        model = train_unigram(
+            docs, vocab_size=48, seed_size=512, min_count=2
+        )
+        return encode_stats(uencode(docs, model))
+
+    q["token_unigram_encode_stats"] = token_unigram_encode_stats
+
     def token_doc_frequency(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import (
             token_doc_frequency as tdf,

@@ -1,12 +1,15 @@
-"""spark-submit entry point for BPE tokenizer training + corpus encode.
+"""spark-submit entry point for subword tokenizer training + encode.
 
 The thirteenth CLI: learns a subword vocabulary from the corpus (one
-distributed word-count pass, driver merge loop over the compact word
-table — operators/bpe.py), encodes every document with the broadcast
-ranks, and writes the artifacts a training pipeline hands to the data
-loader:
+distributed word-count pass, driver loop over the compact word table),
+encodes every document with the broadcast model, and writes the
+artifacts a training pipeline hands to the data loader. ``--algo``
+selects the trainer: ``bpe`` (greedy merge-up, operators/bpe.py,
+default) or ``unigram`` (EM prune-down Viterbi LM,
+operators/unigram.py) — same word-count pass, same encoded schema, so
+the two are drop-in comparable.
 
-- ``<output>/vocab.json``        — merges + piece→id map (BpeModel dict)
+- ``<output>/vocab.json``        — model dict (algo-tagged)
 - ``<output>/encoded``           — snapshot table: doc_id, source,
                                    n_words, n_pieces, n_chars, ids
 - stdout                         — one JSON summary line (per-source
@@ -55,7 +58,15 @@ def main() -> None:
         "instead of training — the daily-ingest shape: one training "
         "run, then stable ids for every later batch",
     )
+    ap.add_argument(
+        "--algo", choices=("bpe", "unigram"), default="bpe",
+        help="trainer: greedy merge-up BPE or EM prune-down unigram LM",
+    )
     ap.add_argument("--num-merges", type=int, default=256)
+    ap.add_argument(
+        "--vocab-size", type=int, default=512,
+        help="unigram only: target piece-inventory size",
+    )
     ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--max-words", type=int, default=65536)
     ap.add_argument("--text-col", default="text")
@@ -65,11 +76,35 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
 
     if args.vocab:
-        from binlog_processer_spark.operators.bpe import BpeModel
-
         with open(args.vocab) as f:
-            model = BpeModel.from_dict(json.load(f))
-        merges = list(model.merges)
+            d = json.load(f)
+        if d.get("algo") == "unigram" or "logprobs" in d:
+            from binlog_processer_spark.operators.unigram import (
+                UnigramModel,
+            )
+
+            args.algo = "unigram"
+            model = UnigramModel.from_dict(d)
+            merges = []
+        else:
+            from binlog_processer_spark.operators.bpe import BpeModel
+
+            args.algo = "bpe"
+            model = BpeModel.from_dict(d)
+            merges = list(model.merges)
+    elif args.algo == "unigram":
+        from binlog_processer_spark.operators.unigram import (
+            train_unigram,
+        )
+
+        model = train_unigram(
+            docs,
+            vocab_size=args.vocab_size,
+            min_count=args.min_count,
+            max_words=args.max_words,
+            text_col=args.text_col,
+        )
+        merges = []
     else:
         model, merges = train_bpe(
             docs,
@@ -78,10 +113,17 @@ def main() -> None:
             max_words=args.max_words,
             text_col=args.text_col,
         )
-    encoded = encode(docs, model, text_col=args.text_col)
+    if args.algo == "unigram":
+        from binlog_processer_spark.operators.unigram import (
+            encode as _enc,
+        )
+    else:
+        _enc = encode
+    encoded = _enc(docs, model, text_col=args.text_col)
     stats = [r.asDict() for r in encode_stats(encoded).collect()]
 
     out = {
+        "algo": args.algo,
         "merges_learned": len(merges),
         "vocab_size": len(model.vocab),
         "trained": not args.vocab,
@@ -94,9 +136,9 @@ def main() -> None:
 
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "vocab.json"), "w") as f:
-            json.dump(model.to_dict(), f)
+            json.dump({"algo": args.algo, **model.to_dict()}, f)
         t = SnapshotTable(os.path.join(args.output, "encoded"))
-        t.write(encode(docs, model, text_col=args.text_col))
+        t.write(_enc(docs, model, text_col=args.text_col))
         out["written"] = True
         out["encoded_rows"] = t.read(spark).count()
 
