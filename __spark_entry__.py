@@ -728,6 +728,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_bm25_topk"] = token_bm25_topk
 
+    def token_pmi_topk(spark, sf_dir):
+        # collocation mining: top bigrams by pointwise mutual
+        # information; ranking on the rounded integer milli-nats so the
+        # cross-engine order is float-epsilon-free
+        from binlog_processer_spark.operators.tokens import pmi_topk
+
+        return pmi_topk(_kept(spark, sf_dir), k=40, min_count=5)
+
+    q["token_pmi_topk"] = token_pmi_topk
+
     # --- mergeable distinct sketches (operators/sketch.py): KMV bottom-k
     # and HyperLogLog registers over md5-prefix hashes, published next to
     # the exact count + err_ppm. Hashing is the repo md5 canon, so the
@@ -2842,6 +2852,41 @@ grid AS (
         "          i -> array_to_string(tokens[i:i+2], '-'))) AS gram"
         "        FROM kept)"
         "  GROUP BY source)",
+        _X_ENRICHED,
+    )
+    # bigram PMI top-k: counts exact-integer, the one ln on identically
+    # shaped operands both sides, ranked by the ROUNDED milli-nat value
+    # with (x, y) tie-break (tokens.py pmi_topk, k=40, min_count=5)
+    o["token_pmi_topk"] = _oracle_full(
+        "SELECT x, y, pair_cnt, x_cnt, y_cnt, pmi_mn,"
+        " cast(row_number() OVER (ORDER BY pmi_mn DESC, x, y) AS int)"
+        " AS rank"
+        " FROM ("
+        "  SELECT x, y, pair_cnt, x_cnt, y_cnt,"
+        "   cast(round(ln(pair_cnt / total_pairs * total_tok / x_cnt"
+        "        * total_tok / y_cnt) * 1000) AS bigint) AS pmi_mn"
+        "  FROM ("
+        "   SELECT cast(string_split(gram, '-')[1] AS int) AS x,"
+        "          cast(string_split(gram, '-')[2] AS int) AS y,"
+        "          pair_cnt"
+        "   FROM (SELECT gram, cast(count(*) AS bigint) AS pair_cnt"
+        "         FROM (SELECT unnest(list_transform("
+        "               range(1, greatest(len(tokens), 1)),"
+        "               i -> array_to_string(tokens[i:i+1], '-'))) AS gram"
+        "               FROM kept)"
+        "         GROUP BY gram)"
+        "   WHERE pair_cnt >= 5) p"
+        "  JOIN (SELECT token AS x, cast(count(*) AS bigint) AS x_cnt"
+        "        FROM (SELECT unnest(tokens) AS token FROM kept)"
+        "        GROUP BY 1) ux USING (x)"
+        "  JOIN (SELECT token AS y, cast(count(*) AS bigint) AS y_cnt"
+        "        FROM (SELECT unnest(tokens) AS token FROM kept)"
+        "        GROUP BY 1) uy USING (y)"
+        "  CROSS JOIN (SELECT cast(sum(greatest(len(tokens) - 1, 0))"
+        "              AS bigint) AS total_pairs FROM kept)"
+        "  CROSS JOIN (SELECT cast(sum(n_tok) AS bigint) AS total_tok"
+        "              FROM kept))"
+        " ORDER BY pmi_mn DESC, x, y LIMIT 40",
         _X_ENRICHED,
     )
     # KMV distinct sketch: bottom-k over the repo-canon md5-prefix

@@ -821,3 +821,88 @@ def ngram_diversity(
         .cast("bigint")
         .alias("diversity_ppm"),
     )
+
+
+def pmi_topk(
+    kept: DataFrame, k: int = 50, min_count: int = 10
+) -> DataFrame:
+    """Top-k token bigrams by pointwise mutual information — the
+    classical collocation miner (Church & Hanks 1990), here over token
+    ids: which adjacent pairs co-occur far above chance. High-PMI pairs
+    are multi-token units (named entities, code idioms, boilerplate
+    templates) — input to tokenizer-vocabulary audits and to span-level
+    dedup thresholds.
+
+    PMI = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) from the bigram stream
+    (total T2) and p(x) from the token stream (total T1), published in
+    milli-nats. The ranking key is the ROUNDED integer (ties broken on
+    (x, y)), so the cross-engine order is integer-deterministic — the
+    float ln only has to agree on the value (identical operand shapes
+    both sides), never on an ordering epsilon.
+
+    Scale plan: both count tables are vocabulary-bounded after map-side
+    combine; the unigram table broadcasts onto the bigram table twice
+    (x and y sides); ``min_count`` prunes the long tail before the
+    joins; the final top-k is one TakeOrderedAndProject over the
+    bigram vocabulary.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("pmi_topk: k and min_count must be >= 1")
+    b = (
+        kept.select(F.explode(_gram_strings(2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+    )
+    t2 = b.agg(F.sum("pair_cnt").cast("bigint").alias("total_pairs"))
+    uni = (
+        kept.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    t1 = _total_tokens(kept)
+    pairs = (
+        b.filter(F.col("pair_cnt") >= min_count)
+        .select(
+            F.substring_index("gram", "-", 1).cast("int").alias("x"),
+            F.substring_index("gram", "-", -1).cast("int").alias("y"),
+            "pair_cnt",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("token").alias("x"), F.col("cnt").alias("x_cnt")
+                )
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("token").alias("y"), F.col("cnt").alias("y_cnt")
+                )
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t1))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_cnt") / F.col("total_pairs"))
+            * F.col("total_tok")
+            / F.col("x_cnt")
+            * F.col("total_tok")
+            / F.col("y_cnt")
+        )
+        * 1000
+    ).cast("bigint")
+    scored = pairs.select(
+        "x", "y", "pair_cnt", "x_cnt", "y_cnt", pmi.alias("pmi_mn")
+    )
+    # distributed top-k (TakeOrderedAndProject — per-partition heads,
+    # driver merge), NOT a global row_number window: the bigram table
+    # can be ~10^8 rows at corpus scale and must never single-partition.
+    # The rank column is then assigned on the k-row result only.
+    topk = scored.orderBy(F.desc("pmi_mn"), "x", "y").limit(k)
+    w = Window.orderBy(F.desc("pmi_mn"), "x", "y")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

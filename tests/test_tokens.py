@@ -440,3 +440,47 @@ def test_ngram_diversity_rejects_bad_orders(spark):
         ngram_diversity(df, ns=())
     with _pytest.raises(ValueError):
         ngram_diversity(df, ns=(0,))
+
+
+def test_pmi_topk_matches_reference(spark):
+    from collections import Counter
+    import math
+
+    from binlog_processer_spark.operators.tokens import pmi_topk
+
+    rows = [
+        ("a", [1, 2, 1, 2, 3]),
+        ("a", [1, 2, 3, 3, 1, 2]),
+        ("b", [3, 1, 2, 1, 2, 3]),
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, toks in rows:
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    t1, t2 = sum(uni.values()), sum(bi.values())
+    got = pmi_topk(_df(spark, rows), k=5, min_count=2).collect()
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        want = round(
+            math.log(
+                bi[(r.x, r.y)] / t2 * t1 / uni[r.x] * t1 / uni[r.y]
+            )
+            * 1000
+        )
+        assert (r.pair_cnt, r.x_cnt, r.y_cnt) == (
+            bi[(r.x, r.y)], uni[r.x], uni[r.y]
+        )
+        assert r.pmi_mn == want
+    # (1,2) is the dominant collocation — 6 of 13 bigrams
+    assert (got[0].x, got[0].y) == (1, 2)
+
+
+def test_pmi_topk_plan_is_takeordered(spark):
+    from binlog_processer_spark.operators.tokens import pmi_topk
+
+    df = _df(spark, [("a", [1, 2, 1, 2])])
+    plan = pmi_topk(df, k=3, min_count=1)._jdf.queryExecution().executedPlan().toString()
+    # distributed top-k, never a single-partition global sort of the
+    # bigram table
+    assert "TakeOrderedAndProject" in plan
