@@ -756,6 +756,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_distinct_hll"] = sketch_distinct_hll
 
+    def sketch_token_cms(spark, sf_dir):
+        # Count-Min frequency sketch, audited against the exact top-20
+        # token counts (overcount_ppm >= 0 by construction)
+        from binlog_processer_spark.operators.sketch import (
+            cms_estimate_report,
+        )
+
+        return cms_estimate_report(
+            _kept(spark, sf_dir), depth=4, width=1024, top_k=20
+        )
+
+    q["sketch_token_cms"] = sketch_token_cms
+
     _PROFILE_COLS = [
         "source", "database_name", "op", "doc_id",
         "event_seq", "n_tok", "commit_ts",
@@ -2953,6 +2966,39 @@ grid AS (
         "       FROM (SELECT source, unnest(tokens) AS token FROM kept)"
         "       GROUP BY source) ex USING (source)"
         " ORDER BY source",
+        _X_ENRICHED,
+    )
+    # Count-Min sketch: depth x width exact-integer counters under
+    # row-salted md5 hashes; estimate = min over rows; probed at the
+    # exact top-20 tokens (sketch.py cms_estimate_report)
+    o["sketch_token_cms"] = _oracle_full(
+        "SELECT token, exact_cnt, est_cnt,"
+        " cast(floor((est_cnt - exact_cnt) * 1000000.0 / exact_cnt)"
+        "      AS bigint) AS overcount_ppm"
+        " FROM ("
+        "  SELECT token, exact_cnt, cast(min(cnt) AS bigint) AS est_cnt"
+        "  FROM ("
+        "   SELECT p.token, p.exact_cnt, r.i AS row,"
+        "    cast(cast(('0x' || substr(md5(cast(r.i AS varchar) || ':' ||"
+        "         cast(p.token AS varchar)), 1, 8)) AS ubigint) % 1024"
+        "         AS int) AS bucket"
+        "   FROM (SELECT token, cast(count(*) AS bigint) AS exact_cnt"
+        "         FROM (SELECT unnest(tokens) AS token FROM kept)"
+        "         GROUP BY token ORDER BY exact_cnt DESC, token"
+        "         LIMIT 20) p"
+        "   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r) probe"
+        "  JOIN ("
+        "   SELECT row, bucket, cast(count(*) AS bigint) AS cnt"
+        "   FROM ("
+        "    SELECT r.i AS row,"
+        "     cast(cast(('0x' || substr(md5(cast(r.i AS varchar) || ':' ||"
+        "          cast(o.token AS varchar)), 1, 8)) AS ubigint) % 1024"
+        "          AS int) AS bucket"
+        "    FROM (SELECT unnest(tokens) AS token FROM kept) o"
+        "    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r)"
+        "   GROUP BY 1, 2) c USING (row, bucket)"
+        "  GROUP BY token, exact_cnt)"
+        " ORDER BY exact_cnt DESC, token",
         _X_ENRICHED,
     )
     # per-event mean unigram surprisal in milli-nats (CCNet-style quality)

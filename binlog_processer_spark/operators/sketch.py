@@ -293,3 +293,114 @@ def hll_distinct(
         )
         .orderBy("source")
     )
+
+
+def cms_counters(
+    kept: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005) over the
+    token stream: ``depth`` independent hash rows x ``width`` buckets,
+    each counter the exact sum of occurrences hashing there. This is the
+    mergeable state — union two corpora by ``groupBy(row, bucket).sum``.
+
+    Row hashes derive from the same md5 canon, salted by the row index
+    (``md5("<row>:<token>")``), so the DuckDB oracle rebuilds every
+    counter exactly. Map-side combine bounds each task's shuffle output
+    at depth x width rows — nothing scales with the stream.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("cms_counters: depth >= 1 and width >= 2")
+    occ = kept.select(F.explode("tokens").alias("token"))
+    rows = occ.select(
+        "token",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("row"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("row"), F.col("token").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    ).cast("int")
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate_report(
+    kept: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Self-auditing CMS report: for the exact top-k tokens, the sketch
+    estimate (min over rows of the hashed counter) next to the exact
+    count. CMS never underestimates, so ``err_ppm`` = (est - exact)/
+    exact is >= 0 — the oracle checks that inequality for free by
+    matching values. Probe cost: top_k x depth rows against a
+    depth x width counter table — both tiny, broadcast."""
+    counters = cms_counters(kept, depth, width)
+    exact = (
+        kept.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    )
+    probes = (
+        exact.orderBy(F.desc("exact_cnt"), "token")
+        .limit(top_k)
+        .select(
+            "token",
+            "exact_cnt",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("row"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("row"), F.col("token").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    ).cast("int")
+    return (
+        probes.withColumn("bucket", bucket)
+        .join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            F.floor(
+                (F.col("est_cnt") - F.col("exact_cnt"))
+                * 1_000_000
+                / F.col("exact_cnt")
+            )
+            .cast("bigint")
+            .alias("overcount_ppm"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )

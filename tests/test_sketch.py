@@ -140,3 +140,43 @@ def test_hll_error_within_expected_band(spark):
 def test_hll_rejects_bad_precision(spark):
     with pytest.raises(ValueError, match="b must be"):
         hll_registers(_df(spark, [("a", [1])]), b=2)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from binlog_processer_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate_report,
+    )
+    import pyspark.sql.functions as F
+
+    rows = _rows(n_docs=200, vocab=500)
+    df = _df(spark, rows)
+    rep = cms_estimate_report(df, depth=4, width=256, top_k=10).collect()
+    assert len(rep) == 10
+    exact = {}
+    for _, toks in rows:
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+    for r in rep:
+        assert r.exact_cnt == exact[r.token]
+        assert r.est_cnt >= r.exact_cnt  # CMS one-sided error
+        assert r.overcount_ppm >= 0
+    # mergeability: counters(half1) + counters(half2) == counters(whole)
+    half1, half2 = rows[::2], rows[1::2]
+    merged = (
+        cms_counters(_df(spark, half1), depth=2, width=128)
+        .unionByName(cms_counters(_df(spark, half2), depth=2, width=128))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_counters(df, depth=2, width=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_rejects_degenerate_shape(spark):
+    from binlog_processer_spark.operators.sketch import cms_counters
+
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(_df(spark, [("a", [1])]), depth=0, width=8)
