@@ -769,6 +769,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_token_cms"] = sketch_token_cms
 
+    def streaming_hll_distinct(spark, sf_dir):
+        """Streaming distinct sketch: HLL registers folded per
+        micro-batch (4-file rate-limited drain, so the merge is real).
+        Register merge is associative/commutative/idempotent, so the
+        published rows are bit-identical to the batch sketch — the
+        oracle is sketch_distinct_hll's minus the exact-count columns,
+        a full hash gate on a streaming computation."""
+        from binlog_processer_spark.streaming.sketch_stream import (
+            streaming_hll_distinct as shd,
+        )
+
+        routing = _routing(spark, sf_dir)
+
+        def to_kept(batch):
+            good, _ = split_quarantine(parse_raw(batch))
+            good = good.withColumn(
+                "table_key",
+                F.concat_ws(
+                    "#", F.col("source"), F.col("bucket").cast("string")
+                ),
+            )
+            kept, _ = split_ignored(
+                filter_system_schemas(enrich_routing(good, routing))
+            )
+            return kept
+
+        d = _stream_raw_dir(spark, sf_dir, parts=4)
+        return shd(spark, d + "/raw", to_kept, b=10)
+
+    q["streaming_hll_distinct"] = streaming_hll_distinct
+
     _PROFILE_COLS = [
         "source", "database_name", "op", "doc_id",
         "event_seq", "n_tok", "commit_ts",
@@ -1971,16 +2002,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structured-streaming + multimodal surfaces
     # ------------------------------------------------------------------
 
-    def _stream_raw_dir(spark, sf_dir):
-        """Serialized corpus (uncorrupted) as a single-file stream source —
-        one micro-batch, so batch-local window semantics equal the batch
-        pipeline's."""
+    def _stream_raw_dir(spark, sf_dir, parts=1):
+        """Serialized corpus (uncorrupted) as a stream source. Default:
+        ONE file → one micro-batch, so batch-local window semantics
+        equal the batch pipeline's. ``parts > 1`` splits into that many
+        files for rate-limited multi-batch drains (which rows land in
+        which batch is then arbitrary — only order-insensitive mergeable
+        state may rely on it)."""
         import tempfile
 
         d = tempfile.mkdtemp(prefix="blp_stream_")
-        _corpus(spark, sf_dir).select(serialize_expr().alias("raw")).coalesce(
-            1
-        ).write.mode("overwrite").parquet(d + "/raw")
+        raw = _corpus(spark, sf_dir).select(serialize_expr().alias("raw"))
+        raw = raw.repartition(parts) if parts > 1 else raw.coalesce(1)
+        raw.write.mode("overwrite").parquet(d + "/raw")
         return d
 
     def streaming_sink_counts(spark, sf_dir):
@@ -2965,6 +2999,34 @@ grid AS (
         "       cast(count(DISTINCT token) AS bigint) AS exact_distinct"
         "       FROM (SELECT source, unnest(tokens) AS token FROM kept)"
         "       GROUP BY source) ex USING (source)"
+        " ORDER BY source",
+        _X_ENRICHED,
+    )
+    # streaming HLL: the per-micro-batch register fold is idempotent
+    # max-merge, so the drained stream's registers equal the batch
+    # sketch's — same oracle as sketch_distinct_hll minus the exact join
+    o["streaming_hll_distinct"] = _oracle_full(
+        "SELECT source, zero_registers, sum_scaled, cast(floor("
+        " CASE WHEN (6490054181368802e0 / sum_scaled) <= 2560e0"
+        "      AND zero_registers > 0"
+        " THEN 1024e0 * ln(1024e0 / zero_registers)"
+        " ELSE 6490054181368802e0 / sum_scaled END) AS bigint)"
+        " AS est_distinct"
+        " FROM ("
+        "  SELECT source, cast(1024 - count(*) AS bigint) AS zero_registers,"
+        "   cast(sum(cast(2.0 ** (33 - rho) AS bigint))"
+        "        + (1024 - count(*)) * 8589934592 AS bigint) AS sum_scaled"
+        "  FROM ("
+        "   SELECT source, cast(floor(h / 4194304) AS int) AS bucket,"
+        "    cast(max(CASE WHEN h % 4194304 = 0 THEN 23"
+        "         ELSE 23 - length(to_base(cast(h % 4194304 AS bigint), 2))"
+        "         END) AS int) AS rho"
+        "   FROM (SELECT source,"
+        "         cast(('0x' || substr(md5(cast(token AS varchar)), 1, 8))"
+        "              AS ubigint) AS h"
+        "         FROM (SELECT source, unnest(tokens) AS token FROM kept))"
+        "   GROUP BY 1, 2)"
+        "  GROUP BY source)"
         " ORDER BY source",
         _X_ENRICHED,
     )

@@ -228,6 +228,40 @@ def hll_distinct(
     the float division deferred to one final expression both engines
     evaluate on identical operands.
     """
+    regs = hll_registers(kept, b)
+    sk = hll_estimate(regs, b)
+    if not with_exact:
+        return sk.orderBy("source")
+    exact = (
+        kept.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "zero_registers",
+            "sum_scaled",
+            "est_distinct",
+            "exact_distinct",
+            F.floor(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                * 1_000_000
+                / F.col("exact_distinct")
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def hll_estimate(regs: DataFrame, b: int) -> DataFrame:
+    """Estimate report from a (source, bucket, rho) register relation —
+    shared verbatim by the batch sketch and the streaming register
+    accumulator, so a stream that merged its registers per micro-batch
+    publishes the EXACT rows the one-shot batch sketch publishes."""
     m = 1 << b
     # Flajolet's bias constant for m >= 128 (b=10 -> 0.72125...)
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -235,7 +269,6 @@ def hll_distinct(
     # then evaluate a single division on identical operands — no
     # multiply-order or decimal-literal ambiguity can creep in
     numer = ((alpha * m) * m) * float(1 << 33)
-    regs = hll_registers(kept, b)
     agg = regs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("nonzero"),
         F.sum(
@@ -262,36 +295,11 @@ def hll_distinct(
         (raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers")),
     ).otherwise(raw)
-    sk = agg.select(
+    return agg.select(
         "source",
         "zero_registers",
         "sum_scaled",
         F.floor(corrected).cast("bigint").alias("est_distinct"),
-    )
-    if not with_exact:
-        return sk.orderBy("source")
-    exact = (
-        kept.select("source", F.explode("tokens").alias("token"))
-        .groupBy("source")
-        .agg(F.countDistinct("token").cast("bigint").alias("exact_distinct"))
-    )
-    return (
-        sk.join(exact, "source")
-        .select(
-            "source",
-            "zero_registers",
-            "sum_scaled",
-            "est_distinct",
-            "exact_distinct",
-            F.floor(
-                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-                * 1_000_000
-                / F.col("exact_distinct")
-            )
-            .cast("bigint")
-            .alias("err_ppm"),
-        )
-        .orderBy("source")
     )
 
 

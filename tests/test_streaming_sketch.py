@@ -1,0 +1,50 @@
+"""Streaming HLL (streaming/sketch_stream.py): the per-micro-batch
+register fold must reproduce the batch sketch bit-for-bit."""
+
+import numpy as np
+
+import pyspark.sql.functions as F
+
+from binlog_processer_spark.operators.sketch import hll_distinct
+from binlog_processer_spark.streaming.sketch_stream import (
+    streaming_hll_distinct,
+)
+
+
+def test_streaming_fold_equals_batch_sketch(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"s{i % 2}", rng.integers(0, 4000, size=30).tolist())
+        for i in range(300)
+    ]
+    kept = spark.createDataFrame(rows, "source string, tokens array<int>")
+    raw_dir = str(tmp_path / "raw")
+    # encode each row as "source|csv-tokens" so the stream carries ONE
+    # string column and to_kept rebuilds the kept relation exactly
+    kept.select(
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.concat_ws(",", F.col("tokens").cast("array<string>")),
+        ).alias("raw")
+    ).repartition(3).write.mode("overwrite").parquet(raw_dir)
+
+    def to_kept(batch):
+        return batch.select(
+            F.substring_index("raw", "|", 1).alias("source"),
+            F.split(F.substring_index("raw", "|", -1), ",")
+            .cast("array<int>")
+            .alias("tokens"),
+        )
+
+    streamed = streaming_hll_distinct(
+        spark, raw_dir, to_kept, b=8, max_files_per_trigger=1
+    ).collect()
+    batch = (
+        hll_distinct(kept, b=8, with_exact=False).orderBy("source").collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    # the drain really was multi-batch: 3 input files, 1 per trigger
+    import glob
+
+    assert len(glob.glob(raw_dir + "/part-*")) == 3
