@@ -179,3 +179,32 @@ def test_antientropy_drilldown_never_joins_outside_suspect_buckets(spark):
     filtered = fs.filter(bucket_id(keys, 64).isin([1, 2, 3]))
     plan = _plan(filtered)
     assert "Filter" in plan and "pmod" in plan, plan
+
+
+def test_kmv_candidate_pass_zero_shuffle(spark):
+    """The KMV bottom-k candidate pass must stay map-only up to
+    mapInArrow: a pre-distinct or repartition before it would shuffle
+    the full token stream the sketch exists to avoid."""
+    from binlog_processer_spark.operators.sketch import (
+        _bottom_k_candidates,
+        hash32,
+    )
+
+    ev = _events(spark).select(
+        "source", F.explode("tokens").alias("token")
+    ).select("source", hash32(F.col("token")).alias("h"))
+    cand = ev.mapInArrow(
+        _bottom_k_candidates(64), schema="source string, h bigint"
+    )
+    plan = _plan(cand)
+    assert "Exchange" not in plan, plan
+
+
+def test_hll_registers_single_exchange(spark):
+    """HLL register fold: exactly ONE hash-partitioned exchange (the
+    register aggregate, bounded at m rows/source/task by the map-side
+    partial max) — no pre-distinct of the token stream."""
+    from binlog_processer_spark.operators.sketch import hll_registers
+
+    plan = _plan(hll_registers(_events(spark), b=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
