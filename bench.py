@@ -62,6 +62,8 @@ HEADLINE = [
     "session_funnel",
     "token_bm25_topk",
     "token_bpe_encode_stats",
+    "sketch_distinct_hll",
+    "token_pmi_topk",
 ]
 
 

@@ -90,6 +90,13 @@ def main() -> None:
         "through a pre-tokenized column / the deterministic hash "
         "tokenizer",
     )
+    ap.add_argument(
+        "--sketch",
+        action="store_true",
+        help="add per-source distinct-token cardinality to the summary "
+        "via the KMV/HLL sketches (estimates only — the release job "
+        "never pays an exact-distinct shuffle for a report line)",
+    )
     ap.add_argument("--pack-shards", type=int, default=4)
     ap.add_argument("--export-shards", type=int, default=16)
     ap.add_argument(
@@ -202,6 +209,29 @@ def main() -> None:
     }
     if bpe_info:
         summary["bpe"] = bpe_info
+    if args.sketch:
+        # estimate-only (with_exact=False): the whole pass is one
+        # zero-shuffle KMV candidate scan + one register fold over the
+        # packed payload — a report line, not a shuffle
+        from binlog_processer_spark.operators.sketch import (
+            hll_distinct,
+            kmv_distinct,
+        )
+
+        kmv = {
+            r["source"]: int(r["est_distinct"])
+            for r in kmv_distinct(
+                packed_rd, k=256, with_exact=False
+            ).collect()
+        }
+        hll = {
+            r["source"]: int(r["est_distinct"])
+            for r in hll_distinct(
+                packed_rd, b=10, with_exact=False
+            ).collect()
+        }
+        summary["distinct_tokens_kmv"] = kmv
+        summary["distinct_tokens_hll"] = hll
     if args.tag:
         tagged = []
         for name in ("kept", "mix_report", "packed", "boundaries",
