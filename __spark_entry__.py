@@ -769,6 +769,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_token_cms"] = sketch_token_cms
 
+    def sketch_source_overlap(spark, sf_dir):
+        # bottom-k set resemblance: pairwise Jaccard estimated from the
+        # per-source KMV sketches alone, audited vs the exact join
+        from binlog_processer_spark.operators.sketch import (
+            kmv_source_overlap,
+        )
+
+        return kmv_source_overlap(_kept(spark, sf_dir), k=64)
+
+    q["sketch_source_overlap"] = sketch_source_overlap
+
     def streaming_hll_distinct(spark, sf_dir):
         """Streaming distinct sketch: HLL registers folded per
         micro-batch (4-file rate-limited drain, so the merge is real).
@@ -3001,6 +3012,63 @@ grid AS (
         "       GROUP BY source) ex USING (source)"
         " ORDER BY source",
         _X_ENRICHED,
+    )
+    # KMV set resemblance: est Jaccard = |U_k ∩ A ∩ B| / |U_k| with U_k
+    # the k smallest of the two sketches' union (sketch.py
+    # kmv_source_overlap, k=64); exact Jaccard joined for the audit
+    o["sketch_source_overlap"] = _oracle_full(
+        "SELECT est.source_a, est.source_b, k_used, est_jaccard_ppm,"
+        " exact_jaccard_ppm,"
+        " abs(est_jaccard_ppm - exact_jaccard_ppm) AS abs_err_ppm"
+        " FROM ("
+        "  SELECT source_a, source_b, cast(max(rk) AS int) AS k_used,"
+        "   cast(floor(sum(in_a * in_b) * 1000000.0 / max(rk)) AS bigint)"
+        "   AS est_jaccard_ppm"
+        "  FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY source_a, source_b"
+        "          ORDER BY h) AS rk"
+        "   FROM ("
+        "    SELECT source_a, source_b, h, max(in_a) AS in_a,"
+        "           max(in_b) AS in_b"
+        "    FROM ("
+        "     SELECT g.source_a, g.source_b, s.h, 1 AS in_a, 0 AS in_b"
+        "     FROM grid g JOIN sk s ON s.source = g.source_a"
+        "     UNION ALL"
+        "     SELECT g.source_a, g.source_b, s.h, 0, 1"
+        "     FROM grid g JOIN sk s ON s.source = g.source_b)"
+        "    GROUP BY 1, 2, 3))"
+        "  WHERE rk <= 64 GROUP BY 1, 2) est"
+        " JOIN ("
+        "  SELECT g.source_a, g.source_b,"
+        "   cast(floor(coalesce(i.inter, 0) * 1000000.0 /"
+        "        (sa.n + sb.n - coalesce(i.inter, 0))) AS bigint)"
+        "   AS exact_jaccard_ppm"
+        "  FROM grid g"
+        "  LEFT JOIN ("
+        "   SELECT a.source AS source_a, b.source AS source_b,"
+        "          cast(count(*) AS bigint) AS inter"
+        "   FROM dtok a JOIN dtok b"
+        "     ON a.token = b.token AND a.source < b.source"
+        "   GROUP BY 1, 2) i USING (source_a, source_b)"
+        "  JOIN (SELECT source, cast(count(*) AS bigint) AS n FROM dtok"
+        "        GROUP BY 1) sa ON sa.source = g.source_a"
+        "  JOIN (SELECT source, cast(count(*) AS bigint) AS n FROM dtok"
+        "        GROUP BY 1) sb ON sb.source = g.source_b) ex"
+        " USING (source_a, source_b)"
+        " ORDER BY source_a, source_b",
+        _X_ENRICHED + ","
+        " dtok AS (SELECT DISTINCT source, token FROM"
+        "  (SELECT source, unnest(tokens) AS token FROM kept)),"
+        " sk AS (SELECT source, cast(h AS bigint) AS h FROM ("
+        "  SELECT source, h, row_number() OVER (PARTITION BY source"
+        "         ORDER BY h) AS rk"
+        "  FROM (SELECT DISTINCT source,"
+        "        cast(('0x' || substr(md5(cast(token AS varchar)), 1, 8))"
+        "             AS ubigint) AS h FROM dtok)) WHERE rk <= 64),"
+        " grid AS (SELECT a.source AS source_a, b.source AS source_b"
+        "  FROM (SELECT DISTINCT source FROM sk) a,"
+        "       (SELECT DISTINCT source FROM sk) b"
+        "  WHERE a.source < b.source)",
     )
     # streaming HLL: the per-micro-batch register fold is idempotent
     # max-merge, so the drained stream's registers equal the batch

@@ -412,3 +412,150 @@ def cms_estimate_report(
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+def kmv_source_overlap(
+    kept: DataFrame, k: int = 256, with_exact: bool = True
+) -> DataFrame:
+    """Pairwise cross-source token-set overlap (Jaccard) estimated from
+    the per-source KMV sketches alone — the sketch-world counterpart of
+    ``dedup_source_matrix``'s exact overlap join, usable when the
+    per-source key sets are far too large to intersect exactly.
+
+    Classic bottom-k set resemblance (Broder 1997 / Beyer et al. 2007):
+    for sources a, b let U = the k smallest distinct hashes of
+    ``sketch(a) ∪ sketch(b)`` (which equals the k smallest of the UNION
+    SET — the merge property); then ``|{h ∈ U : h ∈ a ∧ h ∈ b}| / |U|``
+    is an unbiased Jaccard estimate. Everything derives from the two
+    k-row sketches — the corpus is touched once to build them.
+
+    Plan: the ranked per-source sketch (zero-shuffle candidate pass, as
+    ``kmv_distinct``) self-joins on hash only within source pairs —
+    sources² x k rows, driver-scale. ``with_exact`` adds the exact
+    pairwise Jaccard (a distinct-token self-join — the expensive thing
+    the sketch replaces; keep it for the audit, drop it at scale).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_source_overlap: k must be >= 2, got {k}")
+    toks = kept.select(
+        "source", F.explode("tokens").alias("token")
+    ).select("source", hash32(F.col("token")).alias("h"))
+    cand = toks.mapInArrow(
+        _bottom_k_candidates(k), schema="source string, h bigint"
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        cand.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "h")
+    )
+    # (pair, h, in_a, in_b): a row per (ordered source pair, hash) with
+    # flags for which side's sketch holds the hash
+    au = sk.select(
+        F.col("source").alias("source_a"),
+        "h",
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    bu = sk.select(
+        F.col("source").alias("source_b"),
+        "h",
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    srcs = sk.select("source").distinct()
+    grid = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    tagged = grid.join(au, "source_a").unionByName(
+        grid.join(bu, "source_b").select(
+            "source_a", "source_b", "h", "in_a", "in_b"
+        )
+    )
+    per_h = tagged.groupBy("source_a", "source_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_k = per_h.withColumn("rk", F.row_number().over(wu)).filter(
+        F.col("rk") <= k
+    )
+    est = union_k.groupBy("source_a", "source_b").agg(
+        F.max("rk").cast("int").alias("k_used"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("bigint")
+        ).alias("both"),
+    )
+    est = est.select(
+        "source_a",
+        "source_b",
+        "k_used",
+        F.floor(F.col("both") * 1_000_000 / F.col("k_used"))
+        .cast("bigint")
+        .alias("est_jaccard_ppm"),
+    )
+    if not with_exact:
+        return est.orderBy("source_a", "source_b")
+    d = kept.select(
+        "source", F.explode("tokens").alias("token")
+    ).distinct()
+    sizes = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    inter = (
+        d.select(F.col("source").alias("source_a"), "token")
+        .join(
+            d.select(F.col("source").alias("source_b"), "token"), "token"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    # disjoint pairs produce no intersection row — rebuild them from the
+    # grid so a zero-overlap pair reports exact 0 instead of vanishing
+    inter = grid.join(inter, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("inter"), F.lit(0)).cast("bigint").alias("inter"),
+    )
+    exact = (
+        inter.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n").alias("na")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("nb")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                F.col("inter")
+                * 1_000_000
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .cast("bigint")
+            .alias("exact_jaccard_ppm"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            "est_jaccard_ppm",
+            "exact_jaccard_ppm",
+            F.abs(F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm"))
+            .cast("bigint")
+            .alias("abs_err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

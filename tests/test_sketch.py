@@ -180,3 +180,47 @@ def test_cms_rejects_degenerate_shape(spark):
 
     with pytest.raises(ValueError, match="depth"):
         cms_counters(_df(spark, [("a", [1])]), depth=0, width=8)
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from binlog_processer_spark.operators.sketch import kmv_source_overlap
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        rows.append(("A", rng.choice(3000, 30).tolist()))
+        rows.append(
+            ("B", (rng.choice(3000, 30) + (0 if i % 2 else 1500)).tolist())
+        )
+        rows.append(("C", (rng.choice(3000, 30) + 9000).tolist()))
+    out = {
+        (r.source_a, r.source_b): r
+        for r in kmv_source_overlap(_df(spark, rows), k=128).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # python-set exact jaccard agrees with the published exact column
+    sets: dict[str, set[int]] = {}
+    for s, toks in rows:
+        sets.setdefault(s, set()).update(toks)
+    for (a, b), r in out.items():
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        assert r.exact_jaccard_ppm == inter * 1_000_000 // uni
+    # disjoint pairs: the estimator must report 0, not vanish
+    assert out[("A", "C")].est_jaccard_ppm == 0
+    assert out[("B", "C")].est_jaccard_ppm == 0
+    # overlapping pair: within ~4 sigma of sqrt(J(1-J)/k)
+    r = out[("A", "B")]
+    j = r.exact_jaccard_ppm / 1e6
+    sigma = (j * (1 - j) / 128) ** 0.5 * 1e6
+    assert abs(r.est_jaccard_ppm - r.exact_jaccard_ppm) < 4 * sigma
+
+
+def test_kmv_overlap_exhaustive_is_exact(spark):
+    from binlog_processer_spark.operators.sketch import kmv_source_overlap
+
+    # both vocabularies < k: the sketch IS the set, estimate == exact
+    rows = [("a", [1, 2, 3, 4]), ("b", [3, 4, 5, 6])]
+    r = kmv_source_overlap(_df(spark, rows), k=64).collect()[0]
+    assert r.est_jaccard_ppm == r.exact_jaccard_ppm
+    assert r.abs_err_ppm == 0
