@@ -2541,6 +2541,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_audio_decode"] = multimodal_audio_decode
 
+    # --- round-4 late additions: quantile sketch, sketch rollup cube,
+    # k-anonymity privacy audit, dense freshness timeline ---
+
+    def sketch_quantiles_kmv(spark, sf_dir):
+        # mergeable bottom-k-by-row-hash uniform sample; sequence-length
+        # quantile estimates next to the exact order statistics
+        from binlog_processer_spark.operators.sketch import (
+            kmv_sample_quantiles,
+        )
+
+        return kmv_sample_quantiles(_kept(spark, sf_dir), k=128, qs=(50, 95))
+
+    q["sketch_quantiles_kmv"] = sketch_quantiles_kmv
+
+    def sketch_hll_rollup(spark, sf_dir):
+        # distinct-token cube (table -> database -> global) merged from
+        # the finest-grain HLL registers alone: one corpus pass total
+        from binlog_processer_spark.operators.sketch import hll_rollup
+
+        return hll_rollup(_kept(spark, sf_dir), b=10)
+
+    q["sketch_hll_rollup"] = sketch_hll_rollup
+
+    def privacy_k_anonymity(spark, sf_dir):
+        # per-database k-anonymity audit over the quasi-identifier set
+        # (database, table, op, commit day); risk_ppm = rows living in
+        # below-k equivalence classes
+        from binlog_processer_spark.operators.privacy import (
+            k_anonymity_report,
+        )
+
+        return k_anonymity_report(_kept(spark, sf_dir), k=5)
+
+    q["privacy_k_anonymity"] = privacy_k_anonymity
+
+    def timeline_densify(spark, sf_dir):
+        # zero-filled per-sink daily calendar with forward-filled
+        # watermark: absent days surface as events=0 rows; day rides as
+        # a timestamp (driver canon has no date dtype — same convention
+        # as part_date above)
+        return agg.timeline_densify(_kept(spark, sf_dir)).withColumn(
+            "day", F.col("day").cast("timestamp")
+        )
+
+    q["timeline_densify"] = timeline_densify
+
     return q
 
 
@@ -4634,5 +4680,142 @@ grid AS (
         " cast(d.n AS int) AS width, cast(d.rate AS int) AS height"
         " FROM d JOIN g ON g.i < d.n"
         " GROUP BY d.doc_id, d.n, d.rate"
+    )
+    # Mergeable quantile sketch: bottom-128 rows per source by the
+    # (md5-prefix row hash, event_seq) total order form a uniform
+    # sample; lower-nearest-rank order statistics at q50/q95 next to
+    # the same rule over the full data (sketch.py kmv_sample_quantiles)
+    o["sketch_quantiles_kmv"] = _oracle_full(
+        "SELECT est.source, n_rows, k_used, q50_est, q50_exact,"
+        " q95_est, q95_exact,"
+        " cast(abs(q50_est - q50_exact) AS bigint) AS q50_abs_err,"
+        " cast(abs(q95_est - q95_exact) AS bigint) AS q95_abs_err"
+        " FROM ("
+        "  SELECT source, cast(max(k_used) AS int) AS k_used,"
+        "   cast(max(CASE WHEN vrk = floor((k_used-1)*50/100)+1"
+        "            THEN val END) AS bigint) AS q50_est,"
+        "   cast(max(CASE WHEN vrk = floor((k_used-1)*95/100)+1"
+        "            THEN val END) AS bigint) AS q95_est"
+        "  FROM ("
+        "   SELECT source, val,"
+        "    row_number() OVER (PARTITION BY source"
+        "                       ORDER BY val, event_seq) AS vrk,"
+        "    count(*) OVER (PARTITION BY source) AS k_used"
+        "   FROM ("
+        "    SELECT source, cast(n_tok AS bigint) AS val, event_seq,"
+        "     row_number() OVER (PARTITION BY source"
+        "                        ORDER BY h, event_seq) AS rk"
+        "    FROM (SELECT source, n_tok, event_seq,"
+        "          cast(('0x' || substr(md5(cast(event_seq AS varchar)),"
+        "               1, 8)) AS ubigint) AS h"
+        "          FROM kept))"
+        "   WHERE rk <= 128)"
+        "  GROUP BY source) est"
+        " JOIN ("
+        "  SELECT source, cast(max(n_rows) AS bigint) AS n_rows,"
+        "   cast(max(CASE WHEN vrk = floor((n_rows-1)*50/100)+1"
+        "            THEN val END) AS bigint) AS q50_exact,"
+        "   cast(max(CASE WHEN vrk = floor((n_rows-1)*95/100)+1"
+        "            THEN val END) AS bigint) AS q95_exact"
+        "  FROM ("
+        "   SELECT source, cast(n_tok AS bigint) AS val,"
+        "    row_number() OVER (PARTITION BY source"
+        "                       ORDER BY n_tok, event_seq) AS vrk,"
+        "    count(*) OVER (PARTITION BY source) AS n_rows"
+        "   FROM kept)"
+        "  GROUP BY source) ex USING (source)"
+        " ORDER BY source",
+        _X_ENRICHED,
+    )
+    # HLL rollup cube: finest-grain (route) registers built once, then
+    # folded by register max into database and global levels — same
+    # register/estimate math as sketch_distinct_hll (sketch.py hll_rollup)
+    o["sketch_hll_rollup"] = _oracle_full(
+        "SELECT level, key, zero_registers, sum_scaled,"
+        " cast(floor("
+        "  CASE WHEN (6490054181368802e0 / sum_scaled) <= 2560e0"
+        "       AND zero_registers > 0"
+        "  THEN 1024e0 * ln(1024e0 / zero_registers)"
+        "  ELSE 6490054181368802e0 / sum_scaled END) AS bigint)"
+        "  AS est_distinct"
+        " FROM ("
+        "  SELECT level, key,"
+        "   cast(1024 - count(*) AS bigint) AS zero_registers,"
+        "   cast(sum(cast(2.0 ** (33 - rho) AS bigint))"
+        "        + (1024 - count(*)) * 8589934592 AS bigint) AS sum_scaled"
+        "  FROM ("
+        "   SELECT 'table' AS level, route AS key, bucket, rho FROM regs"
+        "   UNION ALL"
+        "   SELECT 'database', database_name, bucket, max(rho)"
+        "   FROM regs GROUP BY 1, 2, 3"
+        "   UNION ALL"
+        "   SELECT 'global', '*', bucket, max(rho)"
+        "   FROM regs GROUP BY 1, 2, 3)"
+        "  GROUP BY 1, 2)"
+        " ORDER BY level, key",
+        _X_ENRICHED
+        + """,
+regs AS (
+  SELECT route, database_name, cast(floor(h / 4194304) AS int) AS bucket,
+         cast(max(CASE WHEN h % 4194304 = 0 THEN 23
+              ELSE 23 - length(to_base(cast(h % 4194304 AS bigint), 2))
+              END) AS int) AS rho
+  FROM (SELECT route, database_name,
+        cast(('0x' || substr(md5(cast(token AS varchar)), 1, 8))
+             AS ubigint) AS h
+        FROM (SELECT route, database_name, unnest(tokens) AS token
+              FROM kept))
+  GROUP BY 1, 2, 3)
+""",
+    )
+    # k-anonymity audit: equivalence classes over (database, table, op,
+    # commit day); risk_ppm = ppm of rows in below-k classes
+    # (privacy.py k_anonymity_report, k=5)
+    o["privacy_k_anonymity"] = _oracle_full(
+        "SELECT database_name,"
+        " cast(sum(class_size) AS bigint) AS n_rows,"
+        " cast(count(*) AS bigint) AS n_classes,"
+        " cast(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)"
+        "      AS bigint) AS classes_below_k,"
+        " cast(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)"
+        "      AS bigint) AS rows_below_k,"
+        " cast(min(class_size) AS bigint) AS min_class_size,"
+        " cast(floor(sum(CASE WHEN class_size < 5 THEN class_size"
+        "      ELSE 0 END) * 1000000 / sum(class_size)) AS bigint)"
+        "  AS risk_ppm"
+        " FROM ("
+        "  SELECT database_name, table_name, op,"
+        "   cast(commit_ts AS date) AS commit_day,"
+        "   cast(count(*) AS bigint) AS class_size"
+        "  FROM kept GROUP BY 1, 2, 3, 4)"
+        " GROUP BY database_name ORDER BY database_name",
+        _X_ENRICHED,
+    )
+    # dense daily timeline: calendar explode over each sink's activity
+    # span, zero-filled counts, running-max (= forward-filled) watermark
+    # (aggregate.py timeline_densify)
+    o["timeline_densify"] = _oracle_full(
+        "SELECT c.database_name, c.table_name, c.day,"
+        " cast(coalesce(day_events, 0) AS bigint) AS events,"
+        " max(day_max_ts) OVER (PARTITION BY c.database_name,"
+        "  c.table_name ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING"
+        "  AND CURRENT ROW) AS watermark_ts"
+        " FROM ("
+        "  SELECT database_name, table_name,"
+        "   unnest(generate_series(cast(d0 AS timestamp),"
+        "        cast(d1 AS timestamp), INTERVAL 1 DAY)) AS day"
+        "  FROM (SELECT database_name, table_name, min(day) AS d0,"
+        "        max(day) AS d1 FROM daily GROUP BY 1, 2)) c"
+        " LEFT JOIN daily d USING (database_name, table_name, day)"
+        " ORDER BY 1, 2, 3",
+        _X_ENRICHED
+        + """,
+daily AS (
+  SELECT database_name, table_name,
+         cast(cast(commit_ts AS date) AS timestamp) AS day,
+         cast(count(*) AS bigint) AS day_events,
+         max(commit_ts) AS day_max_ts
+  FROM kept GROUP BY 1, 2, 3)
+""",
     )
     return o

@@ -287,3 +287,67 @@ def sink_token_percentiles(
         for i, pp in enumerate((0.5, 0.95, 0.99))
     ]
     return g.select(*keys, *cols)
+
+
+def timeline_densify(events: DataFrame) -> DataFrame:
+    """Dense per-sink daily activity timeline: zero-filled event counts
+    and a forward-filled high-water commit timestamp for every calendar
+    day in each sink's [first, last] activity span — including the days
+    with no events at all.
+
+    Why: the sparse per-day aggregate (`windowed_histogram`) answers
+    "what happened"; freshness monitoring needs "what DIDN'T happen" —
+    a silent sink shows up only when absent days exist as rows with
+    events = 0 and a watermark stuck at the last seen commit_ts (the
+    reference surfaces staleness the same way, by querying the max-ts
+    watermark row per sink, DBbiz.java:85-112 / t_binlog_record; this
+    operator materializes the gap days that query leaves implicit).
+
+    Plan: one per-sink daily aggregate (map-side combined), then a
+    driver-free calendar explode via `sequence(min_day, max_day)` —
+    bounded by days-per-sink, NOT rows — left-joined back and
+    forward-filled with a running `max` window (commit watermarks are
+    monotone per day, so running max IS last-seen). At 10^12 rows the
+    expensive thing is the one daily aggregate; the calendar join is
+    |sinks| x |days|, metadata-scale.
+    """
+    daily = events.groupBy(
+        "database_name",
+        "table_name",
+        F.to_date("commit_ts").alias("day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("day_events"),
+        F.max("commit_ts").alias("day_max_ts"),
+    )
+    spans = daily.groupBy("database_name", "table_name").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "database_name",
+        "table_name",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("database_name", "table_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # both join sides are post-aggregate metadata-scale relations
+    # (|sinks| x |days| at most); broadcast the daily side so the
+    # calendar explode never sort-merge-shuffles
+    return (
+        calendar.join(
+            F.broadcast(daily), ["database_name", "table_name", "day"], "left"
+        )
+        .select(
+            "database_name",
+            "table_name",
+            "day",
+            F.coalesce("day_events", F.lit(0)).cast("bigint").alias("events"),
+            # max() skips nulls, so empty days inherit the last seen
+            # watermark; the span starts at an active day, so the
+            # running max is never null
+            F.max("day_max_ts").over(w).alias("watermark_ts"),
+        )
+        .orderBy("database_name", "table_name", "day")
+    )

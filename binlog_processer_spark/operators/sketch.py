@@ -559,3 +559,260 @@ def kmv_source_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _bottom_k_rows(k: int):
+    """mapInArrow partition function: per-source bottom-k ROWS by the
+    (h, seq) total order, carrying an int payload column. The uniform
+    row-hash order makes the surviving rows a uniform random sample of
+    the source's rows, and bottom-k-by-hash merges exactly like KMV:
+    union two samples, re-truncate to k. Input batch columns:
+    (source, h, seq, val); only numPartitions x sources x k rows reach
+    the single final-ranking shuffle."""
+    import numpy as np
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        best: dict[str, tuple] = {}
+        for batch in batches:
+            src = batch.column(0).to_numpy(zero_copy_only=False)
+            h = batch.column(1).to_numpy(zero_copy_only=False)
+            seq = batch.column(2).to_numpy(zero_copy_only=False)
+            val = batch.column(3).to_numpy(zero_copy_only=False)
+            for s in np.unique(src):
+                m = src == s
+                hs, qs, vs = h[m], seq[m], val[m]
+                prev = best.get(s)
+                if prev is not None:
+                    hs = np.concatenate([prev[0], hs])
+                    qs = np.concatenate([prev[1], qs])
+                    vs = np.concatenate([prev[2], vs])
+                order = np.lexsort((qs, hs))[:k]
+                best[s] = (hs[order], qs[order], vs[order])
+        sources, hashes, seqs, vals = [], [], [], []
+        for s, (hs, qs, vs) in best.items():
+            sources.extend([s] * len(hs))
+            hashes.extend(hs.tolist())
+            seqs.extend(qs.tolist())
+            vals.extend(vs.tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(sources, type=pa.string()),
+                pa.array(hashes, type=pa.int64()),
+                pa.array(seqs, type=pa.int64()),
+                pa.array(vals, type=pa.int64()),
+            ],
+            ["source", "h", "seq", "val"],
+        )
+
+    return fn
+
+
+def kmv_sample_quantiles(
+    kept: DataFrame,
+    k: int = 256,
+    qs: tuple[int, ...] = (50, 95),
+    with_exact: bool = True,
+) -> DataFrame:
+    """Mergeable quantile sketch: per-source sequence-length (``n_tok``)
+    quantiles estimated from a bottom-k-by-row-hash uniform sample, next
+    to the exact quantiles and absolute errors.
+
+    Why this shape. ``sink_token_percentiles`` computes EXACT continuous
+    percentiles — affordable because ``percentile()`` is a single sort
+    per sink. At 10^12 rows the exact sort is the bottleneck, and the
+    classical answer is a bounded-state mergeable sample: keep the k
+    rows whose uniform row hash is smallest (a KMV over ROW IDENTITY
+    rather than values — Bar-Yossef et al. 2002's bottom-k as a uniform
+    sampler). Union two corpora's samples and re-truncate to k and you
+    have exactly the sample of the union — the same merge law the
+    distinct sketches obey, so daily sketches roll up into monthly ones
+    without rescanning the corpus.
+
+    Estimator: the sample's order statistic at position
+    ``floor((k_used-1) * q / 100) + 1`` in ``n_tok`` order — the same
+    lower-nearest-rank rule applied to the full data for the exact
+    column, so with k >= n the estimate IS the exact quantile. All
+    arithmetic is integer; the DuckDB oracle reproduces every row
+    bit-for-bit (hash = repo-canon md5 prefix; total order = (h,
+    event_seq), collision-proof because event_seq is unique).
+
+    Plan: zero-shuffle per-partition bottom-k (``mapInArrow``) → one
+    tiny ranking over numPartitions x k candidates → per-source sample
+    sort (k rows — driver-scale). ``with_exact`` adds the full-data
+    order statistic (ONE window sort per source — the thing the sketch
+    replaces; keep it for the audit, drop it at 10^12).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sample_quantiles: k must be >= 2, got {k}")
+    if not qs or any(not 0 < q <= 100 for q in qs):
+        raise ValueError(f"kmv_sample_quantiles: qs must be in (0, 100], got {qs}")
+    rows = kept.select(
+        "source",
+        hash32(F.col("event_seq")).alias("h"),
+        F.col("event_seq").alias("seq"),
+        F.col("n_tok").cast("bigint").alias("val"),
+    )
+    cand = rows.mapInArrow(
+        _bottom_k_rows(k),
+        schema="source string, h bigint, seq bigint, val bigint",
+    )
+    w = Window.partitionBy("source").orderBy("h", "seq")
+    sample = (
+        cand.distinct()  # candidates from different partitions can repeat
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    wv = Window.partitionBy("source").orderBy("val", "seq")
+    ranked = sample.select(
+        "source", "val", F.row_number().over(wv).alias("vrk")
+    )
+    sized = ranked.groupBy("source").agg(
+        F.max("vrk").cast("int").alias("k_used")
+    )
+    est = ranked.join(sized, "source")
+    picks = [
+        F.max(
+            F.when(
+                F.col("vrk")
+                == F.floor((F.col("k_used") - 1) * q / 100) + 1,
+                F.col("val"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"q{q}_est")
+        for q in qs
+    ]
+    sk = est.groupBy("source").agg(
+        F.max("k_used").cast("int").alias("k_used"), *picks
+    )
+    if not with_exact:
+        return sk.orderBy("source")
+    wf = Window.partitionBy("source").orderBy("n_tok", "event_seq")
+    full = kept.select(
+        "source",
+        F.col("n_tok").cast("bigint").alias("val"),
+        F.row_number().over(wf).alias("vrk"),
+    )
+    nrows = full.groupBy("source").agg(
+        F.max("vrk").cast("bigint").alias("n_rows")
+    )
+    fx = full.join(nrows, "source")
+    exact_picks = [
+        F.max(
+            F.when(
+                F.col("vrk")
+                == F.floor((F.col("n_rows") - 1) * q / 100) + 1,
+                F.col("val"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"q{q}_exact")
+        for q in qs
+    ]
+    exact = fx.groupBy("source").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"), *exact_picks
+    )
+    out = sk.join(exact, "source")
+    err_cols = [
+        F.abs(F.col(f"q{q}_est") - F.col(f"q{q}_exact"))
+        .cast("bigint")
+        .alias(f"q{q}_abs_err")
+        for q in qs
+    ]
+    return out.select(
+        "source",
+        "n_rows",
+        "k_used",
+        *[c for q in qs for c in (F.col(f"q{q}_est"), F.col(f"q{q}_exact"))],
+        *err_cols,
+    ).orderBy("source")
+
+
+def hll_rollup(kept: DataFrame, b: int = 10) -> DataFrame:
+    """OLAP rollup of distinct-token counts computed ONCE at the finest
+    grain and merged upward from the registers alone — the payoff of a
+    mergeable sketch: per-table registers fold into per-database and
+    global estimates with a register ``max``, never rescanning the
+    corpus (contrast exact COUNT(DISTINCT) with ROLLUP, which re-scans
+    or re-shuffles the full key set per grouping level).
+
+    Levels published: ``table`` (route = db.table), ``database``
+    (database_name), ``global``. Register semantics identical to
+    ``hll_registers``/``hll_estimate`` (same hash canon, same
+    small-range correction), so the DuckDB oracle rebuilds every level
+    register-by-register. At 10^12 rows the corpus is touched once; the
+    two upper levels aggregate |tables| x 2^b tiny register rows.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll_rollup: b must be in [4, 16], got {b}")
+    w = HASH_BITS - b
+    toks = kept.select(
+        "route", "database_name", F.explode("tokens").alias("token")
+    ).select(
+        "route",
+        "database_name",
+        hash32(F.col("token")).alias("h"),
+    )
+    bucket = F.floor(F.col("h") / F.lit(1 << w)).cast("int")
+    rest = (F.col("h") % F.lit(1 << w)).cast("bigint")
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - _bit_length(rest)
+    )
+    # finest-grain registers: ONE corpus pass, map-side combine bounds
+    # each task's shuffle output at m rows per (route)
+    table_regs = (
+        toks.select(
+            "route",
+            "database_name",
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("route", "database_name", "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    from binlog_processer_spark.operators._cache import pin
+
+    # pinned so the three level branches share ONE corpus pass instead
+    # of recomputing the token explode per level; _cache.unpin_all()
+    # releases it (same contract as the LSH persists)
+    table_regs = pin(table_regs)
+    # upper levels: register folds over the tiny register relation
+    db_regs = table_regs.groupBy("database_name", "bucket").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+    all_regs = db_regs.groupBy("bucket").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+    lv_table = table_regs.select(
+        F.lit("table").alias("level"),
+        F.col("route").alias("key"),
+        "bucket",
+        "rho",
+    )
+    lv_db = db_regs.select(
+        F.lit("database").alias("level"),
+        F.col("database_name").alias("key"),
+        "bucket",
+        "rho",
+    )
+    lv_all = all_regs.select(
+        F.lit("global").alias("level"),
+        F.lit("*").alias("key"),
+        "bucket",
+        "rho",
+    )
+    levels = lv_table.unionByName(lv_db).unionByName(lv_all)
+    est = hll_estimate(
+        levels.withColumnRenamed("level", "lv").select(
+            F.concat_ws("|", "lv", "key").alias("source"), "bucket", "rho"
+        ),
+        b,
+    )
+    out = est.select(
+        F.split(F.col("source"), "\\|").getItem(0).alias("level"),
+        F.split(F.col("source"), "\\|").getItem(1).alias("key"),
+        "zero_registers",
+        "sum_scaled",
+        "est_distinct",
+    )
+    return out.orderBy("level", "key")

@@ -208,3 +208,52 @@ def test_hll_registers_single_exchange(spark):
 
     plan = _plan(hll_registers(_events(spark), b=8))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quantile_sample_candidate_pass_zero_shuffle(spark):
+    """The bottom-k-rows sample pass (kmv_sample_quantiles) must stay
+    map-only up to mapInArrow — only numPartitions x k candidate rows
+    may cross the wire."""
+    from binlog_processer_spark.operators.sketch import (
+        _bottom_k_rows,
+        hash32,
+    )
+
+    ev = _events(spark).select(
+        "source",
+        hash32(F.col("event_seq")).alias("h"),
+        F.col("event_seq").alias("seq"),
+        F.col("n_tok").cast("bigint").alias("val"),
+    )
+    cand = ev.mapInArrow(
+        _bottom_k_rows(64),
+        schema="source string, h bigint, seq bigint, val bigint",
+    )
+    plan = _plan(cand)
+    assert "Exchange" not in plan, plan
+
+
+def test_k_anonymity_two_aggregates(spark):
+    """k-anonymity = rows -> classes -> report: exactly two
+    hash-partitioned exchanges, both map-side combined; no joins, no
+    windows (a window here would sort the full release)."""
+    from binlog_processer_spark.operators.privacy import k_anonymity_report
+    from binlog_processer_spark.sources.generator import routing_dim
+
+    kept = enrich_routing(_events(spark), routing_dim(spark))
+    plan = _plan(k_anonymity_report(kept, k=5))
+    # the routing broadcast exchange is not hash-partitioned; only the
+    # two aggregate shuffles are
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_timeline_densify_calendar_join_is_broadcast(spark):
+    """The calendar relation is |sinks| x |days| (metadata-scale): it
+    must broadcast back onto the daily aggregate, never sort-merge."""
+    from binlog_processer_spark.operators.aggregate import timeline_densify
+    from binlog_processer_spark.sources.generator import routing_dim
+
+    kept = enrich_routing(_events(spark), routing_dim(spark))
+    plan = _plan(timeline_densify(kept))
+    assert "SortMergeJoin" not in plan, plan
