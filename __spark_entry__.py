@@ -811,6 +811,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_hll_distinct"] = streaming_hll_distinct
 
+    def streaming_quantiles(spark, sf_dir):
+        """Streaming quantile sketch: per-batch bottom-k row samples
+        merged by the KMV law (union + re-truncate). The merge is
+        associative/commutative/idempotent, so the published rows are
+        bit-identical to the batch sketch — the oracle is
+        sketch_quantiles_kmv's estimate arm, a full hash gate on a
+        streaming computation."""
+        from binlog_processer_spark.streaming.sketch_stream import (
+            streaming_quantiles as sq,
+        )
+
+        routing = _routing(spark, sf_dir)
+
+        def to_kept(batch):
+            good, _ = split_quarantine(parse_raw(batch))
+            good = good.withColumn(
+                "table_key",
+                F.concat_ws(
+                    "#", F.col("source"), F.col("bucket").cast("string")
+                ),
+            )
+            kept, _ = split_ignored(
+                filter_system_schemas(enrich_routing(good, routing))
+            )
+            return kept
+
+        d = _stream_raw_dir(spark, sf_dir, parts=4)
+        return sq(spark, d + "/raw", to_kept, k=128, qs=(50, 95))
+
+    q["streaming_quantiles"] = streaming_quantiles
+
     _PROFILE_COLS = [
         "source", "database_name", "op", "doc_id",
         "event_seq", "n_tok", "commit_ts",
@@ -4680,6 +4711,33 @@ grid AS (
         " cast(d.n AS int) AS width, cast(d.rate AS int) AS height"
         " FROM d JOIN g ON g.i < d.n"
         " GROUP BY d.doc_id, d.n, d.rate"
+    )
+    # Streaming quantile sketch: per-batch bottom-k samples merged by
+    # union+re-truncate are bit-identical to the batch sample, so the
+    # oracle is sketch_quantiles_kmv's estimate arm (streaming/
+    # sketch_stream.py streaming_quantiles)
+    o["streaming_quantiles"] = _oracle_full(
+        "SELECT source, cast(max(k_used) AS int) AS k_used,"
+        " cast(max(CASE WHEN vrk = floor((k_used-1)*50/100)+1"
+        "          THEN val END) AS bigint) AS q50_est,"
+        " cast(max(CASE WHEN vrk = floor((k_used-1)*95/100)+1"
+        "          THEN val END) AS bigint) AS q95_est"
+        " FROM ("
+        "  SELECT source, val,"
+        "   row_number() OVER (PARTITION BY source"
+        "                      ORDER BY val, event_seq) AS vrk,"
+        "   count(*) OVER (PARTITION BY source) AS k_used"
+        "  FROM ("
+        "   SELECT source, cast(n_tok AS bigint) AS val, event_seq,"
+        "    row_number() OVER (PARTITION BY source"
+        "                       ORDER BY h, event_seq) AS rk"
+        "   FROM (SELECT source, n_tok, event_seq,"
+        "         cast(('0x' || substr(md5(cast(event_seq AS varchar)),"
+        "              1, 8)) AS ubigint) AS h"
+        "         FROM kept))"
+        "  WHERE rk <= 128)"
+        " GROUP BY source ORDER BY source",
+        _X_ENRICHED,
     )
     # Mergeable quantile sketch: bottom-128 rows per source by the
     # (md5-prefix row hash, event_seq) total order form a uniform

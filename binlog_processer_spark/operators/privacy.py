@@ -35,6 +35,7 @@ def k_anonymity_report(
     kept: DataFrame,
     k: int = 5,
     qids: Sequence[str] = DEFAULT_QIDS,
+    group_col: str = "database_name",
 ) -> DataFrame:
     """Per-database k-anonymity audit of the quasi-identifier grouping.
 
@@ -48,10 +49,24 @@ def k_anonymity_report(
 
     All arithmetic is integer until the final published integers, so the
     DuckDB oracle matches bit-for-bit.
+
+    Generic over any table: pass ``qids`` naming existing columns and a
+    ``group_col`` (must be one of the qids, so every equivalence class
+    belongs to exactly one report row); ``commit_day`` is derived from
+    ``commit_ts`` when requested and absent — the CDC default. The QA
+    CLI reuses this over the documents drop with (source, lang,
+    length-bucket) quasi-identifiers.
     """
     if k < 2:
         raise ValueError(f"k_anonymity_report: k must be >= 2, got {k}")
-    rows = kept.withColumn("commit_day", F.to_date("commit_ts"))
+    if group_col not in qids:
+        raise ValueError(
+            f"k_anonymity_report: group_col {group_col!r} must be a "
+            f"quasi-identifier (got qids={list(qids)})"
+        )
+    rows = kept
+    if "commit_day" in qids and "commit_day" not in rows.columns:
+        rows = rows.withColumn("commit_day", F.to_date("commit_ts"))
     missing = [c for c in qids if c not in rows.columns]
     if missing:
         raise ValueError(f"k_anonymity_report: missing quasi-identifiers {missing}")
@@ -60,7 +75,7 @@ def k_anonymity_report(
     )
     below = F.col("class_size") < k
     return (
-        classes.groupBy("database_name")
+        classes.groupBy(group_col)
         .agg(
             F.sum("class_size").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_classes"),
@@ -71,7 +86,7 @@ def k_anonymity_report(
             F.min("class_size").cast("bigint").alias("min_class_size"),
         )
         .select(
-            "database_name",
+            group_col,
             "n_rows",
             "n_classes",
             "classes_below_k",
@@ -81,5 +96,5 @@ def k_anonymity_report(
             .cast("bigint")
             .alias("risk_ppm"),
         )
-        .orderBy("database_name")
+        .orderBy(group_col)
     )

@@ -607,6 +607,64 @@ def _bottom_k_rows(k: int):
     return fn
 
 
+def kmv_row_sample(kept: DataFrame, k: int) -> DataFrame:
+    """The quantile sketch's STATE: per-source bottom-k rows by the
+    uniform (row hash, event_seq) order, as (source, h, seq, val=n_tok).
+    Mergeable by union + re-truncate-to-k — shared verbatim by the batch
+    sketch and the streaming accumulator, so a stream that merged its
+    per-batch samples publishes the EXACT rows the one-shot batch sample
+    holds. Plan: zero-shuffle per-partition bottom-k (mapInArrow) → one
+    tiny ranking over numPartitions x k candidates."""
+    rows = kept.select(
+        "source",
+        hash32(F.col("event_seq")).alias("h"),
+        F.col("event_seq").alias("seq"),
+        F.col("n_tok").cast("bigint").alias("val"),
+    )
+    cand = rows.mapInArrow(
+        _bottom_k_rows(k),
+        schema="source string, h bigint, seq bigint, val bigint",
+    )
+    w = Window.partitionBy("source").orderBy("h", "seq")
+    return (
+        cand.distinct()  # candidates from different partitions can repeat
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "h", "seq", "val")
+    )
+
+
+def sample_quantile_report(
+    sample: DataFrame, qs: tuple[int, ...] = (50, 95)
+) -> DataFrame:
+    """Estimate report from a (source, h, seq, val) sample relation:
+    lower-nearest-rank order statistic at each q over the k_used sample
+    rows. Shared by the batch sketch and the streaming accumulator."""
+    wv = Window.partitionBy("source").orderBy("val", "seq")
+    ranked = sample.select(
+        "source", "val", F.row_number().over(wv).alias("vrk")
+    )
+    sized = ranked.groupBy("source").agg(
+        F.max("vrk").cast("int").alias("k_used")
+    )
+    est = ranked.join(sized, "source")
+    picks = [
+        F.max(
+            F.when(
+                F.col("vrk")
+                == F.floor((F.col("k_used") - 1) * q / 100) + 1,
+                F.col("val"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"q{q}_est")
+        for q in qs
+    ]
+    return est.groupBy("source").agg(
+        F.max("k_used").cast("int").alias("k_used"), *picks
+    )
+
+
 def kmv_sample_quantiles(
     kept: DataFrame,
     k: int = 256,
@@ -646,45 +704,8 @@ def kmv_sample_quantiles(
         raise ValueError(f"kmv_sample_quantiles: k must be >= 2, got {k}")
     if not qs or any(not 0 < q <= 100 for q in qs):
         raise ValueError(f"kmv_sample_quantiles: qs must be in (0, 100], got {qs}")
-    rows = kept.select(
-        "source",
-        hash32(F.col("event_seq")).alias("h"),
-        F.col("event_seq").alias("seq"),
-        F.col("n_tok").cast("bigint").alias("val"),
-    )
-    cand = rows.mapInArrow(
-        _bottom_k_rows(k),
-        schema="source string, h bigint, seq bigint, val bigint",
-    )
-    w = Window.partitionBy("source").orderBy("h", "seq")
-    sample = (
-        cand.distinct()  # candidates from different partitions can repeat
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-    )
-    wv = Window.partitionBy("source").orderBy("val", "seq")
-    ranked = sample.select(
-        "source", "val", F.row_number().over(wv).alias("vrk")
-    )
-    sized = ranked.groupBy("source").agg(
-        F.max("vrk").cast("int").alias("k_used")
-    )
-    est = ranked.join(sized, "source")
-    picks = [
-        F.max(
-            F.when(
-                F.col("vrk")
-                == F.floor((F.col("k_used") - 1) * q / 100) + 1,
-                F.col("val"),
-            )
-        )
-        .cast("bigint")
-        .alias(f"q{q}_est")
-        for q in qs
-    ]
-    sk = est.groupBy("source").agg(
-        F.max("k_used").cast("int").alias("k_used"), *picks
-    )
+    sample = kmv_row_sample(kept, k)
+    sk = sample_quantile_report(sample, qs)
     if not with_exact:
         return sk.orderBy("source")
     wf = Window.partitionBy("source").orderBy("n_tok", "event_seq")

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from binlog_processer_spark.operators.sketch import (
     hll_estimate,
     hll_registers,
+    kmv_row_sample,
+    sample_quantile_report,
 )
 
 
@@ -80,3 +82,62 @@ def streaming_hll_distinct(
         schema="source string, bucket int, rho int",
     )
     return hll_estimate(merged, b).orderBy("source")
+
+
+def streaming_quantiles(
+    spark: SparkSession,
+    raw_dir: str,
+    to_kept: Callable[[DataFrame], DataFrame],
+    k: int = 128,
+    qs: tuple[int, ...] = (50, 95),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming sequence-length quantiles with constant state — the
+    quantile sketch's streaming face, mirroring ``streaming_hll_distinct``.
+
+    Each micro-batch computes its own bottom-k row sample
+    (``kmv_row_sample`` — the zero-shuffle candidate pass runs inside
+    the batch lineage) and the driver merges samples by the KMV law:
+    union + re-sort by (h, seq) + truncate to k per source. The merge is
+    associative/commutative/idempotent, so the accumulated sample — and
+    therefore the published report — is BIT-IDENTICAL to the one-shot
+    batch sketch over the same rows regardless of batching; the
+    ``streaming_quantiles`` contract query shares the batch oracle's
+    estimate arithmetic, a full hash gate on a streaming computation.
+
+    State bound: sources x k (h, seq, val) triples on the driver; each
+    micro-batch contributes at most sources x k collected rows — the
+    same bounded-collect posture as the HLL register fold.
+    """
+    state: dict[str, list[tuple[int, int, int]]] = {}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = kmv_row_sample(to_kept(batch_df), k).collect()
+        bysrc: dict[str, list[tuple[int, int, int]]] = {}
+        for r in rows:
+            bysrc.setdefault(r["source"], []).append(
+                (r["h"], r["seq"], r["val"])
+            )
+        for s, triples in bysrc.items():
+            merged = sorted(set(state.get(s, [])) | set(triples))
+            state[s] = merged[:k]
+
+    sq = (
+        spark.readStream.schema("raw string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+        .writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    merged = spark.createDataFrame(
+        [
+            (s, h, seq, val)
+            for s, triples in sorted(state.items())
+            for (h, seq, val) in triples
+        ],
+        schema="source string, h bigint, seq bigint, val bigint",
+    )
+    return sample_quantile_report(merged, qs).orderBy("source")

@@ -92,6 +92,13 @@ def main() -> None:
         action="store_true",
         help="plant deterministic mojibake/PII so every gate is exercised",
     )
+    ap.add_argument(
+        "--k-anonymity",
+        type=int,
+        default=5,
+        metavar="K",
+        help="k bar for the quasi-identifier anonymity audit (default 5)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("binlog-qa")
@@ -201,6 +208,37 @@ def main() -> None:
         eq = emb_t.read(spark)
         out["vectors_in"] = eq.count()
         out["vectors_unusable"] = eq.filter(~F.col("usable")).count()
+
+    # k-anonymity over the release's quasi-identifiers (source, lang,
+    # length decile): the re-identification risk number a privacy review
+    # asks for AFTER scrubbing — scrubbed text can still isolate
+    # near-singleton (source, lang, length) cells (operators/privacy.py)
+    from binlog_processer_spark.operators.privacy import k_anonymity_report
+
+    qid_docs = docs.withColumn(
+        "len_bucket",
+        F.least(
+            F.floor(F.coalesce(F.col("n_chars"), F.length("text")) / 100),
+            F.lit(9),
+        ).cast("int"),
+    )
+    priv_t = SnapshotTable(os.path.join(args.output, "k_anonymity"))
+    priv_t.write(
+        k_anonymity_report(
+            qid_docs,
+            k=args.k_anonymity,
+            qids=("source", "lang", "len_bucket"),
+            group_col="source",
+        ),
+        mode="overwrite",
+    )
+    priv = priv_t.read(spark)
+    out["kanon_worst_risk_ppm"] = int(
+        priv.agg(F.max("risk_ppm")).collect()[0][0] or 0
+    )
+    out["kanon_rows_below_k"] = int(
+        priv.agg(F.sum("rows_below_k")).collect()[0][0] or 0
+    )
 
     if args.distill:
         # self-distillation: learn the rule cascade's verdict as a model

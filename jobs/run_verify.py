@@ -105,6 +105,13 @@ def main() -> None:
         "row-level join only inside buckets whose digests disagree — the "
         "verify cycle on agreeing stores terminates at digest cost",
     )
+    ap.add_argument(
+        "--freshness", action="store_true",
+        help="publish <warehouse>/freshness — the dense per-sink daily "
+        "timeline (zero-filled silent days, forward-filled watermark; "
+        "aggregate.timeline_densify) — and report how many sink-days "
+        "were silent",
+    )
     args = ap.parse_args()
 
     spark = get_spark("binlog-verify")
@@ -135,6 +142,22 @@ def main() -> None:
         }
     else:
         findings = reconcile(None, replica, fs=fs)
+    if args.freshness:
+        # staleness surfaced as data: a silent sink is a row with
+        # events=0 and a watermark stuck at the last seen commit_ts
+        from binlog_processer_spark.operators.aggregate import (
+            timeline_densify,
+        )
+
+        tl = timeline_densify(events)
+        SnapshotTable(os.path.join(args.warehouse, "freshness")).write(
+            tl.coalesce(1)
+        )
+        tl = SnapshotTable(os.path.join(args.warehouse, "freshness")).read(
+            spark
+        )
+        extra["timeline_days"] = tl.count()
+        extra["silent_sink_days"] = tl.filter(F.col("events") == 0).count()
     tbl = SnapshotTable(os.path.join(args.warehouse, "findings"))
     tbl.write(findings.coalesce(1))
     counts = {

@@ -705,3 +705,40 @@ def test_qa_cli_distilled_quality_model(tmp_path, spark):
 
     scores = SnapshotTable(wh + "/model_scores").read(spark)
     assert scores.count() == 120
+
+
+def test_qa_cli_k_anonymity_gate(tmp_path, spark):
+    docs = str(tmp_path / "kdocs.parquet")
+    # 30 docs in one fat (source, lang, len) cell + 1 isolated outlier:
+    # the outlier is the re-identifiable row the audit must count
+    rows = [(i, "the of and a to " * 10, "en", "s0", 100) for i in range(30)]
+    rows.append((99, "x " * 300, "fr", "s1", 600))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(docs)
+    wh = str(tmp_path / "kqa_wh")
+    m = _run(["jobs/run_qa.py", "--docs", docs, "--output", wh])
+    assert m["kanon_rows_below_k"] == 1
+    assert m["kanon_worst_risk_ppm"] == 1_000_000  # s1 is 100% below-k
+
+    from binlog_processer_spark.storage.table import SnapshotTable
+
+    rep = {r.source: r for r in
+           SnapshotTable(wh + "/k_anonymity").read(spark).collect()}
+    assert rep["s0"].risk_ppm == 0 and rep["s0"].min_class_size == 30
+    assert rep["s1"].classes_below_k == 1
+
+
+def test_verify_cli_freshness_timeline(tmp_path):
+    wh = str(tmp_path / "fwh")
+    _run(["jobs/run_pipeline.py", "--generate", "2000", "--output", wh])
+    m = _run(["jobs/run_verify.py", "--warehouse", wh, "--freshness"])
+    assert m["findings_total"] == 0
+    # the generated corpus is day-dense per sink, so the dense calendar
+    # exists and has no silent days; the table is published
+    assert m["timeline_days"] > 0
+    assert m["silent_sink_days"] >= 0
+    import os
+
+    assert os.path.exists(os.path.join(wh, "freshness", "_current"))

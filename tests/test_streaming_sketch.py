@@ -48,3 +48,49 @@ def test_streaming_fold_equals_batch_sketch(spark, tmp_path):
     import glob
 
     assert len(glob.glob(raw_dir + "/part-*")) == 3
+
+
+def test_streaming_quantiles_equals_batch_sketch(spark, tmp_path):
+    """The per-batch sample merge (union + re-truncate) must reproduce
+    the one-shot batch quantile sketch bit-for-bit."""
+    from binlog_processer_spark.operators.sketch import (
+        kmv_sample_quantiles,
+    )
+    from binlog_processer_spark.streaming.sketch_stream import (
+        streaming_quantiles,
+    )
+
+    rows = [
+        (f"s{i % 2}", i, (i * 37) % 211 + 1)
+        for i in range(400)
+    ]
+    kept = spark.createDataFrame(
+        rows, "source string, event_seq bigint, n_tok int"
+    )
+    raw_dir = str(tmp_path / "rawq")
+    kept.select(
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.col("event_seq").cast("string"),
+            F.col("n_tok").cast("string"),
+        ).alias("raw")
+    ).repartition(4).write.mode("overwrite").parquet(raw_dir)
+
+    def to_kept(batch):
+        p = F.split(F.col("raw"), "\\|")
+        return batch.select(
+            p.getItem(0).alias("source"),
+            p.getItem(1).cast("bigint").alias("event_seq"),
+            p.getItem(2).cast("int").alias("n_tok"),
+        )
+
+    streamed = streaming_quantiles(
+        spark, raw_dir, to_kept, k=32, qs=(50, 95), max_files_per_trigger=1
+    ).collect()
+    batch = (
+        kmv_sample_quantiles(kept, k=32, qs=(50, 95), with_exact=False)
+        .orderBy("source")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
