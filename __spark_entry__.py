@@ -1956,6 +1956,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall_ivf"] = ann_recall_ivf
 
+    def ann_pq_topk(spark, sf_dir):
+        # product quantization (Jégou 2011): m=4 subspaces x ks=8
+        # codewords, deterministic md5-seeded codebooks, asymmetric
+        # distance (integer LUT sum) ranking — hash-gated because every
+        # per-subspace distance is 1e7-fixed-point before any sum
+        from binlog_processer_spark.operators.similarity import pq_topk
+
+        return pq_topk(
+            _embs(spark, sf_dir), query_ids=list(range(10)), k=5,
+            m=4, ks=8,
+        )
+
+    q["ann_pq_topk"] = ann_pq_topk
+
+    def ann_recall_pq(spark, sf_dir):
+        # same gate, PQ arm: recall@5 of the ADC ranking vs exact cosine
+        from binlog_processer_spark.operators.similarity import (
+            pq_topk,
+            topk_recall,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return topk_recall(
+            cosine_topk(embs, query_ids=list(range(10)), k=5),
+            pq_topk(embs, query_ids=list(range(10)), k=5, m=4, ks=8),
+            k=5,
+        )
+
+    q["ann_recall_pq"] = ann_recall_pq
+
     def ann_blas_topk(spark, sf_dir):
         # gated on the RANK SET (query_id, vec_id, rank) — the float-origin
         # score column is dropped: numpy matmul and the SQL fold sum in
@@ -4321,6 +4351,73 @@ grid AS (
     o["ann_recall_ivf"] = (
         "WITH " + _ivf_ctes + ","
         " sel_a AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),"
+        " scored_e AS (SELECT query_id, vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM e CROSS JOIN q WHERE vec_id <> query_id),"
+        " sel_e AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "  OVER (PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC)"
+        "  AS rank FROM scored_e) WHERE rank <= 5),"
+        " ne AS (SELECT query_id, count(*) AS n_exact FROM sel_e"
+        "  GROUP BY 1),"
+        " hits AS (SELECT a.query_id, count(*) AS hits FROM sel_a a"
+        "  JOIN sel_e x ON a.query_id = x.query_id"
+        "  AND a.vec_id = x.vec_id GROUP BY 1)"
+        " SELECT ne.query_id,"
+        " cast(floor(coalesce(hits, 0) * 10000 / n_exact) AS bigint)"
+        " AS recall_bp"
+        " FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
+    )
+    # product quantization: md5-seeded codebooks (code = md5-order rank),
+    # per-subspace squared-L2 on the normalized vector rounded to 1e7
+    # fixed point BEFORE any sum — encode argmin and the ADC sum are then
+    # integer, so both engines agree exactly (similarity.py pq_topk;
+    # m=4 subspaces x dsub=16 dims, ks=8 codewords). The d2 here uses the
+    # algebraic |v|²-2v·c+|c|² form vs Spark's squared-diff fold —
+    # identical far below the 1e-7 rounding grain.
+    _pq_ctes = (
+        "e AS (SELECT vec_id, embedding FROM embeddings),"
+        " n AS (SELECT vec_id, list_transform(cast(embedding AS double[]),"
+        "  x -> x / sqrt(list_dot_product(cast(embedding AS double[]),"
+        "  cast(embedding AS double[])))) AS u FROM e),"
+        " seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1"
+        "  AS code, u FROM (SELECT md5(cast(vec_id AS varchar)) AS h,"
+        "  vec_id, u FROM n ORDER BY h, vec_id LIMIT 8)),"
+        " grid AS (SELECT j FROM generate_series(0, 3) t(j)),"
+        " books AS (SELECT j, code,"
+        "  list_slice(u, j*16 + 1, j*16 + 16) AS cw"
+        "  FROM seeds CROSS JOIN grid),"
+        " vsub AS (SELECT vec_id, j,"
+        "  list_slice(u, j*16 + 1, j*16 + 16) AS vs"
+        "  FROM n CROSS JOIN grid),"
+        " dists AS (SELECT v.vec_id, b.j, b.code,"
+        "  cast(round((list_dot_product(vs, vs)"
+        "   - 2*list_dot_product(vs, cw)"
+        "   + list_dot_product(cw, cw)) * 10000000) AS bigint) AS d2fp"
+        "  FROM vsub v JOIN books b ON b.j = v.j),"
+        " codes AS (SELECT vec_id, j, code FROM (SELECT d.*,"
+        "  row_number() OVER (PARTITION BY vec_id, j"
+        "   ORDER BY d2fp, code) AS rn FROM dists d) WHERE rn = 1),"
+        " qd AS (SELECT vec_id AS query_id, j, code, d2fp FROM dists"
+        "  WHERE vec_id < 10),"
+        " pq_scored AS (SELECT qd.query_id, c.vec_id,"
+        "  cast(sum(qd.d2fp) AS bigint) AS adc_fp"
+        "  FROM codes c JOIN qd ON qd.j = c.j AND qd.code = c.code"
+        "  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),"
+        " pq_ranked AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY adc_fp ASC, vec_id ASC)"
+        "  AS rank FROM pq_scored)"
+    )
+    o["ann_pq_topk"] = (
+        "WITH " + _pq_ctes
+        + " SELECT query_id, vec_id, adc_fp, cast(rank AS int) AS rank"
+        " FROM pq_ranked WHERE rank <= 5"
+    )
+    o["ann_recall_pq"] = (
+        "WITH " + _pq_ctes + ","
+        " sel_a AS (SELECT query_id, vec_id FROM pq_ranked"
+        "  WHERE rank <= 5),"
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e"
+        "  WHERE vec_id < 10),"
         " scored_e AS (SELECT query_id, vec_id,"
         f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
         "  FROM e CROSS JOIN q WHERE vec_id <> query_id),"

@@ -870,3 +870,199 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product quantization for
+# nearest neighbor search")
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 4, ks: int = 8
+) -> tuple[list[list[list[float]]], int]:
+    """Deterministic PQ 'training': split the (L2-normalized) vector into
+    ``m`` subspaces; subspace ``j``'s codebook is the j-th slice of the
+    ``ks`` seed vectors with the smallest md5(vec_id) — the same uniform
+    pseudo-random seeding as ``ivf_centroids``, so the DuckDB oracle
+    rebuilds every codeword (code = md5-order rank). A per-subspace
+    ``kmeans_refine`` would drop in here; the encode/ADC dataflow is
+    unchanged by codeword quality (refined variants would be rows-only,
+    like ``ann_ivf_refined``).
+
+    Returns ``(books, dsub)`` with ``books[j][code]`` the dsub-dim
+    codeword. Normalization uses the same sequential double fold as the
+    NORM SQL template, so codewords are IEEE-identical across engines up
+    to the fixed-point rounding the distances apply anyway.
+    """
+    import math
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(ks)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty embeddings")
+    d = len(rows[0]["embedding"])
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: m={m} must divide dim {d}")
+    dsub = d // m
+    units = []
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        n = math.sqrt(sum(v * v for v in x))
+        units.append([v / n for v in x])
+    books = [
+        [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
+    ]
+    return books, dsub
+
+
+def _pq_unit(col: str = "embedding") -> F.Column:
+    """L2-normalized copy of the vector (element-wise divide — no fold,
+    so it is IEEE-identical in any engine)."""
+    return F.expr(
+        f"transform({col}, x -> cast(x as double) / {NORM.format(a=col)})"
+    )
+
+
+def _pq_d2_fp(u: str, book: list[list[float]], off: int, dsub: int) -> str:
+    """SQL fragment: for each code c, the fixed-point (1e7-rounded)
+    squared L2 distance of ``u``'s subspace slice to codeword c —
+    returned as an array indexed by c+1. Squared-diff fold matches the
+    oracle's algebraic form within far less than the rounding grain."""
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in cw) + ")" for cw in book
+    ) + ")"
+    diff = (
+        f"(element_at({u}, {off} + i) - element_at(cw, i))"
+    )
+    d2 = (
+        f"aggregate(sequence(1, {dsub}), cast(0.0 as double),"
+        f" (acc, i) -> acc + {diff} * {diff})"
+    )
+    return (
+        f"transform({mat}, cw -> cast(round(({d2}) * 10000000) as bigint))"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    dsub: int,
+) -> DataFrame:
+    """(vec_id, codes): each vector compressed to ``m`` codebook indices
+    — nearest codeword per subspace by squared L2 on the normalized
+    vector, ties to the lowest code. One codegen projection, ZERO
+    Exchange (the codebooks ride as literal arrays, the
+    ``ivf_assignments`` technique); at 10^12 vectors the encode is a
+    map-only scan and the output is m small ints per vector — the 16-64x
+    compression that makes the ADC scan affordable.
+    """
+    ks = len(books[0])
+    code_exprs = []
+    for j, book in enumerate(books):
+        d2s = _pq_d2_fp("__u", book, j * dsub, dsub)
+        # argmin via struct max over (-d2, -code): max(-d2) = min d2,
+        # then max(-code) = lowest code on ties
+        code_exprs.append(
+            f"-(array_max(transform(sequence(1, {ks}), c -> named_struct("
+            f"'s', -element_at(__d2_{j}, c), 'nc', -(c - 1)))).nc)"
+        )
+    out = embeddings.select("vec_id", "embedding").withColumn(
+        "__u", _pq_unit("embedding")
+    )
+    for j, book in enumerate(books):
+        out = out.withColumn(
+            f"__d2_{j}", F.expr(_pq_d2_fp("__u", book, j * dsub, dsub))
+        )
+    return out.select(
+        "vec_id",
+        F.expr(
+            "array(" + ", ".join(code_exprs) + ")"
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+) -> DataFrame:
+    """PQ ANN by asymmetric distance computation (ADC): rank corpus
+    vectors by the sum over subspaces of the (fixed-point) squared L2
+    distance between the QUERY's subspace slice and the corpus vector's
+    CODEWORD. On unit vectors L2² is monotone with cosine, so this
+    approximates the cosine ranking through an m·ks-entry lookup table
+    per query — the corpus is touched only through its codes.
+
+    Output: (query_id, vec_id, adc_fp, rank) with ``adc_fp`` the integer
+    ADC distance (sum of 1e7-rounded per-subspace entries — integer, so
+    cross-engine exact) ranked ascending, ties to the lowest vec_id.
+
+    Scale posture: the scored relation is codes (m ints/vector) x
+    queries — the ADC scan PQ exists for; the per-query LUT rides as
+    driver-built rows (queries x m x ks bigints). At 10^9+ vectors
+    compose with IVF (encode residuals per inverted list) — the
+    dataflow here is the ADC half of that standard IVFADC pipeline.
+    """
+    import math
+
+    books, dsub = pq_codebooks(embeddings, m=m, ks=ks)
+    codes = pq_encode(embeddings, books, dsub)
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    lut_rows = []
+    for r in q:
+        x = [float(v) for v in r["embedding"]]
+        n = math.sqrt(sum(v * v for v in x))
+        u = [v / n for v in x]
+        lut = [
+            [
+                int(
+                    round(
+                        sum(
+                            (u[j * dsub + i] - cw[i]) ** 2
+                            for i in range(dsub)
+                        )
+                        * 10000000
+                    )
+                )
+                for cw in books[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(r["vec_id"]), lut))
+    luts = spark.createDataFrame(
+        lut_rows, schema="query_id bigint, lut array<array<bigint>>"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(1, {m}), cast(0 as bigint),"
+                " (acc, j) -> acc + element_at(element_at(lut, j),"
+                " element_at(codes, j) + 1))"
+            ).alias("adc_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fp").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_fp", "rank")
+    )

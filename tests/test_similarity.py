@@ -332,3 +332,76 @@ def test_topk_recall_denominator_and_missing_queries(spark):
         for r in topk_recall(exact, approx_deep, k=3).collect()
     }
     assert got[3] == 0
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """Codes re-derived in numpy (normalize → slice → argmin of 1e7-
+    rounded squared L2, ties to lowest code) must match exactly."""
+    import numpy as np
+
+    from binlog_processer_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books, dsub = pq_codebooks(emb, m=4, ks=8)
+    got = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq_encode(emb, books, dsub).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    B = [np.array(b) for b in books]  # m x ks x dsub
+    for r in rows[:200]:
+        x = np.array([float(v) for v in r["embedding"]])
+        u = x / np.sqrt(float(sum(v * v for v in x.tolist())))
+        want = []
+        for j in range(4):
+            s = u[j * dsub:(j + 1) * dsub]
+            d2 = np.round(((B[j] - s) ** 2).sum(axis=1) * 1e7).astype(
+                np.int64
+            )
+            want.append(int(np.argmin(d2)))  # argmin ties -> lowest idx
+        assert got[int(r["vec_id"])] == want, r["vec_id"]
+
+
+def test_pq_recall_beats_random(spark):
+    """ADC ranking must be far better than chance: random recall@5 over
+    ~500 candidates is ~1% (=100bp in expectation x 5/500); require a
+    mean an order of magnitude above that."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    rec = topk_recall(
+        cosine_topk(emb, qids, k=5),
+        pq_topk(emb, qids, k=5, m=4, ks=8),
+        k=5,
+    )
+    mean_bp = rec.agg(F.avg("recall_bp")).collect()[0][0]
+    assert mean_bp >= 1000, mean_bp  # >= 10% mean recall@5
+
+
+def test_pq_encode_zero_exchange(spark):
+    """The encode is a map-only projection: codebooks ride as literals,
+    so compressing 10^12 vectors shuffles nothing."""
+    from binlog_processer_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books, dsub = pq_codebooks(emb, m=4, ks=8)
+    plan = (
+        pq_encode(emb, books, dsub)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
