@@ -2637,6 +2637,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["privacy_k_anonymity"] = privacy_k_anonymity
 
+    def sink_op_pivot(spark, sf_dir):
+        # wide-form per-sink op counters over the closed op vocabulary:
+        # PIVOT as one deterministic map-side-combined aggregate
+        return agg.sink_op_pivot(_kept(spark, sf_dir))
+
+    q["sink_op_pivot"] = sink_op_pivot
+
+    def sink_counts_rollup(spark, sf_dir):
+        # exact (db, table) / (db) / grand-total counts in ONE rollup
+        # aggregate — the exact counterpart of sketch_hll_rollup's cube
+        return agg.sink_counts_rollup(_kept(spark, sf_dir))
+
+    q["sink_counts_rollup"] = sink_counts_rollup
+
     def timeline_densify(spark, sf_dir):
         # zero-filled per-sink daily calendar with forward-filled
         # watermark: absent days surface as events=0 rows; day rides as
@@ -4944,6 +4958,31 @@ regs AS (
         "   cast(count(*) AS bigint) AS class_size"
         "  FROM kept GROUP BY 1, 2, 3, 4)"
         " GROUP BY database_name ORDER BY database_name",
+        _X_ENRICHED,
+    )
+    # wide-form PIVOT op counters (aggregate.py sink_op_pivot)
+    o["sink_op_pivot"] = _oracle_full(
+        "SELECT database_name, table_name,"
+        " cast(sum(CASE WHEN op = 'Create' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS n_create,"
+        " cast(sum(CASE WHEN op = 'Update' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS n_update,"
+        " cast(sum(CASE WHEN op = 'Delete' THEN 1 ELSE 0 END) AS bigint)"
+        "  AS n_delete,"
+        " cast(count(*) AS bigint) AS n_total"
+        " FROM kept GROUP BY 1, 2 ORDER BY 1, 2",
+        _X_ENRICHED,
+    )
+    # exact ROLLUP counts, grouped keys coalesced to '*' on rolled-up
+    # levels (aggregate.py sink_counts_rollup)
+    o["sink_counts_rollup"] = _oracle_full(
+        "SELECT CASE WHEN GROUPING(database_name) = 1 THEN '*'"
+        "  ELSE database_name END AS database_name,"
+        " CASE WHEN GROUPING(table_name) = 1 THEN '*'"
+        "  ELSE table_name END AS table_name,"
+        " cast(count(*) AS bigint) AS n_events"
+        " FROM kept GROUP BY ROLLUP (database_name, table_name)"
+        " ORDER BY 1, 2",
         _X_ENRICHED,
     )
     # dense daily timeline: calendar explode over each sink's activity

@@ -351,3 +351,64 @@ def timeline_densify(events: DataFrame) -> DataFrame:
         )
         .orderBy("database_name", "table_name", "day")
     )
+
+
+def sink_op_pivot(events: DataFrame) -> DataFrame:
+    """Wide-form per-sink op counters: one row per sink with
+    n_create / n_update / n_delete columns — the PIVOT face of the
+    long-form ``sink_counts`` (the reference's t_binlog_record holds
+    counters long-form, DBbiz.java:85-112; dashboards want them wide).
+
+    The pivot value set is the CLOSED op vocabulary (Create/Update/
+    Delete — parse quarantines anything else), so the pivot lowers to
+    conditional sums inside ONE map-side-combined hash aggregate.
+    (DataFrame ``.pivot(values=...)`` plans an extra
+    (keys, op)-grained pre-aggregate — a second full shuffle; with a
+    closed vocabulary the CASE form is the strictly better plan, and
+    it is exactly what the SQL PIVOT clause means.)
+    """
+    cnt = lambda v: F.sum(  # noqa: E731 — tiny local counter
+        (F.col("op") == v).cast("int")
+    ).cast("bigint")
+    return (
+        events.groupBy("database_name", "table_name")
+        .agg(
+            cnt("Create").alias("n_create"),
+            cnt("Update").alias("n_update"),
+            cnt("Delete").alias("n_delete"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+        .orderBy("database_name", "table_name")
+    )
+
+
+def sink_counts_rollup(events: DataFrame) -> DataFrame:
+    """Exact multi-level event counts via ROLLUP — (database, table),
+    (database), grand total in ONE aggregate pass (Spark plans a single
+    Expand + hash aggregate with map-side partial combine; grouping-set
+    rows cost one duplicated map row each, never a rescan). The exact
+    counterpart of ``hll_rollup``'s sketch cube: additive measures
+    roll up exactly, distinct counts need the sketch.
+
+    Grouping columns surface as '*' on the rolled-up levels (driver
+    canon can't hash NULL group keys consistently across engines).
+    """
+    return (
+        events.rollup("database_name", "table_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            # grouping() is only legal inside the rollup aggregate
+            F.grouping("database_name").alias("__gd"),
+            F.grouping("table_name").alias("__gt"),
+        )
+        .select(
+            F.when(F.col("__gd") == 1, F.lit("*"))
+            .otherwise(F.col("database_name"))
+            .alias("database_name"),
+            F.when(F.col("__gt") == 1, F.lit("*"))
+            .otherwise(F.col("table_name"))
+            .alias("table_name"),
+            "n_events",
+        )
+        .orderBy("database_name", "table_name")
+    )

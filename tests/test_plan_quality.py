@@ -257,3 +257,28 @@ def test_timeline_densify_calendar_join_is_broadcast(spark):
     kept = enrich_routing(_events(spark), routing_dim(spark))
     plan = _plan(timeline_densify(kept))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pivot_single_aggregate(spark):
+    """The closed-vocabulary pivot must be ONE hash aggregate (no extra
+    distinct-values job, no second shuffle)."""
+    from binlog_processer_spark.operators.aggregate import sink_op_pivot
+    from binlog_processer_spark.sources.generator import routing_dim
+
+    kept = enrich_routing(_events(spark), routing_dim(spark))
+    plan = _plan(sink_op_pivot(kept))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rollup_is_one_expand_aggregate(spark):
+    """ROLLUP plans as a single Expand + aggregate — three grouping
+    levels must NOT become three scans."""
+    from binlog_processer_spark.operators.aggregate import (
+        sink_counts_rollup,
+    )
+    from binlog_processer_spark.sources.generator import routing_dim
+
+    kept = enrich_routing(_events(spark), routing_dim(spark))
+    plan = _plan(sink_counts_rollup(kept))
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
