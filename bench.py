@@ -64,6 +64,11 @@ HEADLINE = [
     "token_bpe_encode_stats",
     "sketch_distinct_hll",
     "token_pmi_topk",
+    "sketch_quantiles_kmv",
+    "sketch_hll_rollup",
+    "privacy_k_anonymity",
+    "timeline_densify",
+    "ann_pq_topk",
 ]
 
 
