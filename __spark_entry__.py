@@ -842,6 +842,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_quantiles"] = streaming_quantiles
 
+    def streaming_cms_counters(spark, sf_dir):
+        """Streaming Count-Min counters: per-batch depth x width counter
+        aggregates summed on the driver (addition is the CMS merge law),
+        bit-identical to the batch counters — oracle recomputes every
+        counter in SQL."""
+        from binlog_processer_spark.streaming.sketch_stream import (
+            streaming_cms_counters as scc,
+        )
+
+        routing = _routing(spark, sf_dir)
+
+        def to_kept(batch):
+            good, _ = split_quarantine(parse_raw(batch))
+            good = good.withColumn(
+                "table_key",
+                F.concat_ws(
+                    "#", F.col("source"), F.col("bucket").cast("string")
+                ),
+            )
+            kept, _ = split_ignored(
+                filter_system_schemas(enrich_routing(good, routing))
+            )
+            return kept
+
+        d = _stream_raw_dir(spark, sf_dir, parts=4)
+        return scc(spark, d + "/raw", to_kept, depth=4, width=1024)
+
+    q["streaming_cms_counters"] = streaming_cms_counters
+
     _PROFILE_COLS = [
         "source", "database_name", "op", "doc_id",
         "event_seq", "n_tok", "commit_ts",
@@ -4822,6 +4851,21 @@ grid AS (
         " cast(d.n AS int) AS width, cast(d.rate AS int) AS height"
         " FROM d JOIN g ON g.i < d.n"
         " GROUP BY d.doc_id, d.n, d.rate"
+    )
+    # Streaming CMS: drained counters == batch counters (addition merge)
+    # — every (row, bucket) counter recomputed in SQL (streaming/
+    # sketch_stream.py streaming_cms_counters; depth 4, width 1024)
+    o["streaming_cms_counters"] = _oracle_full(
+        "SELECT row, bucket, cast(count(*) AS bigint) AS cnt"
+        " FROM ("
+        "  SELECT r.i AS row,"
+        "   cast(cast(('0x' || substr(md5(cast(r.i AS varchar) || ':' ||"
+        "        cast(o.token AS varchar)), 1, 8)) AS ubigint) % 1024"
+        "        AS int) AS bucket"
+        "  FROM (SELECT unnest(tokens) AS token FROM kept) o"
+        "  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r)"
+        " GROUP BY 1, 2 ORDER BY 1, 2",
+        _X_ENRICHED,
     )
     # Streaming quantile sketch: per-batch bottom-k samples merged by
     # union+re-truncate are bit-identical to the batch sample, so the

@@ -141,3 +141,48 @@ def streaming_quantiles(
         schema="source string, h bigint, seq bigint, val bigint",
     )
     return sample_quantile_report(merged, qs).orderBy("source")
+
+
+def streaming_cms_counters(
+    spark: SparkSession,
+    raw_dir: str,
+    to_kept: Callable[[DataFrame], DataFrame],
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming Count-Min counters — the third streaming face of the
+    sketch family (distinct: ``streaming_hll_distinct``; quantiles:
+    ``streaming_quantiles``; frequency: this).
+
+    CMS state merges by plain ADDITION (each counter is a sum of
+    occurrences hashing there), the simplest merge law of the three; the
+    driver accumulator holds at most depth x width integers, and each
+    micro-batch contributes its own ``cms_counters`` aggregate (map-side
+    combined, bounded at depth x width rows). The drained counter table
+    is bit-identical to the one-shot batch counters over the same rows —
+    the contract query's oracle recomputes every counter in SQL.
+    """
+    from binlog_processer_spark.operators.sketch import cms_counters
+
+    state: dict[tuple[int, int], int] = {}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        for r in cms_counters(to_kept(batch_df), depth, width).collect():
+            key = (r["row"], r["bucket"])
+            state[key] = state.get(key, 0) + r["cnt"]
+
+    sq = (
+        spark.readStream.schema("raw string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+        .writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    return spark.createDataFrame(
+        [(r, b, c) for (r, b), c in sorted(state.items())],
+        schema="row int, bucket int, cnt bigint",
+    ).orderBy("row", "bucket")

@@ -94,3 +94,45 @@ def test_streaming_quantiles_equals_batch_sketch(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_cms_equals_batch_counters(spark, tmp_path):
+    """Addition-merged per-batch CMS counters must reproduce the batch
+    counter table bit-for-bit."""
+    from binlog_processer_spark.operators.sketch import cms_counters
+    from binlog_processer_spark.streaming.sketch_stream import (
+        streaming_cms_counters,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"s{i % 2}", rng.integers(0, 500, size=20).tolist())
+        for i in range(200)
+    ]
+    kept = spark.createDataFrame(rows, "source string, tokens array<int>")
+    raw_dir = str(tmp_path / "rawc")
+    kept.select(
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.concat_ws(",", F.col("tokens").cast("array<string>")),
+        ).alias("raw")
+    ).repartition(3).write.mode("overwrite").parquet(raw_dir)
+
+    def to_kept(batch):
+        return batch.select(
+            F.substring_index("raw", "|", 1).alias("source"),
+            F.split(F.substring_index("raw", "|", -1), ",")
+            .cast("array<int>")
+            .alias("tokens"),
+        )
+
+    streamed = streaming_cms_counters(
+        spark, raw_dir, to_kept, depth=3, width=64, max_files_per_trigger=1
+    ).collect()
+    batch = (
+        cms_counters(kept, depth=3, width=64)
+        .orderBy("row", "bucket")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
