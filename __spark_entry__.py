@@ -2680,6 +2680,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sink_counts_rollup"] = sink_counts_rollup
 
+    def drift_psi(spark, sf_dir):
+        # Population Stability Index per source vs pooled complement
+        # (industry-standard drift score next to drift_js's JSD)
+        from binlog_processer_spark.operators.drift import psi_drift
+
+        return psi_drift(_kept(spark, sf_dir))
+
+    q["drift_psi"] = drift_psi
+
+    def partition_splits(spark, sf_dir):
+        # sample-based range-partitioner boundaries (RangePartitioner's
+        # technique as a queryable planning report) with exact audit
+        from binlog_processer_spark.operators.sketch import (
+            partition_split_points,
+        )
+
+        return partition_split_points(
+            _kept(spark, sf_dir), n_partitions=8, k=128
+        )
+
+    q["partition_splits"] = partition_splits
+
     def timeline_densify(spark, sf_dir):
         # zero-filled per-sink daily calendar with forward-filled
         # watermark: absent days surface as events=0 rows; day rides as
@@ -2878,6 +2900,59 @@ grid AS (
         ") * 1000000) AS bigint) AS jsd_ppm"
         " FROM grid GROUP BY source",
         _X_ENRICHED + "," + _X_DRIFT,
+    )
+    # Population Stability Index vs pooled complement, ppm; proportions
+    # floored at 1e-4 (the standard zero-bucket guard) so vanished
+    # buckets contribute large finite terms (operators/drift.py psi_drift)
+    _PP = "greatest(cnt / n_s, 0.0001)"
+    _QQ = "greatest((g_b - cnt) / (n_total - n_s), 0.0001)"
+    o["drift_psi"] = _oracle_full(
+        "SELECT source, cast(round(sum("
+        f" ({_PP} - {_QQ}) * ln({_PP} / {_QQ})"
+        ") * 1000000) AS bigint) AS psi_ppm"
+        " FROM grid GROUP BY source",
+        _X_ENRICHED + "," + _X_DRIFT,
+    )
+    # sample-based range-partitioner split points over n_tok: bottom-128
+    # row sample (same canon as sketch_quantiles_kmv, pooled source),
+    # lower-nearest-rank order statistic per split, exact audit joined
+    # (sketch.py partition_split_points, B=8)
+    o["partition_splits"] = _oracle_full(
+        "SELECT est.split_idx, n_rows, k_used, est_split, exact_split,"
+        " cast(abs(est_split - exact_split) AS bigint) AS abs_err"
+        " FROM ("
+        "  SELECT b.split_idx, cast(max(k_used) AS int) AS k_used,"
+        "   cast(max(CASE WHEN vrk = floor((k_used-1)*b.split_idx/8)+1"
+        "            THEN val END) AS bigint) AS est_split"
+        "  FROM ("
+        "   SELECT val,"
+        "    row_number() OVER (ORDER BY val, event_seq) AS vrk,"
+        "    count(*) OVER () AS k_used"
+        "   FROM ("
+        "    SELECT cast(n_tok AS bigint) AS val, event_seq,"
+        "     row_number() OVER (ORDER BY h, event_seq) AS rk"
+        "    FROM (SELECT n_tok, event_seq,"
+        "          cast(('0x' || substr(md5(cast(event_seq AS varchar)),"
+        "               1, 8)) AS ubigint) AS h"
+        "          FROM kept))"
+        "   WHERE rk <= 128) s"
+        "  CROSS JOIN (SELECT g AS split_idx"
+        "              FROM generate_series(1, 7) t(g)) b"
+        "  GROUP BY b.split_idx) est"
+        " JOIN ("
+        "  SELECT b.split_idx, cast(max(n_rows) AS bigint) AS n_rows,"
+        "   cast(max(CASE WHEN vrk = floor((n_rows-1)*b.split_idx/8)+1"
+        "            THEN val END) AS bigint) AS exact_split"
+        "  FROM ("
+        "   SELECT cast(n_tok AS bigint) AS val,"
+        "    row_number() OVER (ORDER BY n_tok, event_seq) AS vrk,"
+        "    count(*) OVER () AS n_rows"
+        "   FROM kept) f"
+        "  CROSS JOIN (SELECT g AS split_idx"
+        "              FROM generate_series(1, 7) t(g)) b"
+        "  GROUP BY b.split_idx) ex USING (split_idx)"
+        " ORDER BY split_idx",
+        _X_ENRICHED,
     )
     # exact continuous quantiles (Spark percentile() ≡ quantile_cont),
     # published as centi-token bigints

@@ -150,3 +150,54 @@ def rate_anomalies(
         "cnt",
         (lhs * lhs > rhs).alias("is_anomaly"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    width: int = BUCKET_WIDTH,
+    floor: float = 1e-4,
+) -> DataFrame:
+    """Per-source Population Stability Index vs the pooled complement,
+    in ppm — the industry-standard drift score next to ``distribution_
+    drift``'s JSD (same histogram, different properties: PSI is
+    unbounded and blows up on vanished buckets, which monitoring teams
+    alert on at the classic 0.1/0.25 thresholds = 100000/250000 ppm).
+
+    PSI = Σ (p − q)·ln(p/q) with both proportions floored at ``floor``
+    (the standard zero-bucket guard — a bucket present on one side only
+    contributes a large, finite term instead of ±∞). Identical plan
+    shape to the JSD: ONE fact aggregate into n_buckets conditional
+    counters per source, then a tiny empty-frame window; cost is
+    constant in corpus size past the first map-side-combined pass.
+    """
+    b = _bucket(n_buckets, width)
+    cnts = df.groupBy("source").agg(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{i}")
+            for i in range(n_buckets)
+        ]
+    )
+    w = Window.partitionBy()
+    g = cnts.select(
+        "source",
+        *[F.col(f"c{i}") for i in range(n_buckets)],
+        *[F.sum(f"c{i}").over(w).alias(f"g{i}") for i in range(n_buckets)],
+    )
+    n_s = sum(F.col(f"c{i}") for i in range(n_buckets))
+    n_total = sum(F.col(f"g{i}") for i in range(n_buckets))
+
+    def term(i: int) -> F.Column:
+        p = F.col(f"c{i}") / n_s
+        q = (F.col(f"g{i}") - F.col(f"c{i}")) / (n_total - n_s)
+        pf = F.greatest(p, F.lit(floor))
+        qf = F.greatest(q, F.lit(floor))
+        return (pf - qf) * F.log(pf / qf)
+
+    psi = sum(term(i) for i in range(n_buckets))
+    return g.select(
+        "source",
+        F.round(psi * 1_000_000).cast("bigint").alias("psi_ppm"),
+    )

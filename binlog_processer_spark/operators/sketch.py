@@ -837,3 +837,106 @@ def hll_rollup(kept: DataFrame, b: int = 10) -> DataFrame:
         "est_distinct",
     )
     return out.orderBy("level", "key")
+
+
+def partition_split_points(
+    kept: DataFrame,
+    n_partitions: int = 8,
+    k: int = 256,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Sample-based range-partitioner boundaries over ``n_tok`` — the
+    planning use of the bottom-k row sample, and exactly the technique
+    Spark's own RangePartitioner applies before a global sort: draw a
+    bounded uniform sample, take its order statistics as split points,
+    and range-partition the full data against them. Published as
+    B−1 split rows so a job can CLUSTER BY length bucket (packing,
+    curriculum shards) with balanced partitions and zero full-data sort.
+
+    Split b (1..B−1) = the sample value at lower-nearest-rank position
+    ``floor((k_used−1)·b/B)+1`` — the same rule ``kmv_sample_quantiles``
+    uses, so with k >= n the estimated splits ARE the exact ones.
+    ``with_exact`` joins the exact full-data order statistic and the
+    absolute error per split (ONE global sort — the audit the sketch
+    exists to avoid at 10^12; drop it at scale). All integer; the
+    DuckDB oracle matches bit-for-bit.
+    """
+    if n_partitions < 2:
+        raise ValueError(
+            f"partition_split_points: n_partitions must be >= 2, got {n_partitions}"
+        )
+    if k < n_partitions:
+        raise ValueError(
+            f"partition_split_points: k={k} must be >= n_partitions={n_partitions}"
+        )
+    spark = kept.sparkSession
+    pooled = kept.select(
+        F.lit("*").alias("source"),
+        "event_seq",
+        "n_tok",
+    )
+    sample = kmv_row_sample(pooled, k)
+    wv = Window.partitionBy("source").orderBy("val", "seq")
+    ranked = sample.select(
+        "source", "val", F.row_number().over(wv).alias("vrk")
+    )
+    sized = ranked.groupBy("source").agg(
+        F.max("vrk").cast("int").alias("k_used")
+    )
+    bounds = spark.range(1, n_partitions).select(
+        F.col("id").cast("int").alias("split_idx")
+    )
+    est = (
+        ranked.join(sized, "source")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("vrk")
+            == F.floor(
+                (F.col("k_used") - 1) * F.col("split_idx") / n_partitions
+            )
+            + 1
+        )
+        .select(
+            "split_idx",
+            F.col("val").cast("bigint").alias("est_split"),
+            "k_used",
+        )
+    )
+    if not with_exact:
+        return est.orderBy("split_idx")
+    wf = Window.partitionBy().orderBy("n_tok", "event_seq")
+    full = pooled.select(
+        F.col("n_tok").cast("bigint").alias("val"),
+        F.row_number().over(wf).alias("vrk"),
+    )
+    nrows = full.agg(F.max("vrk").cast("bigint").alias("n_rows"))
+    exact = (
+        full.crossJoin(F.broadcast(nrows))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("vrk")
+            == F.floor(
+                (F.col("n_rows") - 1) * F.col("split_idx") / n_partitions
+            )
+            + 1
+        )
+        .select(
+            "split_idx",
+            F.col("val").alias("exact_split"),
+            "n_rows",
+        )
+    )
+    return (
+        est.join(exact, "split_idx")
+        .select(
+            "split_idx",
+            "n_rows",
+            "k_used",
+            "est_split",
+            "exact_split",
+            F.abs(F.col("est_split") - F.col("exact_split"))
+            .cast("bigint")
+            .alias("abs_err"),
+        )
+        .orderBy("split_idx")
+    )

@@ -77,3 +77,26 @@ def test_rate_anomalies_exact_sigma_flags(spark):
     assert not any(
         v for (s, d), v in out.items() if not (s == "a" and d == "2024-01-10")
     )
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    from binlog_processer_spark.operators.drift import psi_drift
+
+    rows = [(s, (i * 4) % 100) for s in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    out = {r.source: r.psi_ppm for r in psi_drift(df).collect()}
+    assert out == {"a": 0, "b": 0}
+
+
+def test_psi_flags_shifted_source(spark):
+    """A source whose mass lives in buckets the complement never touches
+    must blow past the classic 0.25 alert bar (250000 ppm); JSD on the
+    same data saturates at ln 2 — PSI keeps growing, which is why
+    monitoring teams use it."""
+    from binlog_processer_spark.operators.drift import psi_drift
+
+    rows = [("base", 5) for _ in range(300)] + [("shift", 120)] * 300
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    out = {r.source: r.psi_ppm for r in psi_drift(df).collect()}
+    assert out["shift"] > 250_000
+    assert out["base"] > 250_000  # symmetric complement view

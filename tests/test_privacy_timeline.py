@@ -195,3 +195,42 @@ def test_timeline_densify_gap_semantics(spark):
     assert [r.events for r in out] == [2, 0, 0, 0, 1]
     # watermark sticks at day-1's max through the silence
     assert [r.watermark_ts.hour for r in out] == [17, 17, 17, 17, 12]
+
+
+def test_partition_splits_exhaustive_k_exact_and_invariant(spark):
+    """k >= n makes the sample exhaustive: estimated splits equal the
+    exact order statistics at every boundary; and the candidate pass is
+    an exact pruning, so results are partition-invariant."""
+    from binlog_processer_spark.operators.sketch import (
+        partition_split_points,
+    )
+
+    rows = _kept_rows(n=100)
+    a = partition_split_points(
+        _kept(spark, rows, parts=2), n_partitions=4, k=512
+    ).collect()
+    b = partition_split_points(
+        _kept(spark, rows, parts=16), n_partitions=4, k=512
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r.k_used == r.n_rows
+        assert r.est_split == r.exact_split and r.abs_err == 0
+    assert [r.split_idx for r in sorted(a, key=lambda r: r.split_idx)] == [1, 2, 3]
+    # splits are non-decreasing in the boundary index
+    vals = [r.est_split for r in sorted(a, key=lambda r: r.split_idx)]
+    assert vals == sorted(vals)
+
+
+def test_partition_splits_validation(spark):
+    from binlog_processer_spark.operators.sketch import (
+        partition_split_points,
+    )
+
+    df = _kept(spark, _kept_rows(10))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        partition_split_points(df, n_partitions=1)
+    with _pt.raises(ValueError):
+        partition_split_points(df, n_partitions=8, k=4)
