@@ -216,6 +216,301 @@ def _oracle_full(select: str, extra_ctes: str = "") -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE trainer oracle (generated chained-CTE merge loop, DuckDB dialect)
+#
+# The driver-side merge loop in operators/bpe.py is a pure integer
+# function of the capped (word, count) table, so DuckDB can replay it
+# exactly: one CTE round per merge — recount adjacent pairs, take the
+# (count DESC, pair ASC) argmax, apply the merge with a plain substring
+# replace. Words are encoded as chr(31)-delimited symbol strings
+# ("\x1f sym \x1f\x1f sym \x1f"): every adjacent pair occupies a
+# disjoint "\x1f a \x1f\x1f b \x1f" span, so DuckDB's left-to-right
+# non-overlapping replace() IS bpe._merge_word (runs of the same symbol
+# merge pairwise exactly as the Python scan does, and no pattern can
+# match inside a symbol or across a wrong boundary because symbols never
+# contain \x1f — the corpus is whitespace-split words). MATERIALIZED is
+# load-bearing: each seg_k is referenced twice (pair counts + next seg)
+# and inlining would expand the 64-round chain exponentially.
+# ---------------------------------------------------------------------------
+
+_BPE_U = "chr(31)"  # symbol delimiter (unit separator; never in a word)
+_BPE_UU = "chr(31) || chr(31)"
+
+
+def _bpe_word_counts_sql(min_count: int, max_words: int) -> str:
+    """DuckDB twin of bpe.word_counts + the trainer's deterministic cap
+    (cnt DESC, word total order, TakeOrderedAndProject head)."""
+    return (
+        "SELECT word, cast(count(*) AS bigint) AS cnt"
+        " FROM (SELECT unnest(str_split_regex(trim(text), '\\s+')) AS word"
+        "       FROM documents WHERE text IS NOT NULL)"
+        " WHERE length(word) > 0"
+        f" GROUP BY word HAVING count(*) >= {min_count}"
+        f" ORDER BY cnt DESC, word LIMIT {max_words}"
+    )
+
+
+def _bpe_seg_expr(chars_col: str) -> str:
+    """Initial segmentation of a split-to-chars list: chars, with the
+    end-of-word marker fused onto the last char (bpe._symbols)."""
+    c = chars_col
+    return (
+        f"{_BPE_U} || array_to_string(list_concat("
+        f"{c}[1:len({c})-1], [{c}[len({c})] || '</w>']), {_BPE_UU})"
+        f" || {_BPE_U}"
+    )
+
+
+def _bpe_train_ctes(num_merges: int, min_count: int, max_words: int) -> list:
+    """CTE list replaying train_on_counts: wc, seg0, then per merge k a
+    (pair-count, argmax, apply) triple. b_k going empty (no pair left)
+    is the trainer's break: the LEFT JOIN keeps seg rows unchanged and
+    every later b_j stays empty too."""
+    ctes = [
+        f"wc AS MATERIALIZED ({_bpe_word_counts_sql(min_count, max_words)})",
+        "seg0 AS MATERIALIZED (SELECT "
+        + _bpe_seg_expr("chars")
+        + " AS s, cnt FROM (SELECT str_split(word, '') AS chars, cnt FROM wc))",
+    ]
+    for k in range(num_merges):
+        ctes.append(
+            f"p{k} AS ("
+            " SELECT syms[i] AS a, syms[i+1] AS b,"
+            " cast(sum(cnt) AS bigint) AS c"
+            " FROM (SELECT str_split(substr(s, 2, length(s)-2),"
+            f" {_BPE_UU}) AS syms, cnt FROM seg{k}),"
+            " unnest(generate_series(1, len(syms)-1)) t(i)"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT {k} AS rank, a, b, c FROM p{k}"
+            " WHERE c >= 1 ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"seg{k+1} AS MATERIALIZED ("
+            " SELECT CASE WHEN b.a IS NULL THEN s ELSE replace(s,"
+            f" {_BPE_U} || b.a || {_BPE_UU} || b.b || {_BPE_U},"
+            f" {_BPE_U} || b.a || b.b || {_BPE_U}) END AS s, cnt"
+            f" FROM seg{k} LEFT JOIN b{k} b ON true)"
+        )
+    return ctes
+
+
+def _bpe_merges_oracle(
+    num_merges: int = 64, min_count: int = 2, max_words: int = 65536
+) -> str:
+    """Full oracle for token_bpe_merges: the learned merge table."""
+    ctes = _bpe_train_ctes(num_merges, min_count, max_words)
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(num_merges))
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT rank, a AS \"left\","
+        " b AS \"right\", c AS freq FROM (" + union + ") ORDER BY rank"
+    )
+
+
+def _bpe_encode_stats_oracle(
+    num_merges: int = 64, min_count: int = 2, max_words: int = 65536
+) -> str:
+    """Full oracle for token_bpe_encode_stats.
+
+    Re-learns the merges (same CTE chain), then encodes every DISTINCT
+    corpus word by applying the merges in rank order — sequential
+    rank-order application equals bpe.BpeModel.encode_word's greedy
+    lowest-rank loop because a merge learned at rank r can only create
+    pairs whose own merge rank is > r (the pair could not have been
+    counted before its parts existed). Per-document stats then join the
+    word→piece-count table back to the exploded words.
+    """
+    ctes = _bpe_train_ctes(num_merges, min_count, max_words)
+    ctes.append(
+        "allw AS MATERIALIZED ("
+        " SELECT doc_id, source, word FROM ("
+        "  SELECT doc_id, source,"
+        "  unnest(str_split_regex(trim(coalesce(text, '')), '\\s+')) AS word"
+        "  FROM documents)"
+        " WHERE length(word) > 0)"
+    )
+    ctes.append(
+        "e0 AS MATERIALIZED (SELECT word, "
+        + _bpe_seg_expr("chars")
+        + " AS s FROM (SELECT word, str_split(word, '') AS chars"
+        " FROM (SELECT DISTINCT word FROM allw)))"
+    )
+    for k in range(num_merges):
+        ctes.append(
+            f"e{k+1} AS MATERIALIZED ("
+            " SELECT word, CASE WHEN b.a IS NULL THEN s ELSE replace(s,"
+            f" {_BPE_U} || b.a || {_BPE_UU} || b.b || {_BPE_U},"
+            f" {_BPE_U} || b.a || b.b || {_BPE_U}) END AS s"
+            f" FROM e{k} LEFT JOIN b{k} b ON true)"
+        )
+    ctes.append(
+        "wp AS MATERIALIZED (SELECT word,"
+        " cast(len(str_split(substr(s, 2, length(s)-2),"
+        f" {_BPE_UU})) AS bigint) AS wpieces FROM e{num_merges})"
+    )
+    ctes.append(
+        "perdoc AS ("
+        " SELECT doc_id, source, cast(count(*) AS bigint) AS dwords,"
+        " cast(sum(wpieces) AS bigint) AS dpieces"
+        " FROM allw JOIN wp USING (word) GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "perstats AS ("
+        " SELECT d.source, cast(count(*) AS bigint) AS docs,"
+        " cast(sum(coalesce(p.dwords, 0)) AS bigint) AS words,"
+        " cast(sum(coalesce(p.dpieces, 0)) AS bigint) AS pieces,"
+        " cast(sum(coalesce(length(d.text), 0)) AS bigint) AS chars"
+        " FROM documents d LEFT JOIN perdoc p USING (doc_id, source)"
+        " GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT source, docs, words, pieces,"
+        " chars,"
+        " cast(floor(pieces * 1000000 / words) AS bigint)"
+        " AS pieces_per_word_ppm,"
+        " cast(floor(chars * 1000000 / pieces) AS bigint)"
+        " AS chars_per_piece_ppm"
+        " FROM perstats ORDER BY source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM oracle builders (operators/unigram.py's relational stages)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_seed_ctes(
+    seed_size: int, max_piece_len: int, min_count: int, max_words: int
+) -> list:
+    """CTEs producing the seed inventory (unigram.seed_pieces_df twin):
+    substring explode of the capped word table, score = sum(cnt * len),
+    all single chars kept + top (seed_size - n_chars) multi pieces on
+    the (score DESC, piece ASC) total order."""
+    return [
+        f"wc AS MATERIALIZED ({_bpe_word_counts_sql(min_count, max_words)})",
+        "subs AS MATERIALIZED ("
+        " SELECT piece, cast(sum(cnt * length(piece)) AS bigint) AS score"
+        " FROM (SELECT substr(word, i, n) AS piece, cnt FROM wc,"
+        "   unnest(generate_series(1, length(word))) t(i),"
+        f"   unnest(generate_series(1, least({int(max_piece_len)},"
+        "    length(word) - i + 1))) u(n))"
+        " GROUP BY piece)",
+        "nch AS (SELECT count(*) AS n_chars FROM subs"
+        " WHERE length(piece) = 1)",
+        "ranked AS ("
+        " SELECT piece, cast(length(piece) AS int) AS plen, score,"
+        " CASE WHEN length(piece) > 1 THEN row_number() OVER ("
+        "  PARTITION BY length(piece) > 1 ORDER BY score DESC, piece)"
+        " END AS rn FROM subs)",
+        "seedkept AS MATERIALIZED ("
+        " SELECT piece, plen, score FROM ranked, nch"
+        f" WHERE plen = 1 OR rn <= greatest({int(seed_size)} - n_chars, 0))",
+    ]
+
+
+def _unigram_seed_oracle(
+    seed_size: int = 512,
+    max_piece_len: int = 8,
+    min_count: int = 2,
+    max_words: int = 65536,
+) -> str:
+    ctes = _unigram_seed_ctes(seed_size, max_piece_len, min_count, max_words)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT piece, plen, score,"
+        " cast(CASE WHEN plen = 1 THEN 1 ELSE 0 END AS int) AS is_char"
+        " FROM seedkept"
+    )
+
+
+def _unigram_viterbi_stats_oracle(
+    seed_size: int = 512,
+    max_piece_len: int = 8,
+    min_count: int = 2,
+    max_words: int = 65536,
+    max_word_len: int = 32,
+    unk_un: int = -20_000_000,
+) -> str:
+    """Oracle for token_unigram_viterbi_stats: quantized seed model
+    (integer micro-nat log-probs), then a chained-CTE dynamic program —
+    one round per prefix position, lookback ``max_piece_len`` — that
+    replays unigram._viterbi_pieces_int exactly (integer weights, tie
+    toward fewer pieces; the row_number pick among full (score, pieces)
+    ties is value-identical, so the piece COUNT is deterministic)."""
+    L = int(max_piece_len)
+    P = int(max_word_len)
+    ctes = _unigram_seed_ctes(seed_size, L, min_count, max_words)
+    ctes.append(
+        "model AS MATERIALIZED ("
+        " SELECT piece, cast(round((ln(score) - ln(total)) * 1000000)"
+        " AS bigint) AS lp_un"
+        " FROM (SELECT piece, score,"
+        "  cast(sum(score) OVER () AS bigint) AS total FROM seedkept))"
+    )
+    ctes.append(
+        "allw AS MATERIALIZED ("
+        " SELECT doc_id, source, word FROM ("
+        "  SELECT doc_id, source,"
+        "  unnest(str_split_regex(trim(coalesce(text, '')), '\\s+')) AS word"
+        "  FROM documents)"
+        " WHERE length(word) > 0)"
+    )
+    ctes.append(
+        "acc0 AS (SELECT word, 0 AS pos, cast(0 AS bigint) AS sc, 0 AS np"
+        " FROM (SELECT DISTINCT word FROM allw))"
+    )
+    for i in range(1, P + 1):
+        ctes.append(
+            f"n{i} AS MATERIALIZED ("
+            " SELECT word, sc, np FROM ("
+            "  SELECT word, sc, np, row_number() OVER ("
+            "   PARTITION BY word ORDER BY sc DESC, np ASC) AS rn"
+            "  FROM ("
+            "   SELECT a.word, a.sc + w AS sc, a.np + 1 AS np, w FROM ("
+            "    SELECT a0.word, a0.sc, a0.np, coalesce(m.lp_un,"
+            f"     CASE WHEN {i} - a0.pos = 1 THEN {int(unk_un)} END) AS w"
+            f"    FROM acc{i-1} a0 LEFT JOIN model m"
+            f"     ON m.piece = substr(a0.word, a0.pos + 1, {i} - a0.pos)"
+            f"    WHERE a0.pos >= {i - L} AND a0.pos < {i}"
+            f"     AND length(a0.word) >= {i}) a"
+            "   WHERE w IS NOT NULL))"
+            " WHERE rn = 1)"
+        )
+        ctes.append(
+            f"acc{i} AS MATERIALIZED (SELECT * FROM acc{i-1} UNION ALL"
+            f" SELECT word, {i} AS pos, sc, np FROM n{i})"
+        )
+    ctes.append(
+        f"wp AS MATERIALIZED (SELECT word, cast(np AS bigint) AS wpieces"
+        f" FROM acc{P} WHERE pos = length(word))"
+    )
+    ctes.append(
+        "perdoc AS ("
+        " SELECT doc_id, source, cast(count(*) AS bigint) AS dwords,"
+        " cast(sum(wpieces) AS bigint) AS dpieces"
+        " FROM allw JOIN wp USING (word) GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "perstats AS ("
+        " SELECT d.source, cast(count(*) AS bigint) AS docs,"
+        " cast(sum(coalesce(p.dwords, 0)) AS bigint) AS words,"
+        " cast(sum(coalesce(p.dpieces, 0)) AS bigint) AS pieces,"
+        " cast(sum(coalesce(length(d.text), 0)) AS bigint) AS chars"
+        " FROM documents d LEFT JOIN perdoc p USING (doc_id, source)"
+        " GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT source, docs, words, pieces,"
+        " chars,"
+        " cast(floor(pieces * 1000000 / words) AS bigint)"
+        " AS pieces_per_word_ppm,"
+        " cast(floor(chars * 1000000 / pieces) AS bigint)"
+        " AS chars_per_piece_ppm"
+        " FROM perstats ORDER BY source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -620,9 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_merge_pairs"] = token_merge_pairs
 
-    # BPE tokenizer (operators/bpe.py): iterative merge learning, so
-    # deliberately rows-only (no DuckDB twin) — exactness is pinned by
-    # tests/test_bpe.py's from-scratch reference implementation.
+    # BPE tokenizer (operators/bpe.py): the merge loop is a pure integer
+    # function of the capped (word, count) table, so the DuckDB twin
+    # replays it with a generated chained-CTE loop (_bpe_merges_oracle);
+    # exactness is ALSO pinned by tests/test_bpe.py's from-scratch
+    # reference implementation.
     def token_bpe_merges(spark, sf_dir):
         from binlog_processer_spark.operators.bpe import (
             merges_df,
@@ -650,37 +947,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_bpe_encode_stats"] = token_bpe_encode_stats
 
     # Unigram-LM tokenizer (operators/unigram.py): the prune-down
-    # probabilistic counterpart to BPE's merge-up trainer. Iterative
-    # (EM), so rows-only like the BPE pair; exactness pinned by
-    # tests/test_unigram.py's hand-computed Viterbi/EM cases.
-    def token_unigram_vocab(spark, sf_dir):
-        from binlog_processer_spark.operators.unigram import (
-            train_unigram,
-            vocab_df,
+    # probabilistic counterpart to BPE's merge-up trainer. The float-EM
+    # refinement lives behind the run_tokenize CLI + tests/test_unigram
+    # (IEEE log-probs have no cross-engine twin); the DRIVER-facing
+    # queries are the trainer's two relational stages, both with exact
+    # DuckDB oracles: the seed inventory (integer substring scores) and
+    # Viterbi encoding under the quantized (integer micro-nat)
+    # EM-initialization model.
+    def token_unigram_seed(spark, sf_dir):
+        from binlog_processer_spark.operators.unigram import seed_pieces_df
+
+        return seed_pieces_df(
+            _docs(spark, sf_dir), seed_size=512, min_count=2
         )
 
-        model = train_unigram(
-            _docs(spark, sf_dir), vocab_size=48, seed_size=512,
-            min_count=2,
-        )
-        return vocab_df(spark, model)
+    q["token_unigram_seed"] = token_unigram_seed
 
-    q["token_unigram_vocab"] = token_unigram_vocab
-
-    def token_unigram_encode_stats(spark, sf_dir):
-        from binlog_processer_spark.operators.bpe import encode_stats
+    def token_unigram_viterbi_stats(spark, sf_dir):
         from binlog_processer_spark.operators.unigram import (
-            encode as uencode,
-            train_unigram,
+            seed_model_df,
+            viterbi_encode_stats,
         )
 
         docs = _docs(spark, sf_dir)
-        model = train_unigram(
-            docs, vocab_size=48, seed_size=512, min_count=2
-        )
-        return encode_stats(uencode(docs, model))
+        model = seed_model_df(docs, seed_size=512, min_count=2)
+        return viterbi_encode_stats(docs, model)
 
-    q["token_unigram_encode_stats"] = token_unigram_encode_stats
+    q["token_unigram_viterbi_stats"] = token_unigram_viterbi_stats
 
     def token_doc_frequency(spark, sf_dir):
         from binlog_processer_spark.operators.tokens import (
@@ -2980,6 +3273,22 @@ grid AS (
         "              unnest(tokens[2:len(tokens)]) AS p2 FROM kept)"
         " GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 100",
         _X_ENRICHED,
+    )
+    # BPE trainer: generated chained-CTE replay of the driver merge loop
+    # (one CTE round per merge; see _bpe_train_ctes). Parameters must
+    # match the queries() entries exactly.
+    o["token_bpe_merges"] = _bpe_merges_oracle(
+        num_merges=64, min_count=2, max_words=65536
+    )
+    o["token_bpe_encode_stats"] = _bpe_encode_stats_oracle(
+        num_merges=64, min_count=2, max_words=65536
+    )
+    # unigram trainer stages: seed inventory + quantized-model Viterbi
+    o["token_unigram_seed"] = _unigram_seed_oracle(
+        seed_size=512, min_count=2
+    )
+    o["token_unigram_viterbi_stats"] = _unigram_viterbi_stats_oracle(
+        seed_size=512, min_count=2
     )
     o["token_doc_frequency"] = _oracle_full(
         "SELECT token, df_cnt FROM ("

@@ -325,6 +325,199 @@ def encode(
     return cols.mapInPandas(run, schema=_ENCODE_SCHEMA)
 
 
+def seed_pieces_df(
+    docs: DataFrame,
+    seed_size: int = 512,
+    max_piece_len: int = 8,
+    min_count: int = 2,
+    max_words: int = MAX_TRAIN_WORDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed seed-inventory construction — stage 1 of the unigram
+    trainer (``_seed_pieces``), fully relational so it carries a DuckDB
+    oracle: every substring (length <= ``max_piece_len``) of the capped
+    word table, scored ``sum(count * len)``; all single characters kept
+    for coverage, plus the top ``seed_size - n_chars`` multi-char pieces
+    on the (score DESC, piece ASC) total order.
+
+    Scale shape: the substring explode fans each distinct word into
+    O(len x max_piece_len) rows but immediately hash-aggregates to the
+    DISTINCT piece space (bounded by the capped word table, not the
+    corpus), and the ranking window runs over that aggregated table —
+    thousands of rows at any corpus size, so the single-partition window
+    is not a bottleneck. Output: (piece, plen, score, is_char).
+    """
+    wc = (
+        word_counts(docs, text_col)
+        .where(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(max_words)
+    )
+    pieces = wc.select(
+        F.expr(
+            "explode(flatten(transform(sequence(1, length(word)), i ->"
+            f" transform(sequence(1, least({int(max_piece_len)},"
+            " length(word) - i + 1)), n -> substring(word, i, n)))))"
+        ).alias("piece"),
+        "cnt",
+    )
+    scores = pieces.groupBy("piece").agg(
+        F.sum(F.col("cnt") * F.length("piece")).cast("bigint").alias("score")
+    )
+    from pyspark.sql import Window
+
+    n_chars = scores.where(F.length("piece") == 1).agg(
+        F.count(F.lit(1)).alias("n_chars")
+    )
+    ranked = (
+        scores.withColumn("plen", F.length("piece").cast("int"))
+        .withColumn(
+            "rn",
+            F.when(F.col("plen") > 1, F.row_number().over(
+                Window.partitionBy(F.col("plen") > 1)
+                .orderBy(F.desc("score"), "piece")
+            )),
+        )
+        .crossJoin(F.broadcast(n_chars))
+    )
+    return ranked.where(
+        (F.col("plen") == 1)
+        | (F.col("rn") <= F.greatest(
+            F.lit(int(seed_size)) - F.col("n_chars"), F.lit(0)))
+    ).select(
+        "piece",
+        "plen",
+        "score",
+        (F.col("plen") == 1).cast("int").alias("is_char"),
+    )
+
+
+def seed_model_df(
+    docs: DataFrame,
+    seed_size: int = 512,
+    max_piece_len: int = 8,
+    min_count: int = 2,
+    max_words: int = MAX_TRAIN_WORDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The trainer's EM-initialization model with INTEGER micro-nat
+    log-probs: ``lp_un = round((ln(score) - ln(total)) * 1e6)`` over the
+    kept seed inventory (``_normalize`` of the seed scores, quantized to
+    the repo's fixed-point canon so Viterbi sums are exact integers —
+    order-independent on any cluster, and replayable by DuckDB).
+    """
+    from pyspark.sql import Window
+
+    seed = seed_pieces_df(
+        docs, seed_size, max_piece_len, min_count, max_words, text_col
+    )
+    total = F.sum("score").over(Window.partitionBy())
+    return seed.select(
+        "piece",
+        "plen",
+        "score",
+        F.round((F.log("score") - F.log(total)) * 1_000_000)
+        .cast("bigint")
+        .alias("lp_un"),
+    )
+
+
+def _viterbi_pieces_int(
+    word: str, lp: dict, max_piece_len: int, unk_un: int
+) -> int:
+    """Piece COUNT of the best segmentation under integer micro-nat
+    weights — the integer-exact core of ``viterbi_segment`` (the j
+    tie-break there only picks among equal (score, pieces) states, so
+    the count is identical)."""
+    n = len(word)
+    if n == 0:
+        return 0
+    best: list = [None] * (n + 1)
+    bestp: list[int] = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            if best[j] is None:
+                continue
+            w = lp.get(word[j:i])
+            if w is None:
+                if i - j > 1:
+                    continue
+                w = unk_un
+            cand = best[j] + w
+            cp = bestp[j] + 1
+            if (
+                best[i] is None
+                or cand > best[i]
+                or (cand == best[i] and cp < bestp[i])
+            ):
+                best[i] = cand
+                bestp[i] = cp
+    return bestp[n]
+
+
+def viterbi_encode_stats(
+    docs: DataFrame,
+    model: DataFrame,
+    max_piece_len: int = 8,
+    unk_char_un: int = int(UNK_CHAR_LOGPROB * 1_000_000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source compression report for Viterbi encoding under a
+    quantized (integer micro-nat) piece model — ``bpe.encode_stats``'s
+    schema, driven by the unigram encoder instead of merge ranks.
+
+    ``model`` is a (piece, lp_un) DataFrame (``seed_model_df``); it is
+    collected (bounded by seed_size) and rides the closure like the BPE
+    merge table. Integer DP makes the result a pure function of the
+    corpus, so the contract query carries a DuckDB oracle (a chained-CTE
+    dynamic program over prefix positions).
+    """
+    lp = {r["piece"]: int(r["lp_un"]) for r in model.select("piece", "lp_un").collect()}
+    L = int(max_piece_len)
+    unk = int(unk_char_un)
+
+    cols = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def enc(text: str) -> tuple:
+            n_pieces = 0
+            words = text.split()
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = _viterbi_pieces_int(w, lp, L, unk)
+                    cache[w] = got
+                n_pieces += got
+            return len(words), n_pieces
+
+        for pdf in batches:
+            res = [enc(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_words": [r[0] for r in res],
+                    "n_pieces": [r[1] for r in res],
+                    "n_chars": [len(t) for t in pdf["text"]],
+                    "ids": [[] for _ in res],
+                }
+            )
+
+    from binlog_processer_spark.operators.bpe import (
+        _ENCODE_SCHEMA,
+        encode_stats,
+    )
+
+    return encode_stats(cols.mapInPandas(run, schema=_ENCODE_SCHEMA))
+
+
 def vocab_df(spark, model: UnigramModel) -> DataFrame:
     """Fitted inventory as a DataFrame: (id, piece, logprob in
     milli-nats as bigint — the repo's hash-stable float convention)."""

@@ -120,3 +120,85 @@ def test_vocab_df_shape(spark):
     assert [r.id for r in rows] == list(range(len(m.pieces)))
     for r in rows:
         assert r.logprob_mn == int(round(m.logprobs[r.piece] * 1000))
+
+
+def test_seed_pieces_df_matches_driver_reference(spark):
+    # distributed seed inventory == _seed_pieces over the same word table
+    from binlog_processer_spark.operators.bpe import word_counts
+    from binlog_processer_spark.operators.unigram import (
+        _seed_pieces,
+        seed_pieces_df,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "s0", "the token the token stream"),
+        (2, "s0", "token stream of the corpus"),
+        (3, "s1", "stream the corpus token xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.piece: (r.score, r.is_char)
+        for r in seed_pieces_df(docs, seed_size=24, min_count=1).collect()
+    }
+    wc = [
+        (r.word, r.cnt)
+        for r in word_counts(docs)
+        .orderBy(F.desc("cnt"), "word")
+        .collect()
+    ]
+    want = _seed_pieces(wc, seed_size=24, max_piece_len=8)
+    assert set(got) == set(want)
+    for p, s in want.items():
+        assert got[p] == (s, int(len(p) == 1))
+
+
+def test_viterbi_pieces_int_matches_float_viterbi_counts():
+    # integer micro-nat weights: piece count equals the float Viterbi's
+    # when the float model IS the dequantized integers (exact ties keep
+    # the same fewer-pieces preference)
+    from binlog_processer_spark.operators.unigram import (
+        _viterbi_pieces_int,
+        viterbi_segment,
+    )
+
+    lp_un = {"a": -3_000_000, "b": -3_000_000, "ab": -1_000_000,
+             "abc": -9_000_000, "c": -2_000_000}
+    lp_f = {k: v / 1_000_000 for k, v in lp_un.items()}
+    for w in ("abc", "ababab", "abq", "q", "", "cabba"):
+        pieces, _ = viterbi_segment(w, lp_f)
+        assert _viterbi_pieces_int(w, lp_un, 8, -20_000_000) == len(pieces)
+
+
+def test_viterbi_encode_stats_matches_driver_recompute(spark):
+    from binlog_processer_spark.operators.unigram import (
+        _viterbi_pieces_int,
+        seed_model_df,
+        viterbi_encode_stats,
+    )
+
+    rows = [
+        (1, "s0", "the token the token stream"),
+        (2, "s0", "token stream of the corpus"),
+        (3, "s1", "stream the corpus token"),
+        (4, "s1", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    model = seed_model_df(docs, seed_size=32, min_count=1)
+    lp = {r.piece: int(r.lp_un) for r in model.collect()}
+    got = {r.source: r for r in viterbi_encode_stats(docs, model).collect()}
+    stats = {}
+    for _, src, t in rows:
+        t = t or ""
+        d = stats.setdefault(src, [0, 0, 0, 0])
+        words = t.split()
+        d[0] += 1
+        d[1] += len(words)
+        d[2] += sum(_viterbi_pieces_int(w, lp, 8, -20_000_000) for w in words)
+        d[3] += len(t)
+    assert set(got) == set(stats)
+    for src, (n_docs, words, pieces, chars) in stats.items():
+        r = got[src]
+        assert (r.docs, r.words, r.pieces, r.chars) == (
+            n_docs, words, pieces, chars,
+        )
