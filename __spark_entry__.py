@@ -2187,9 +2187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
-    # k-means-refined IVF: float cluster means are IEEE-order-dependent,
-    # so these two are deliberately rows-only — exactness vs a numpy
-    # reference and the recall/quality gates live in tests/test_kmeans.py
+    # k-means-refined IVF: the fixed-point Lloyd canon (1e-7-grain
+    # integer component sums, half-away mean rounding) makes refined
+    # centroids a pure function of the corpus, so both queries carry
+    # full DuckDB oracles (chained per-iteration CTE replay); the numpy
+    # tolerance + quality gates in tests/test_kmeans.py still pin them.
     def ann_ivf_refined(spark, sf_dir):
         from binlog_processer_spark.operators.similarity import ivf_topk
 
@@ -2228,9 +2230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_kmeans_quality"] = ann_kmeans_quality
 
-    # model-based quality filtering (operators/classifier.py): iterative
-    # GD with IEEE-order-dependent float sums, so rows-only — exactness
-    # is pinned by tests/test_classifier.py's numpy reference
+    # model-based quality filtering (operators/classifier.py): the
+    # fixed-point GD canon (integer margins/gradients on 1e-9/1e-7
+    # grains) makes training deterministic, so the query carries a full
+    # DuckDB oracle (generated chained-CTE GD replay); exactness is also
+    # pinned by tests/test_classifier.py's from-scratch reference
     def quality_classifier(spark, sf_dir):
         from binlog_processer_spark.operators.classifier import (
             quality_classifier_report,
@@ -4793,6 +4797,165 @@ grid AS (
         " cast(floor(coalesce(hits, 0) * 10000 / n_exact) AS bigint)"
         " AS recall_bp"
         " FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
+    )
+
+    # k-means-refined IVF: the fixed-point Lloyd canon (similarity.py
+    # kmeans_refine — 1e-7-grain integer component sums, half-away mean
+    # rounding) is a pure function of the corpus, so the oracle replays
+    # the refinement with one (assign, sums, new-centroids) CTE round
+    # per iteration, then runs the standard probe/score/rank tail.
+    def _ivf_refined_ctes(n_iters: int, n_cent: int, d: int) -> str:
+        ctes = [
+            "e AS (SELECT vec_id, embedding FROM embeddings)",
+            "cent0 AS MATERIALIZED (SELECT vec_id AS centroid_id,"
+            " cast(embedding AS double[]) AS c_emb FROM e"
+            f" ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {n_cent})",
+        ]
+        for t in range(n_iters + 1):
+            # assignment to cent{t}; rounds t < n_iters feed refinement,
+            # round n_iters is the candidate-fetch assignment
+            ctes.append(
+                f"asg{t} AS MATERIALIZED ("
+                " SELECT vec_id, centroid_id, embedding FROM ("
+                "  SELECT v.vec_id, c.centroid_id, v.embedding,"
+                "  row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+                f"  cast(round(({_cos_vc}) * 10000000) AS bigint) DESC,"
+                "  c.centroid_id) AS rn"
+                f"  FROM e v CROSS JOIN cent{t} c) WHERE rn = 1)"
+            )
+            if t == n_iters:
+                break
+            ctes.append(
+                f"sums{t} AS ("
+                " SELECT centroid_id, dim,"
+                " cast(sum(cast(round(cast(embedding[dim] AS double)"
+                " * 10000000) AS bigint)) AS bigint) AS s,"
+                " cast(count(*) AS bigint) AS cnt"
+                f" FROM asg{t} CROSS JOIN (SELECT"
+                f" unnest(generate_series(1, {d})) AS dim) g"
+                " GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"cent{t+1} AS MATERIALIZED ("
+                " SELECT c.centroid_id, coalesce(m.nc, c.c_emb) AS c_emb"
+                f" FROM cent{t} c LEFT JOIN ("
+                "  SELECT centroid_id, list(cast(round(cast(s AS double)"
+                "  / cnt) AS bigint) / 10000000.0 ORDER BY dim) AS nc"
+                f"  FROM sums{t} GROUP BY centroid_id) m USING (centroid_id))"
+            )
+        return ",\n ".join(ctes)
+
+    _rT = 2  # refine_iters in queries()['ann_ivf_refined']
+    o["ann_ivf_refined"] = (
+        "WITH " + _ivf_refined_ctes(_rT, 16, 64) + ","
+        " q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e"
+        "  WHERE vec_id < 10),"
+        " probes AS (SELECT query_id, centroid_id FROM ("
+        "  SELECT q.query_id, c.centroid_id, row_number() OVER ("
+        "   PARTITION BY q.query_id ORDER BY"
+        f"   cast(round(({_cos_qc}) * 10000000) AS bigint) DESC,"
+        "   c.centroid_id) AS rn"
+        f"  FROM q CROSS JOIN cent{_rT} c) WHERE rn <= 4),"
+        f" cand AS (SELECT query_id, a.vec_id FROM probes"
+        f"  JOIN asg{_rT} a USING (centroid_id)"
+        "  WHERE a.vec_id <> query_id),"
+        " scored AS (SELECT c.query_id, c.vec_id,"
+        f"  cast(round(({_cos64}) * 10000) AS bigint) AS cosine_bp"
+        "  FROM cand c JOIN e ON e.vec_id = c.vec_id"
+        "  JOIN q ON q.query_id = c.query_id),"
+        " ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine_bp DESC, vec_id ASC) AS rank FROM scored)"
+        " SELECT query_id, vec_id, cosine_bp, cast(rank AS int) AS rank"
+        " FROM ranked WHERE rank <= 5"
+    )
+    # logistic-regression quality gate (operators/classifier.py): the
+    # fixed-point canon (1e-9 integer weight grid, 1e-7 error grain,
+    # integer margins and gradient sums) makes training a pure function
+    # of the corpus, so the oracle replays the full-batch GD loop with
+    # one (margin, error, gradient, weight-update) CTE round per
+    # iteration and then scores + aggregates the confusion counts.
+    def _quality_classifier_oracle(
+        k: int, n_iters: int, threshold_bp: int
+    ) -> str:
+        hash_sql = (
+            f"cast(('0x' || substr(md5(w), 1, 8))::bigint % {k} AS int)"
+        )
+        ctes = [
+            "feats AS MATERIALIZED ("
+            " SELECT doc_id, source, cast(length(text) > 120 AS int) AS y,"
+            " list_append(list_transform(list_filter("
+            "  str_split_regex(trim(coalesce(text, '')), '\\s+'),"
+            f"  w -> length(w) > 0), w -> {hash_sql}), {k}) AS idxs"
+            " FROM documents)",
+            "occ AS MATERIALIZED (SELECT doc_id, unnest(idxs) AS idx"
+            " FROM feats)",
+            "nn AS (SELECT cast(count(*) AS bigint) AS n FROM feats)",
+            f"w0 AS (SELECT unnest(generate_series(0, {k})) AS idx,"
+            " cast(0 AS bigint) AS wf)",
+        ]
+        for t in range(n_iters):
+            ctes.append(
+                f"m{t} AS MATERIALIZED ("
+                " SELECT o.doc_id, cast(sum(w.wf) AS bigint) AS mfp"
+                f" FROM occ o JOIN w{t} w USING (idx) GROUP BY 1)"
+            )
+            ctes.append(
+                f"e{t} AS MATERIALIZED ("
+                " SELECT f.doc_id, cast(round((1e0 / (1e0 + exp(-("
+                " cast(m.mfp AS double) / 1e9))) - f.y) * 1e7)"
+                " AS bigint) AS efp"
+                f" FROM feats f JOIN m{t} m USING (doc_id))"
+            )
+            ctes.append(
+                f"g{t} AS (SELECT o.idx, cast(sum(e.efp) AS bigint) AS gf"
+                f" FROM occ o JOIN e{t} e USING (doc_id) GROUP BY 1)"
+            )
+            ctes.append(
+                f"w{t+1} AS MATERIALIZED ("
+                " SELECT w.idx, cast(round((cast(w.wf AS double) / 1e9"
+                " - 5e-1 * ((cast(coalesce(g.gf, 0) AS double) / 1e7) / n"
+                " + 1e-4 * (cast(w.wf AS double) / 1e9))) * 1e9)"
+                " AS bigint) AS wf"
+                f" FROM w{t} w LEFT JOIN g{t} g USING (idx) CROSS JOIN nn)"
+            )
+        T = n_iters
+        ctes.append(
+            f"mf AS (SELECT o.doc_id, cast(sum(w.wf) AS bigint) AS mfp"
+            f" FROM occ o JOIN w{T} w USING (idx) GROUP BY 1)"
+        )
+        ctes.append(
+            "pred AS (SELECT f.doc_id, f.source, f.y,"
+            " CASE WHEN cast(round(1e4 / (1e0 + exp(-("
+            " cast(m.mfp AS double) / 1e9)))) AS bigint)"
+            f" >= {threshold_bp} THEN 1 ELSE 0 END AS p"
+            " FROM feats f JOIN mf m USING (doc_id))"
+        )
+        return (
+            "WITH " + ",\n ".join(ctes)
+            + " SELECT source,"
+            " cast(sum(p * y) AS bigint) AS tp,"
+            " cast(sum(p * (1 - y)) AS bigint) AS fp,"
+            " cast(sum((1 - p) * y) AS bigint) AS fn,"
+            " cast(sum((1 - p) * (1 - y)) AS bigint) AS tn,"
+            " cast(floor((sum(p * y) + sum((1 - p) * (1 - y))) * 1000000"
+            " / count(*)) AS bigint) AS accuracy_ppm"
+            " FROM pred GROUP BY source ORDER BY source"
+        )
+
+    o["quality_classifier"] = _quality_classifier_oracle(
+        k=64, n_iters=15, threshold_bp=5000
+    )
+    # clustering-quality report over the same refined centroids: the
+    # 1e-7-grain sim_fp sum is integer, so the mean is order-independent
+    o["ann_kmeans_quality"] = (
+        "WITH " + _ivf_refined_ctes(_rT, 16, 64) + ","
+        " simq AS (SELECT a.vec_id, a.centroid_id,"
+        f"  cast(round(({_cos_vc}) * 10000000) AS bigint) AS sim_fp"
+        f"  FROM asg{_rT} a JOIN cent{_rT} c USING (centroid_id))"
+        " SELECT cast(round((cast(sum(sim_fp) AS double) / count(*))"
+        " / 1000.0) AS bigint) AS mean_sim_bp,"
+        " cast(count(DISTINCT centroid_id) AS bigint) AS live_clusters,"
+        " cast(count(*) AS bigint) AS vectors FROM simq"
     )
     # product quantization: md5-seeded codebooks (code = md5-order rank),
     # per-subspace squared-L2 on the normalized vector rounded to 1e7

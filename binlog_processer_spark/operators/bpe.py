@@ -34,10 +34,11 @@ implemented by subword-nmt / HuggingFace tokenizers:
 Ties in the argmax are broken deterministically (highest count, then
 lexicographically smallest pair) so the learned vocabulary is a pure
 function of the corpus — the same property every oracle-gated query in
-this repo relies on. The trainer is an iterative algorithm, so its
-contract queries are deliberately rows-only (no DuckDB twin); exactness
-is pinned by tests/test_bpe.py's from-scratch reference implementation
-instead.
+this repo relies on. The merge loop is pure integer arithmetic over the
+capped word table, so the contract queries carry full DuckDB oracles
+(a generated chained-CTE replay of the loop — ``_bpe_merges_oracle`` in
+``__spark_entry__``); tests/test_bpe.py's from-scratch reference pins
+the semantics a second way.
 
 Reference parity: the reference engine (binlog-processer) has no
 tokenizer; this module is part of the LLM-training-pipeline surface the

@@ -23,10 +23,17 @@ Layout (the Spark-idiomatic distributed-LR shape):
   subsample per round (the deterministic md5 sampler composes directly)
   — the aggregate shape is unchanged.
 
-Float sums are IEEE-order-dependent, so trained weights are
-deterministic only up to reordering: contract queries built on this are
-rows-only, and exactness is pinned by tests/test_classifier.py's numpy
-reference implementation (same algorithm, same hashing) instead.
+Determinism canon (fixed-point): weights live on a 1e-9 integer grain
+and per-row errors round to a 1e-7 grain BEFORE the gradient sum, so
+every aggregate in the loop is an INTEGER sum — associative and
+commutative, hence exactly reproducible on any partitioning, any
+cluster size, any engine. The weight update itself runs on the driver
+over those integers with the shared round-half-away canon. Trained
+weights are therefore a pure function of the corpus and the contract
+query carries a full DuckDB value-hash oracle (a generated
+chained-CTE gradient-descent replay in ``__spark_entry__``);
+tests/test_classifier.py's from-scratch reference pins the same canon
+bit-for-bit.
 
 Reference parity: the reference engine has no trainer; this is part of
 the LLM-training-pipeline surface the build brief mandates alongside
@@ -40,7 +47,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from binlog_processer_spark.operators.similarity import _round_half_away
+
 BIAS = "__bias__"  # the bias term rides as one extra feature index (k)
+W_SCALE = 1_000_000_000  # 1e-9 weight grain
+ERR_SCALE = 10_000_000  # 1e-7 per-row error grain
 
 
 def hash_features(
@@ -48,13 +59,18 @@ def hash_features(
 ) -> DataFrame:
     """(doc_id, idxs): hashed bag-of-words token indices, pure codegen.
 
-    ``crc32`` is a JVM builtin both deterministic and cheap; the bias
-    index ``k`` is appended so the model trains an intercept through the
-    same path as every other weight."""
+    The hash is the repo-wide md5 canon (first 8 hex digits as an
+    integer, mod k) — DuckDB computes the identical value with
+    ``('0x' || substr(md5(w), 1, 8))::bigint % k``, which is what lets
+    the training loop carry a cross-engine oracle (crc32, the previous
+    choice, has no DuckDB builtin). The bias index ``k`` is appended so
+    the model trains an intercept through the same path as every other
+    weight."""
     split_sql = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
     idxs = F.expr(
         f"transform(filter({split_sql}, w -> length(w) > 0),"
-        f" w -> cast(crc32(encode(w, 'utf-8')) % {k} as int))"
+        f" w -> cast(cast(conv(substr(md5(encode(w, 'utf-8')), 1, 8),"
+        f" 16, 10) as bigint) % {k} as int))"
     )
     return docs.select(
         "doc_id",
@@ -62,15 +78,33 @@ def hash_features(
     )
 
 
-def _w_lit(w: list[float]) -> str:
-    return "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+def hash_idx(word: str, k: int) -> int:
+    """Driver-side twin of the hashing expression (tests use it)."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % k
+
+
+def _wfp_lit(w_fp: list[int]) -> str:
+    return "array(" + ", ".join(f"{int(x)}L" for x in w_fp) + ")"
+
+
+def _margin_fp(w_fp: list[int]) -> F.Column:
+    """w·x on the integer weight grain as one codegen fold over the
+    index array (counts implicit) — an integer sum, so the margin is
+    exact on any evaluation order."""
+    return F.expr(
+        f"aggregate(idxs, 0L, (acc, j) ->"
+        f" acc + element_at({_wfp_lit(w_fp)}, j + 1))"
+    )
 
 
 def _margin(w: list[float]) -> F.Column:
-    """w·x as one codegen fold over the index array (counts implicit)."""
-    return F.expr(
-        f"aggregate(idxs, 0.0D, (acc, j) ->"
-        f" acc + element_at({_w_lit(w)}, j + 1))"
+    """Float-weight margin: requantize to the 1e-9 grain (exact for any
+    weight that came off the grain) and fold as integers."""
+    return (
+        _margin_fp([_round_half_away(x * W_SCALE) for x in w]).cast("double")
+        / F.lit(float(W_SCALE))
     )
 
 
@@ -93,19 +127,35 @@ def train_logreg(
     n = t.count()
     if n == 0:
         raise ValueError("train_logreg: empty training set")
-    w = [0.0] * (k + 1)
+    w_fp = [0] * (k + 1)
     history: list[dict] = []
     for it in range(n_iters):
-        scored = t.withColumn("__m", _margin(w)).withColumn(
-            "__err",
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))) - F.col("y"),
+        # margin on the integer grain (exact under any fold order), then
+        # the per-row error ROUNDS to the 1e-7 grain before summing — so
+        # the gradient aggregate is an integer sum, order-independent
+        scored = (
+            t.withColumn("__mfp", _margin_fp(w_fp))
+            .withColumn(
+                "__m",
+                F.col("__mfp").cast("double") / F.lit(float(W_SCALE)),
+            )
+            .withColumn(
+                "__efp",
+                F.round(
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                        - F.col("y")
+                    )
+                    * ERR_SCALE
+                ).cast("bigint"),
+            )
         )
         # loss + gradient come out of ONE pass over the scored relation:
         # log(1+exp(-m)) + (1-y)*m is the numerically-safe log-loss
         agg = (
             scored.select(
                 F.explode("idxs").alias("idx"),
-                "__err",
+                "__efp",
                 F.when(
                     F.col("__m") > 0,
                     F.log1p(F.exp(-F.col("__m")))
@@ -119,24 +169,33 @@ def train_logreg(
             )
             .groupBy("idx")
             .agg(
-                F.sum("__err").alias("g"),
+                F.sum("__efp").cast("bigint").alias("g_fp"),
                 F.sum(F.col("__l") * F.col("__lw")).alias("l"),
             )
             .collect()
         )
-        grad = [0.0] * (k + 1)
+        grad_fp = [0] * (k + 1)
         loss = 0.0
         for r in agg:
-            grad[int(r["idx"])] = float(r["g"])
+            grad_fp[int(r["idx"])] = int(r["g_fp"])
             loss += float(r["l"])
-        w = [
-            wi - lr * (gi / n + l2 * wi)
-            for wi, gi in zip(w, grad)
+        # driver-side update over integers with the shared rounding
+        # canon: every term derives from exact int64s via deterministic
+        # IEEE double ops, so the new grid point is engine-independent
+        w_fp = [
+            _round_half_away(
+                (
+                    wf / W_SCALE
+                    - lr * ((gf / ERR_SCALE) / n + l2 * (wf / W_SCALE))
+                )
+                * W_SCALE
+            )
+            for wf, gf in zip(w_fp, grad_fp)
         ]
         history.append(
             {"iter": it, "loss_ppm": int(loss / n * 1_000_000)}
         )
-    return w, history
+    return [wf / W_SCALE for wf in w_fp], history
 
 
 def score(feats: DataFrame, w: list[float]) -> DataFrame:

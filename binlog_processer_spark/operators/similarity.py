@@ -408,8 +408,8 @@ def ivf_topk(
     are scored exactly. ``refine_iters > 0`` runs that many Lloyd rounds
     (``kmeans_refine``) on the seeded centroids first — better-centered
     partitions raise recall at the same n_probe, at one corpus scan per
-    round (float means make the result IEEE-order-dependent, so refined
-    variants are rows-only in the oracle contract)."""
+    round (the fixed-point mean canon keeps refined variants
+    deterministic and oracle-gated)."""
     from ._cache import pin
 
     emb = embeddings.select("vec_id", "embedding")
@@ -596,6 +596,23 @@ def cosine_topk_int8(
     )
 
 
+def _round_half_away(x: float) -> int:
+    """Round-half-away-from-zero — the rounding canon Spark round() and
+    DuckDB round() share; Python's built-in round() is half-to-even and
+    would diverge from both on exact .5 boundaries. Implemented via an
+    exact fractional comparison rather than ``floor(x + 0.5)``, whose
+    addition can round up across the boundary (e.g. the largest double
+    below 0.5) and disagree with both engines."""
+    import math
+
+    a = math.floor(abs(x))
+    r = a + 1 if abs(x) - a >= 0.5 else a
+    return int(r) if x >= 0 else -int(r)
+
+
+MEAN_FP_SCALE = 10_000_000  # 1e-7 centroid-component grain
+
+
 def kmeans_refine(
     embeddings: DataFrame, centroids: DataFrame, n_iters: int = 3
 ) -> DataFrame:
@@ -605,22 +622,27 @@ def kmeans_refine(
 
     Each round: (1) nearest-centroid assignment by cosine via the
     zero-Exchange literal-matrix argmax (``ivf_assignments``, embedding
-    kept in-row); (2) per-cluster mean as d independent ``avg``
-    aggregates inside ONE hash groupBy — map-side partial combine means
-    the shuffle carries k × tasks partial rows, never vectors; (3) the
-    k×d result (tiny by construction) collects to the driver and
-    re-enters the next round as a fresh literal matrix, so the collect
-    truncates lineage every round — the same posture as
-    connected_components' localCheckpoint. Empty clusters keep their
-    previous centroid (standard Lloyd). Cost per round: one corpus scan
-    plus one bounded aggregate; ``n_iters`` is fixed — the production
-    knob, since each extra round is a full scan.
+    kept in-row); (2) per-cluster FIXED-POINT mean: each component is
+    rounded to the 1e-7 grain and summed as a bigint — integer sums are
+    associative/commutative, so the aggregate is EXACTLY the same on any
+    partitioning, any cluster size, any engine (the float-``avg``
+    predecessor depended on partial-combine order); d sum columns ride
+    ONE hash groupBy with map-side combine, so the shuffle carries
+    k × tasks partial rows, never vectors; (3) the k×d result (tiny by
+    construction) collects to the driver, the mean lands back on the
+    1e-7 grain (``_round_half_away(sum/cnt)``), and re-enters the next
+    round as a fresh literal matrix — the collect truncates lineage
+    every round, the same posture as connected_components'
+    localCheckpoint. Empty clusters keep their previous centroid
+    (standard Lloyd). Cost per round: one corpus scan plus one bounded
+    aggregate; ``n_iters`` is fixed — the production knob, since each
+    extra round is a full scan.
 
-    Float means depend on partial-aggregation order, so refined
-    centroids are deterministic only up to IEEE reordering — the
-    refinement is gated by pytest (numpy-reference tolerance + quality
-    improvement on a clustered corpus), not by the cross-engine
-    value-hash oracle; queries built on it are deliberately rows-only.
+    The fixed-point canon makes refined centroids a pure function of
+    the corpus, so queries built on the refinement carry full DuckDB
+    value-hash oracles (the chained per-round CTE replay in
+    ``__spark_entry__``); the numpy-tolerance and quality gates in
+    tests/test_kmeans.py still pin the semantics.
     """
     spark = centroids.sparkSession
     old = sorted(
@@ -633,15 +655,23 @@ def kmeans_refine(
     cents = centroids
     for _ in range(n_iters):
         asg = ivf_assignments(embeddings, cents, keep_embedding=True)
-        means = asg.groupBy("centroid_id").agg(
+        sums = asg.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
             *[
-                F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+                F.sum(
+                    F.round(
+                        F.col("embedding")[i].cast("double") * MEAN_FP_SCALE
+                    ).cast("bigint")
+                ).alias(f"s{i}")
                 for i in range(d)
-            ]
+            ],
         )
         new = {
-            int(r["centroid_id"]): [float(r[f"m{i}"]) for i in range(d)]
-            for r in means.collect()
+            int(r["centroid_id"]): [
+                _round_half_away(r[f"s{i}"] / r["cnt"]) / MEAN_FP_SCALE
+                for i in range(d)
+            ]
+            for r in sums.collect()
         }
         old = [(cid, new.get(cid, emb)) for cid, emb in old]
         cents = spark.createDataFrame(
@@ -655,7 +685,12 @@ def kmeans_quality(
 ) -> DataFrame:
     """One-row clustering-quality report: mean cosine similarity (in
     basis points) of every vector to its assigned centroid, plus the
-    live-cluster count — one assignment scan, one global aggregate."""
+    live-cluster count — one assignment scan, one global aggregate.
+
+    The mean rides the fixed-point canon: per-vector similarity rounds
+    to the 1e-7 grain (bigint) BEFORE the sum, so the aggregate is
+    order-independent and the published mean_sim_bp is a pure function
+    of the corpus — oracle-gated, like ``kmeans_refine``."""
     asg = ivf_assignments(embeddings, centroids, keep_embedding=True)
     cmap = {
         int(r["centroid_id"]): [float(x) for x in r["c_emb"]]
@@ -679,14 +714,24 @@ def kmeans_quality(
     return (
         asg.withColumn("__c", c_emb)
         .select(
-            cosine_expr("embedding", "__c").alias("sim"), "centroid_id"
+            F.round(cosine_expr("embedding", "__c") * MEAN_FP_SCALE)
+            .cast("bigint")
+            .alias("sim_fp"),
+            "centroid_id",
         )
         .agg(
-            F.round(F.avg("sim") * 10000)
-            .cast("bigint")
-            .alias("mean_sim_bp"),
+            F.sum("sim_fp").cast("bigint").alias("__ssim"),
             F.count_distinct("centroid_id").alias("live_clusters"),
             F.count(F.lit(1)).cast("bigint").alias("vectors"),
+        )
+        .select(
+            F.round(
+                (F.col("__ssim").cast("double") / F.col("vectors")) / 1000.0
+            )
+            .cast("bigint")
+            .alias("mean_sim_bp"),
+            "live_clusters",
+            "vectors",
         )
     )
 

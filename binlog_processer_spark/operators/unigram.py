@@ -33,9 +33,14 @@ expected counts, and count-based pruning (drop lowest expected count,
 tie lexicographic) instead of likelihood-loss ranking. Both keep the
 trainer a pure function of the corpus — the property every oracle-gated
 query in this repo relies on — at the cost of slightly different (not
-worse-in-kind) vocabularies than sentencepiece's. The contract queries
-are rows-only (iterative algorithm); exactness is pinned by
-tests/test_unigram.py's from-scratch reference.
+worse-in-kind) vocabularies than sentencepiece's. The float-EM
+refinement itself has no cross-engine twin (IEEE log-probs), so it
+lives behind the run_tokenize CLI and tests/test_unigram.py's
+from-scratch reference; the DRIVER-facing contract queries are the
+trainer's two relational stages — ``seed_pieces_df`` (integer substring
+scores) and ``viterbi_encode_stats`` (integer micro-nat Viterbi under
+the quantized EM-initialization model, ``seed_model_df``) — each with
+an exact DuckDB oracle.
 
 Reference parity: the reference engine has no tokenizer; this module is
 part of the LLM-training-pipeline surface the build brief mandates

@@ -1,18 +1,22 @@
-"""Distributed logistic regression: numpy-reference agreement, linearly-
-separable learnability with a holdout, zero-shuffle scoring plan. Float
-sums are IEEE-order-dependent — hence tolerances here and rows-only
-status in the oracle contract."""
+"""Distributed logistic regression: from-scratch fixed-point reference
+agreement (EXACT — the 1e-9 weight grid / 1e-7 error grain makes
+training a pure function of the corpus), linearly-separable
+learnability with a holdout, zero-shuffle scoring plan."""
 
 from __future__ import annotations
 
-import zlib
+import hashlib
+import math
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from binlog_processer_spark.operators.classifier import (
+    ERR_SCALE,
+    W_SCALE,
     hash_features,
+    hash_idx,
     quality_classifier_report,
     score,
     sigmoid,
@@ -43,41 +47,63 @@ def docs(spark):
 
 
 def _idxs(text, k=K):
-    ix = [zlib.crc32(w.encode()) % k for w in text.split() if w]
+    ix = [
+        int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % k
+        for w in text.split()
+        if w
+    ]
     return ix + [k]  # bias index
 
 
-def _numpy_gd(rows, k, n_iters, lr=0.5, l2=1e-4):
-    """Reference: same hashing, same full-batch GD, same L2."""
+def _rha(x):
+    a = math.floor(abs(x))
+    r = a + 1 if abs(x) - a >= 0.5 else a
+    return int(r) if x >= 0 else -int(r)
+
+
+def _fixed_point_gd(rows, k, n_iters, lr=0.5, l2=1e-4):
+    """From-scratch reference of the fixed-point canon: integer margins
+    (1e-9 weight grid), per-row errors rounded to the 1e-7 grain before
+    the gradient sum, half-away-from-zero weight requantization."""
     feats = [(_idxs(t), y) for _, t, _, y in rows]
     n = len(feats)
-    w = np.zeros(k + 1)
+    w_fp = [0] * (k + 1)
     for _ in range(n_iters):
-        grad = np.zeros(k + 1)
+        grad_fp = [0] * (k + 1)
         for ix, y in feats:
-            m = sum(w[j] for j in ix)
-            err = sigmoid(m) - y
+            m = sum(w_fp[j] for j in ix) / W_SCALE
+            efp = _rha((sigmoid(m) - y) * ERR_SCALE)
             for j in ix:
-                grad[j] += err
-        w = w - lr * (grad / n + l2 * w)
-    return w
+                grad_fp[j] += efp
+        w_fp = [
+            _rha(
+                (
+                    wf / W_SCALE
+                    - lr * ((gf / ERR_SCALE) / n + l2 * (wf / W_SCALE))
+                )
+                * W_SCALE
+            )
+            for wf, gf in zip(w_fp, grad_fp)
+        ]
+    return [wf / W_SCALE for wf in w_fp]
 
 
-def test_hash_features_matches_crc32(spark, docs):
+def test_hash_features_matches_md5_canon(spark, docs):
     got = {
         r["doc_id"]: list(r["idxs"])
         for r in hash_features(docs, K).collect()
     }
     for i, t, _, _ in _docs():
         assert got[i] == _idxs(t)
+        assert got[i][:-1] == [hash_idx(w, K) for w in t.split()]
 
 
-def test_train_matches_numpy_reference(spark, docs):
+def test_train_matches_fixed_point_reference_exactly(spark, docs):
     feats = hash_features(docs, K)
     train = feats.join(docs.select("doc_id", "y"), "doc_id")
     w, history = train_logreg(train, k=K, n_iters=10)
-    want = _numpy_gd(_docs(), K, 10)
-    np.testing.assert_allclose(w, want, rtol=1e-6, atol=1e-9)
+    want = _fixed_point_gd(_docs(), K, 10)
+    assert w == want  # exact: integer grid, no tolerance needed
     # loss decreases monotonically on a separable problem
     losses = [h["loss_ppm"] for h in history]
     assert losses == sorted(losses, reverse=True)
