@@ -1071,16 +1071,18 @@ def pq_topk(
         x = [float(v) for v in r["embedding"]]
         n = math.sqrt(sum(v * v for v in x))
         u = [v / n for v in x]
+        # _round_half_away, NOT Python round(): the driver LUT must
+        # share the half-away-from-zero canon of pq_encode's Spark
+        # round() and the oracle's DuckDB round() — Python's built-in
+        # is half-to-even and would diverge on exact .5 boundaries
         lut = [
             [
-                int(
-                    round(
-                        sum(
-                            (u[j * dsub + i] - cw[i]) ** 2
-                            for i in range(dsub)
-                        )
-                        * 10000000
+                _round_half_away(
+                    sum(
+                        (u[j * dsub + i] - cw[i]) ** 2
+                        for i in range(dsub)
                     )
+                    * 10000000
                 )
                 for cw in books[j]
             ]

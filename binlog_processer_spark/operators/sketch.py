@@ -257,11 +257,18 @@ def hll_distinct(
     )
 
 
-def hll_estimate(regs: DataFrame, b: int) -> DataFrame:
-    """Estimate report from a (source, bucket, rho) register relation —
-    shared verbatim by the batch sketch and the streaming register
+def hll_estimate(
+    regs: DataFrame, b: int, key_cols: tuple = ("source",)
+) -> DataFrame:
+    """Estimate report from a (*key_cols, bucket, rho) register relation
+    — shared verbatim by the batch sketch and the streaming register
     accumulator, so a stream that merged its registers per micro-batch
-    publishes the EXACT rows the one-shot batch sketch publishes."""
+    publishes the EXACT rows the one-shot batch sketch publishes.
+    ``key_cols`` generalizes the grouping (hll_rollup groups by
+    (level, key) — keeping them as real columns rather than a delimited
+    concat means a key containing the delimiter can never collapse two
+    rollup rows)."""
+    key_cols = list(key_cols)
     m = 1 << b
     # Flajolet's bias constant for m >= 128 (b=10 -> 0.72125...)
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -269,7 +276,7 @@ def hll_estimate(regs: DataFrame, b: int) -> DataFrame:
     # then evaluate a single division on identical operands — no
     # multiply-order or decimal-literal ambiguity can creep in
     numer = ((alpha * m) * m) * float(1 << 33)
-    agg = regs.groupBy("source").agg(
+    agg = regs.groupBy(*key_cols).agg(
         F.count("*").cast("bigint").alias("nonzero"),
         F.sum(
             F.pow(F.lit(2.0), (F.lit(33) - F.col("rho")))
@@ -284,7 +291,7 @@ def hll_estimate(regs: DataFrame, b: int) -> DataFrame:
         F.col("present_scaled") + zero * F.lit(1 << 33)
     ).cast("bigint")
     agg = agg.select(
-        "source",
+        *key_cols,
         zero.alias("zero_registers"),
         sum_scaled.alias("sum_scaled"),
     )
@@ -296,7 +303,7 @@ def hll_estimate(regs: DataFrame, b: int) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers")),
     ).otherwise(raw)
     return agg.select(
-        "source",
+        *key_cols,
         "zero_registers",
         "sum_scaled",
         F.floor(corrected).cast("bigint").alias("est_distinct"),
@@ -626,9 +633,13 @@ def kmv_row_sample(kept: DataFrame, k: int) -> DataFrame:
         schema="source string, h bigint, seq bigint, val bigint",
     )
     w = Window.partitionBy("source").orderBy("h", "seq")
+    # no distinct() here: each row lives in exactly one partition and
+    # event_seq is unique, so candidates cannot repeat across partitions
+    # (unlike kmv_distinct, where the same HASH VALUE recurs and the
+    # distinct is load-bearing) — the ranking window alone truncates the
+    # numPartitions x k candidates to the bottom k
     return (
-        cand.distinct()  # candidates from different partitions can repeat
-        .withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("source", "h", "seq", "val")
     )
@@ -823,19 +834,10 @@ def hll_rollup(kept: DataFrame, b: int = 10) -> DataFrame:
         "rho",
     )
     levels = lv_table.unionByName(lv_db).unionByName(lv_all)
-    est = hll_estimate(
-        levels.withColumnRenamed("level", "lv").select(
-            F.concat_ws("|", "lv", "key").alias("source"), "bucket", "rho"
-        ),
-        b,
-    )
-    out = est.select(
-        F.split(F.col("source"), "\\|").getItem(0).alias("level"),
-        F.split(F.col("source"), "\\|").getItem(1).alias("key"),
-        "zero_registers",
-        "sum_scaled",
-        "est_distinct",
-    )
+    # (level, key) stay real grouping columns through hll_estimate — a
+    # route or database name containing any would-be delimiter can never
+    # collapse two rollup rows
+    out = hll_estimate(levels, b, key_cols=("level", "key"))
     return out.orderBy("level", "key")
 
 

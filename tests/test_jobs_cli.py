@@ -736,9 +736,10 @@ def test_verify_cli_freshness_timeline(tmp_path):
     m = _run(["jobs/run_verify.py", "--warehouse", wh, "--freshness"])
     assert m["findings_total"] == 0
     # the generated corpus is day-dense per sink, so the dense calendar
-    # exists and has no silent days; the table is published
+    # exists and has EXACTLY zero silent days — an >= 0 assertion would
+    # be vacuously true and miss a zero-fill accounting regression
     assert m["timeline_days"] > 0
-    assert m["silent_sink_days"] >= 0
+    assert m["silent_sink_days"] == 0
     import os
 
     assert os.path.exists(os.path.join(wh, "freshness", "_current"))

@@ -356,11 +356,18 @@ def test_pq_encode_matches_numpy_reference(spark):
         x = np.array([float(v) for v in r["embedding"]])
         u = x / np.sqrt(float(sum(v * v for v in x.tolist())))
         want = []
+        from binlog_processer_spark.operators.similarity import (
+            _round_half_away,
+        )
+
         for j in range(4):
             s = u[j * dsub:(j + 1) * dsub]
-            d2 = np.round(((B[j] - s) ** 2).sum(axis=1) * 1e7).astype(
-                np.int64
-            )
+            # half-away-from-zero, matching the Spark/DuckDB canon
+            # (np.round is half-to-even and can skew on .5 boundaries)
+            d2 = np.array([
+                _round_half_away(float(v))
+                for v in ((B[j] - s) ** 2).sum(axis=1) * 1e7
+            ], dtype=np.int64)
             want.append(int(np.argmin(d2)))  # argmin ties -> lowest idx
         assert got[int(r["vec_id"])] == want, r["vec_id"]
 
