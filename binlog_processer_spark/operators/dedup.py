@@ -158,6 +158,32 @@ def minhash_lsh_pairs(
     )
 
 
+def pairs_from_band_index(index_bands: DataFrame) -> DataFrame:
+    """Candidate pairs from an ALREADY-MATERIALIZED band relation
+    (``minhash_bands`` output read back from a snapshot table) — the
+    band-bucket self-join of ``minhash_lsh_pairs`` without re-shingling
+    or re-hashing the corpus. Bit-identical pairs (band hashes are exact
+    md5 strings), so any consumer keeps its oracle; the corpus-scan +
+    signature cost is paid once by whoever maintains the index
+    (``incremental_minhash_pairs`` appends to the same relation).
+    """
+    b = index_bands.select("doc_id", "band_id", "band_hash")
+    left, right = b.alias("l"), b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash: per-bit majority vote over word md5s → bit string.
 

@@ -1113,3 +1113,242 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_fp", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (Jégou et al. 2011 §IV): coarse IVF quantizer + PQ on the
+# RESIDUALS, probed by per-list ADC — the standard 10^9-vector ANN
+# composition SURVEY's scale plan names. The two halves above (ivf_*,
+# pq_*) are composed, not duplicated.
+# ---------------------------------------------------------------------------
+
+
+def _unit(x: list[float]) -> list[float]:
+    """Driver-side L2 normalize with the same sequential fold as the
+    NORM SQL template (bit-identical IEEE op order)."""
+    import math
+
+    n = math.sqrt(sum(v * v for v in x))
+    return [v / n for v in x]
+
+
+def ivfadc_encode(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    dsub: int,
+) -> DataFrame:
+    """(vec_id, centroid_id, codes): assign each vector to its coarse
+    centroid (cosine argmax, the ivf canon) and PQ-encode the RESIDUAL
+    ``u − c_u`` (normalized vector minus normalized centroid) against
+    per-subspace residual codebooks.
+
+    ONE zero-Exchange codegen projection: the assignment argmax, the
+    centroid-unit lookup, the element-wise residual, and the m argmin
+    folds all ride literal arrays (the ivf_assignments / pq_encode
+    technique) — at 10^12 vectors this is a map-only scan emitting
+    centroid_id + m small ints per vector.
+    """
+    asg = ivf_assignments(embeddings, centroids, keep_embedding=True)
+    cmap = {
+        int(r["centroid_id"]): _unit([float(x) for x in r["c_emb"]])
+        for r in centroids.collect()
+    }
+    cu = F.element_at(
+        F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in emb) + ")"
+                for _, emb in sorted(cmap.items())
+            )
+            + ")"
+        ),
+        F.expr(
+            "array_position(array("
+            + ", ".join(f"{cid}L" for cid in sorted(cmap))
+            + "), centroid_id)"
+        ).cast("int"),
+    )
+    ks = len(books[0])
+    out = (
+        asg.withColumn("__u", _pq_unit("embedding"))
+        .withColumn("__cu", cu)
+        .withColumn("__r", F.expr("zip_with(__u, __cu, (x, y) -> x - y)"))
+    )
+    code_exprs = []
+    for j, book in enumerate(books):
+        out = out.withColumn(
+            f"__d2_{j}", F.expr(_pq_d2_fp("__r", book, j * dsub, dsub))
+        )
+        code_exprs.append(
+            f"-(array_max(transform(sequence(1, {ks}), c -> named_struct("
+            f"'s', -element_at(__d2_{j}, c), 'nc', -(c - 1)))).nc)"
+        )
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+    )
+
+
+def ivfadc_books(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    n_skip: int = 0,
+) -> tuple[list[list[list[float]]], int]:
+    """Deterministic residual codebooks: ks seed vectors in md5(vec_id)
+    order (the pq_codebooks seeding), each taken as its RESIDUAL against
+    its own assigned centroid — so codewords live in the residual space
+    the encoder quantizes. ``n_skip`` skips the first md5-order rows:
+    the COARSE centroids are drawn from the same order, and a seed that
+    is itself a centroid has a ~zero residual — ks such seeds would
+    collapse the codebook into ks copies of the origin and ADC could not
+    rank anything (callers pass n_skip=n_centroids). The seed assignment
+    is read back from the Spark assignment itself (a ks-row bounded
+    collect), so the books inherit the exact argmax canon."""
+    import math
+
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(int(n_skip) + ks)
+        .offset(int(n_skip))
+    )
+    asg = ivf_assignments(seeds, centroids, keep_embedding=True)
+    cmap = {
+        int(r["centroid_id"]): _unit([float(x) for x in r["c_emb"]])
+        for r in centroids.collect()
+    }
+    rows = sorted(
+        asg.collect(),
+        key=lambda r: (
+            __import__("hashlib").md5(str(int(r["vec_id"])).encode())
+            .hexdigest(),
+            int(r["vec_id"]),
+        ),
+    )
+    if not rows:
+        raise ValueError("ivfadc_books: empty embeddings")
+    d = len(rows[0]["embedding"])
+    if d % m != 0:
+        raise ValueError(f"ivfadc_books: m={m} must divide dim {d}")
+    dsub = d // m
+    residuals = []
+    for r in rows:
+        u = _unit([float(v) for v in r["embedding"]])
+        c = cmap[int(r["centroid_id"])]
+        residuals.append([a - b for a, b in zip(u, c)])
+    books = [
+        [r[j * dsub:(j + 1) * dsub] for r in residuals] for j in range(m)
+    ]
+    return books, dsub
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 8,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVFADC ANN: probe the ``n_probe`` closest inverted lists per
+    query and rank their members by asymmetric distance — the sum over
+    subspaces of the fixed-point squared L2 between the QUERY's residual
+    slice (``u_q − c_u`` per probed list) and the member's residual
+    CODEWORD. Candidates shrink to ~n·n_probe/n_centroids AND each is
+    touched only through its m codes — the composition that serves
+    10^9+ vectors (Jégou et al. 2011, the IVFADC system).
+
+    Output: (query_id, vec_id, adc_fp, rank), adc_fp integer (sum of
+    1e7-rounded per-subspace entries), rank ascending, ties to the
+    lowest vec_id. Everything is fixed-point / driver-literal
+    deterministic, so the query carries a full DuckDB value-hash oracle.
+
+    Scale posture: encode is one zero-Exchange map (persist it
+    centroid-partitioned for build-once/probe-many, like ivf_index);
+    per-query work is n_probe LUTs of m×ks bigints (driver-built,
+    broadcast) + an integer fold over the probed lists' codes. The
+    candidate fetch is ONE broadcast join on centroid_id.
+    """
+    from ._cache import pin
+
+    emb = embeddings.select("vec_id", "embedding")
+    cent = ivf_centroids(emb, n_centroids)
+    if refine_iters > 0:
+        cent = kmeans_refine(emb, cent, n_iters=refine_iters)
+    books, dsub = ivfadc_books(emb, cent, m=m, ks=ks, n_skip=n_centroids)
+    codes = pin(ivfadc_encode(emb, cent, books, dsub))
+
+    # probes: same fixed-point centroid ranking as ivf_topk
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _sim_fp("q_emb", "c_emb").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    # per-(query, probed list) ADC lookup tables, driver-built: the
+    # query's residual against that list's centroid vs every codeword
+    cmap = {
+        int(r["centroid_id"]): _unit([float(x) for x in r["c_emb"]])
+        for r in cent.collect()
+    }
+    qmap = {
+        int(r["query_id"]): _unit([float(x) for x in r["q_emb"]])
+        for r in q.collect()
+    }
+    lut_rows = []
+    for r in probes.collect():
+        qid, cid = int(r["query_id"]), int(r["centroid_id"])
+        rq = [a - b for a, b in zip(qmap[qid], cmap[cid])]
+        lut = [
+            [
+                _round_half_away(
+                    sum(
+                        (rq[j * dsub + i] - cw[i]) ** 2
+                        for i in range(dsub)
+                    )
+                    * 10000000
+                )
+                for cw in books[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((qid, cid, lut))
+    luts = embeddings.sparkSession.createDataFrame(
+        lut_rows,
+        schema="query_id bigint, centroid_id bigint,"
+        " lut array<array<bigint>>",
+    )
+    scored = (
+        codes.join(F.broadcast(luts), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(1, {m}), cast(0 as bigint),"
+                " (acc, j) -> acc + element_at(element_at(lut, j),"
+                " element_at(codes, j) + 1))"
+            ).alias("adc_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fp").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_fp", "rank")
+    )

@@ -286,6 +286,23 @@ def run_pipeline(
             "wall_sec": round(time.time() - t0, 3),
             "phase_sec": phases,
         }
+        # run-health report (the reference's t_binlog_process_report +
+        # Prometheus counters, DBbiz.java:133-156 / PrometheusMetrics.java):
+        # one narrow metric/value snapshot per run, next to lineage. The
+        # sink/tree cardinalities reuse the already-materialized rollup
+        # scan's committed table; the write is one tiny single-file commit
+        # OUTSIDE the measured wall (it reports that wall).
+        from ..operators.report import process_report_df
+
+        report = process_report_df(
+            spark,
+            metrics,
+            routed=committed,
+            routed_files=len(tables["routed"].data_files()),
+        )
+        rpt_tbl = SnapshotTable(os.path.join(out_dir, "process_report"))
+        rpt_tbl.write(report.coalesce(1), mode="append")
+        tables["process_report"] = rpt_tbl
         return PipelineResult(metrics=metrics, tables=tables)
     finally:
         if profile:

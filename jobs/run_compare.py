@@ -93,12 +93,57 @@ def main() -> None:
         "--no-drill", action="store_true",
         help="stop after the digest compare (monitoring mode)",
     )
+    ap.add_argument(
+        "--part-date", metavar="YYYY-MM-DD",
+        help="compare ONE part_date day only (the reference's date-keyed "
+        "compare drivers, TiDBCompareByDate.java:66-127 / "
+        "HiveCompareByDate.java); snapshot-table sides use zone-map file "
+        "pruning (SnapshotTable.read_where)",
+    )
+    ap.add_argument(
+        "--date-range", nargs=2, metavar=("FROM", "TO"),
+        help="compare an inclusive part_date range (YYYY-MM-DD x2)",
+    )
     args = ap.parse_args()
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
 
+    import datetime as _dt
+
+    date_lo = date_hi = None
+    if args.part_date and args.date_range:
+        ap.error("--part-date and --date-range are mutually exclusive")
+    if args.part_date:
+        date_lo = date_hi = _dt.date.fromisoformat(args.part_date)
+    elif args.date_range:
+        date_lo = _dt.date.fromisoformat(args.date_range[0])
+        date_hi = _dt.date.fromisoformat(args.date_range[1])
+        if date_hi < date_lo:
+            ap.error("--date-range FROM must be <= TO")
+    if date_lo is not None and args.state_dir:
+        # incremental digest state folds the FULL table's manifest diff;
+        # mixing it with a scoped read would corrupt the persisted digests
+        ap.error("--part-date/--date-range cannot combine with --state-dir")
+
     spark = get_spark("binlog-compare")
-    left, lt = _load(spark, args.left)
-    right, rt = _load(spark, args.right)
+
+    def _scoped(path: str):
+        df, tbl = _load(spark, path)
+        if date_lo is None:
+            return df, tbl
+        if tbl is not None:
+            # zone-map-pruned scoped scan; digests then derive from the
+            # plain DataFrame (bucket_digests), not the state path
+            return (
+                tbl.read_where(spark, {"part_date": (date_lo, date_hi)}),
+                None,
+            )
+        return (
+            df.filter(F.col("part_date").between(date_lo, date_hi)),
+            None,
+        )
+
+    left, lt = _scoped(args.left)
+    right, rt = _scoped(args.right)
 
     if args.values:
         # paren-aware split: the help promises SQL exprs, and those carry
@@ -123,6 +168,9 @@ def main() -> None:
         "values": values,
         "n_buckets": args.n_buckets,
     }
+    if date_lo is not None:
+        summary["date_from"] = str(date_lo)
+        summary["date_to"] = str(date_hi)
 
     ld = _digests(
         spark, left, lt,

@@ -36,12 +36,38 @@ from binlog_processer_spark.session import get_spark
 from binlog_processer_spark.storage.table import SnapshotTable
 
 
-def routed_events(spark: SparkSession, warehouse: str) -> DataFrame:
+def routed_events(
+    spark: SparkSession,
+    warehouse: str,
+    date_lo=None,
+    date_hi=None,
+    evidence: dict | None = None,
+) -> DataFrame:
     """Update-tree routed rows as change records (one row per event).
 
     Reads both storage generations: flattened ``img_tokens`` (current) and
-    the legacy ``img`` struct — the schema-evolution read path."""
-    routed = SnapshotTable(os.path.join(warehouse, "routed")).read(spark)
+    the legacy ``img`` struct — the schema-evolution read path.
+
+    ``date_lo`` / ``date_hi`` (datetime.date, inclusive) scope the read to
+    a ``part_date`` window — the reference's second compare entry point,
+    keyed by date partition rather than file (binlog-comparer
+    TiDBCompareByDate.java:66-127, HiveCompareByDate.java). The scan goes
+    through ``SnapshotTable.read_where``, so committed zone maps prune
+    out-of-range files at the manifest and the residual filter keeps the
+    result exact; ``evidence`` (if passed) receives files_total /
+    files_scanned so callers can report the pruning."""
+    tbl = SnapshotTable(os.path.join(warehouse, "routed"))
+    if date_lo is not None or date_hi is not None:
+        preds = {"part_date": (date_lo, date_hi)}
+        if evidence is not None:
+            snap = tbl.current_snapshot()
+            evidence["files_total"] = len(
+                tbl._files_rel(tbl._manifest(snap))
+            )
+            evidence["files_scanned"] = len(tbl.prune_files(preds, snap))
+        routed = tbl.read_where(spark, preds)
+    else:
+        routed = tbl.read(spark)
     tokens = (
         F.col("img_tokens")
         if "img_tokens" in routed.columns
@@ -106,6 +132,17 @@ def main() -> None:
         "verify cycle on agreeing stores terminates at digest cost",
     )
     ap.add_argument(
+        "--part-date", metavar="YYYY-MM-DD",
+        help="scope the verify to ONE part_date day (the reference's "
+        "compare-by-date entry point, TiDBCompareByDate.java:66-127); "
+        "reads only files whose zone maps may contain the day",
+    )
+    ap.add_argument(
+        "--date-range", nargs=2, metavar=("FROM", "TO"),
+        help="scope the verify to an inclusive part_date range "
+        "(YYYY-MM-DD YYYY-MM-DD); zone-map-pruned like --part-date",
+    )
+    ap.add_argument(
         "--freshness", action="store_true",
         help="publish <warehouse>/freshness — the dense per-sink daily "
         "timeline (zero-filled silent days, forward-filled watermark; "
@@ -114,8 +151,24 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import datetime as _dt
+
+    date_lo = date_hi = None
+    if args.part_date and args.date_range:
+        ap.error("--part-date and --date-range are mutually exclusive")
+    if args.part_date:
+        date_lo = date_hi = _dt.date.fromisoformat(args.part_date)
+    elif args.date_range:
+        date_lo = _dt.date.fromisoformat(args.date_range[0])
+        date_hi = _dt.date.fromisoformat(args.date_range[1])
+        if date_hi < date_lo:
+            ap.error("--date-range FROM must be <= TO")
+
     spark = get_spark("binlog-verify")
-    events = routed_events(spark, args.warehouse)
+    scope: dict = {}
+    events = routed_events(
+        spark, args.warehouse, date_lo, date_hi, evidence=scope
+    )
     from binlog_processer_spark.operators.aggregate import final_state
 
     fs = final_state(events).persist()
@@ -124,8 +177,18 @@ def main() -> None:
             replica = SnapshotTable(args.replica).read(spark)
         else:
             replica = spark.read.parquet(args.replica)
+        if date_lo is not None:
+            # scope the store side to the same day window (replica_ts is
+            # the final commit ts, which IS the update tree's part_date
+            # basis) so out-of-range store rows aren't flagged as ghosts
+            replica = replica.filter(
+                F.col("replica_ts").cast("date").between(date_lo, date_hi)
+            )
     else:
         replica = derived_replica(events, args.mutate, fs=fs)
+    if date_lo is not None:
+        scope["date_from"] = str(date_lo)
+        scope["date_to"] = str(date_hi)
 
     extra: dict = {}
     if args.antientropy:
@@ -166,7 +229,9 @@ def main() -> None:
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    print(json.dumps({"findings_total": sum(counts.values()), **counts, **extra}))
+    print(json.dumps(
+        {"findings_total": sum(counts.values()), **counts, **extra, **scope}
+    ))
     spark.stop()
 
 

@@ -404,3 +404,33 @@ def test_drop_contained_keeps_container(spark):
     assert sorted(
         r.doc_id for r in drop_contained(d2, p2).collect()
     ) == [7]
+
+
+def test_pairs_from_band_index_equals_full_lsh(spark):
+    """Deriving candidates from a persisted band relation is
+    bit-identical to the inline LSH join — the build-once/derive-many
+    equivalence dedup_source_matrix relies on."""
+    from binlog_processer_spark.operators.dedup import (
+        minhash_bands,
+        minhash_lsh_pairs,
+        pairs_from_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=8, bands=4).collect()
+    }
+    bands = minhash_bands(docs, k=8, bands=4)
+    # round-trip through parquet like a real index table
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="blp_bandix_") + "/b"
+    bands.write.parquet(path)
+    derived = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs_from_band_index(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    assert derived == full and full

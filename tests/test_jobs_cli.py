@@ -743,3 +743,69 @@ def test_verify_cli_freshness_timeline(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(wh, "freshness", "_current"))
+
+
+def test_verify_cli_date_scoped(tmp_path):
+    """--part-date / --date-range (TiDBCompareByDate.java:66-127): the
+    scoped verify reads only files whose zone maps may contain the day
+    (prune evidence in the summary) and flags in-range faults only."""
+    wh = str(tmp_path / "dwh")
+    # 15000 docs: commit_min spans the full 0..100000-minute range, so
+    # part_date covers Jan-Mar 2024 and the month-dir layout gives the
+    # zone maps date-disjoint files to prune (a smaller corpus lives
+    # entirely inside January and every file would contain the probe day)
+    _run([
+        "jobs/run_pipeline.py", "--generate", "15000", "--output", wh,
+        "--stats-columns", "part_date",
+    ])
+
+    # one January day
+    full = _run(["jobs/run_verify.py", "--warehouse", wh, "--mutate"])
+    assert full["findings_total"] > 0
+
+    day = "2024-01-05"
+    scoped = _run([
+        "jobs/run_verify.py", "--warehouse", wh, "--part-date", day,
+    ])
+    assert scoped["findings_total"] == 0  # self-check stays clean scoped
+    assert scoped["date_from"] == day and scoped["date_to"] == day
+    # zone maps prune the other months' files (files are month-dir local
+    # and part_date stats were recorded at commit)
+    assert 0 < scoped["files_scanned"] < scoped["files_total"]
+
+    scoped_mut = _run([
+        "jobs/run_verify.py", "--warehouse", wh, "--part-date", day,
+        "--mutate",
+    ])
+    # planted faults derive from the SCOPED final state: a strict subset
+    # of the full run's findings
+    assert 0 < scoped_mut["findings_total"] < full["findings_total"]
+
+    rng = _run([
+        "jobs/run_verify.py", "--warehouse", wh,
+        "--date-range", "2024-01-01", "2024-01-31", "--mutate",
+    ])
+    assert (
+        scoped_mut["findings_total"]
+        <= rng["findings_total"]
+        < full["findings_total"]
+    )
+    assert rng["files_scanned"] < rng["files_total"]
+
+
+def test_compare_cli_date_scoped(tmp_path):
+    """Scoped compare: a table agrees with itself inside any day window,
+    and the scope is echoed in the summary."""
+    wh = str(tmp_path / "cwh")
+    _run([
+        "jobs/run_pipeline.py", "--generate", "2000", "--output", wh,
+        "--stats-columns", "part_date",
+    ])
+    routed = os.path.join(wh, "routed")
+    m = _run([
+        "jobs/run_compare.py", "--left", routed, "--right", routed,
+        "--keys", "doc_id,event_seq", "--n-buckets", "64",
+        "--date-range", "2024-01-01", "2024-01-31",
+    ])
+    assert m["agree"] is True and m["suspect_buckets"] == 0
+    assert m["date_from"] == "2024-01-01" and m["date_to"] == "2024-01-31"

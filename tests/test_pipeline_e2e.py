@@ -123,3 +123,38 @@ def test_pipeline_rebalance_clustering_equivalent_fewer_files(
     assert len(b.tables["routed"].data_files()) <= len(
         a.tables["routed"].data_files()
     )
+
+
+def test_pipeline_publishes_process_report(spark, tmp_path):
+    """Every run writes <wh>/process_report (the reference's
+    t_binlog_process_report + Prometheus-counter analogue): counter rows
+    match the metrics dict, gauges are present, and a resumed rerun
+    APPENDS its own (empty-increment) report generation."""
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    rep = {
+        r["metric"]: r["value"]
+        for r in res.tables["process_report"].read(spark).collect()
+    }
+    assert rep["rows_routed"] == res.metrics["rows_routed"]
+    assert rep["rows_failed"] == res.metrics["rows_failed"]
+    assert rep["files_processed"] == res.metrics["files_processed"]
+    assert rep["trees"] == 2
+    assert rep["sinks"] > 0
+    n_r, n_f = res.metrics["rows_routed"], res.metrics["rows_failed"]
+    assert rep["quarantine_ppm"] == (n_f * 1_000_000) // (n_r // 2 + n_f)
+    assert rep["wall_ms"] > 0 and rep["rows_per_sec"] > 0
+    for phase in ("route_write", "rollup", "publish"):
+        assert f"phase_ms_{phase}" in rep
+    assert rep["routed_files"] > 0
+
+    res2 = run_pipeline(spark, _raw(spark), routing_dim(spark), out)
+    rep2 = res2.tables["process_report"].read(spark)
+    # two report generations now; the latest reports the empty increment
+    assert rep2.count() == 2 * len(rep)
+    latest_ts = rep2.agg(F.max("run_ts")).collect()[0][0]
+    latest = {
+        r["metric"]: r["value"]
+        for r in rep2.filter(F.col("run_ts") == latest_ts).collect()
+    }
+    assert latest["rows_routed"] == 0 and latest["files_processed"] == 0

@@ -412,3 +412,92 @@ def test_pq_encode_zero_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_ivfadc_encode_zero_exchange(spark):
+    """IVFADC encode = coarse assignment + residual + m argmin folds in
+    ONE map-only projection (centroids and residual codebooks ride as
+    literals) — compressing 10^12 vectors shuffles nothing."""
+    from binlog_processer_spark.operators.similarity import (
+        ivf_centroids,
+        ivfadc_books,
+        ivfadc_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = ivf_centroids(emb, 16)
+    books, dsub = ivfadc_books(emb, cent, m=32, ks=16, n_skip=16)
+    plan = (
+        ivfadc_encode(emb, cent, books, dsub)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_ivfadc_recall_beats_random(spark):
+    """Residual-ADC over 4 probed lists must be far better than chance
+    (random recall@5 over ~500 candidates is ~1%)."""
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import (
+        cosine_topk,
+        ivfadc_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    rec = topk_recall(
+        cosine_topk(emb, qids, k=5),
+        ivfadc_topk(emb, qids, k=5, n_centroids=16, n_probe=4, m=32, ks=16),
+        k=5,
+    )
+    mean_bp = rec.agg(F.avg("recall_bp")).collect()[0][0]
+    assert mean_bp >= 1000, mean_bp  # >= 10% mean recall@5
+
+
+def test_ivfadc_candidates_respect_probed_lists(spark):
+    """Every returned neighbor must live in one of its query's n_probe
+    probed inverted lists — the IVF candidate restriction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from binlog_processer_spark.operators.similarity import (
+        _sim_fp,
+        ivf_assignments,
+        ivf_centroids,
+        ivfadc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    out = ivfadc_topk(emb, qids, k=5, n_centroids=16, n_probe=4).collect()
+    cent = ivf_centroids(emb, 16)
+    asg = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in ivf_assignments(emb, cent).collect()
+    }
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _sim_fp("q_emb", "c_emb").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 4)
+        .select("query_id", "centroid_id")
+        .collect()
+    )
+    probed = {}
+    for r in probes:
+        probed.setdefault(int(r["query_id"]), set()).add(
+            int(r["centroid_id"])
+        )
+    assert out, "ivfadc returned no rows"
+    for r in out:
+        assert asg[int(r["vec_id"])] in probed[int(r["query_id"])]
