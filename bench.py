@@ -69,6 +69,10 @@ HEADLINE = [
     "privacy_k_anonymity",
     "timeline_densify",
     "ann_pq_topk",
+    "ann_ivfadc_topk",
+    "token_unigram_viterbi_stats",
+    "quality_classifier",
+    "process_report",
 ]
 
 
