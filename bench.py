@@ -887,6 +887,7 @@ def _campaign_block(
     ]
     med_adj = _median(adj) if adj else None
     n_ev = next(e["n_events"] for e in run if "n_events" in e)
+    n_docs = next(e["n_docs"] for e in run if "n_docs" in e)
 
     def _ceils(e: dict) -> str:
         # older campaigns predate the split bw/cpu ceilings
@@ -1020,6 +1021,9 @@ def _campaign_block(
             else " (CPU-pinned)" if pinned else " (unpinned, historical)"
         )
         + "\n\n"
+        f"Input this campaign: {n_docs} docs → {n_ev} events (identical\n"
+        "at both levels of every pair; campaigns may size their input\n"
+        "independently — bigger inputs amortize per-job fixed tails).\n\n"
         f"Campaign: {len(timed)} stable interleaved local[{lo}]/local[{hi}]\n"
         "pairs, each pair back-to-back inside one host window bracketed\n"
         "by bandwidth + cpu probes on BOTH sides; a pair whose host\n"
