@@ -34,16 +34,23 @@ DETERMINISTIC_METRICS = (
 )
 
 
-def process_report_df(
-    spark: SparkSession,
+REPORT_SCHEMA_DDL = "metric string, value bigint, run_ts timestamp"
+
+
+def process_report_rows(
     metrics: dict,
     routed: DataFrame | None = None,
     routed_files: int | None = None,
-) -> DataFrame:
-    """Build the one-run report relation from the pipeline's metrics
-    dict (+ one tiny aggregate over the committed routed table for the
-    sink/tree cardinalities). All values are bigint; wall times are
-    published in milliseconds so the whole table is integer-typed.
+    lineage_rows: list | None = None,
+) -> list:
+    """Build the one-run report ROWS (metric, value, run_ts) from the
+    pipeline's metrics dict. Sink/tree cardinalities come from the
+    ALREADY-COLLECTED lineage rows when the caller has them (the
+    pipeline always does — one row per file x sink, driver-tiny), so
+    the report costs zero extra scans; ``routed`` is the fallback for
+    callers without lineage (one tiny aggregate). All values are
+    bigint; wall times are published in milliseconds so the value
+    column is integer-typed.
     """
     rows: list[tuple[str, int]] = []
 
@@ -64,7 +71,13 @@ def process_report_df(
         "quarantine_ppm",
         (n_failed * 1_000_000) // denom if denom else 0,
     )
-    if routed is not None:
+    if lineage_rows is not None:
+        put(
+            "sinks",
+            len({(r["database_name"], r["table_name"]) for r in lineage_rows}),
+        )
+        put("trees", len({r["tree"] for r in lineage_rows}))
+    elif routed is not None:
         card = routed.agg(
             F.countDistinct("database_name", "table_name").alias("sinks"),
             F.countDistinct("tree").alias("trees"),
@@ -91,9 +104,31 @@ def process_report_df(
     from binlog_processer_spark.operators import _cache
 
     put("pinned_relations", len(getattr(_cache, "_PINNED", ())))
+    import datetime as _dt
+
+    ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return [(m, v, ts) for m, v in sorted(rows)]
+
+
+def process_report_df(
+    spark: SparkSession,
+    metrics: dict,
+    routed: DataFrame | None = None,
+    routed_files: int | None = None,
+    lineage_rows: list | None = None,
+) -> DataFrame:
+    """DataFrame face of ``process_report_rows`` (ad-hoc callers; the
+    pipeline itself commits the rows driver-side via
+    ``SnapshotTable.write_rows`` — no Spark job for 20 rows)."""
     return spark.createDataFrame(
-        sorted(rows), schema="metric string, value bigint"
-    ).withColumn("run_ts", F.current_timestamp())
+        process_report_rows(
+            metrics,
+            routed=routed,
+            routed_files=routed_files,
+            lineage_rows=lineage_rows,
+        ),
+        schema=REPORT_SCHEMA_DDL,
+    )
 
 
 def deterministic_view(report: DataFrame) -> DataFrame:

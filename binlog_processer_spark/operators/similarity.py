@@ -1170,24 +1170,46 @@ def ivfadc_encode(
         ).cast("int"),
     )
     ks = len(books[0])
-    out = (
+    m = len(books)
+    # ONE constant-size expression, the ivf_assignments plan-size lesson
+    # taken further: all m codebooks enter as a single 3-level literal
+    # walked by NESTED transforms (j -> c -> i), so the generated code
+    # is O(1) in m·ks·dsub. The first cut unrolled m=32 per-subspace
+    # columns (each with its own 16x2 literal matrix) and spent 17 s of
+    # the 22 s query in whole-stage-codegen COMPILATION of the unrolled
+    # function — the arithmetic itself is milliseconds. Fold order per
+    # subspace is the same sequential (acc + d*d) as _pq_d2_fp, so
+    # distances are bit-identical to the unrolled form and the oracle.
+    books_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cw) + ")"
+            for cw in book
+        ) + ")"
+        for book in books
+    ) + ")"
+    diff = (
+        f"(element_at(__r, (j - 1) * {dsub} + i)"
+        f" - element_at(element_at(element_at({books_lit}, j), c), i))"
+    )
+    d2 = (
+        f"aggregate(sequence(1, {dsub}), cast(0.0 as double),"
+        f" (acc, i) -> acc + {diff} * {diff})"
+    )
+    codes = (
+        f"transform(sequence(1, {m}), j ->"
+        f" -(array_max(transform(sequence(1, {ks}), c -> named_struct("
+        f"'s', -cast(round(({d2}) * 10000000) as bigint),"
+        " 'nc', -(c - 1)))).nc))"
+    )
+    return (
         asg.withColumn("__u", _pq_unit("embedding"))
         .withColumn("__cu", cu)
         .withColumn("__r", F.expr("zip_with(__u, __cu, (x, y) -> x - y)"))
-    )
-    code_exprs = []
-    for j, book in enumerate(books):
-        out = out.withColumn(
-            f"__d2_{j}", F.expr(_pq_d2_fp("__r", book, j * dsub, dsub))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.expr(codes).alias("codes"),
         )
-        code_exprs.append(
-            f"-(array_max(transform(sequence(1, {ks}), c -> named_struct("
-            f"'s', -element_at(__d2_{j}, c), 'nc', -(c - 1)))).nc)"
-        )
-    return out.select(
-        "vec_id",
-        "centroid_id",
-        F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
     )
 
 

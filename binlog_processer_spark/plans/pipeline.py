@@ -288,20 +288,40 @@ def run_pipeline(
         }
         # run-health report (the reference's t_binlog_process_report +
         # Prometheus counters, DBbiz.java:133-156 / PrometheusMetrics.java):
-        # one narrow metric/value snapshot per run, next to lineage. The
-        # sink/tree cardinalities reuse the already-materialized rollup
-        # scan's committed table; the write is one tiny single-file commit
-        # OUTSIDE the measured wall (it reports that wall).
-        from ..operators.report import process_report_df
+        # one narrow metric/value snapshot per run, next to lineage —
+        # zero extra scans (cardinalities fold the collected lineage
+        # rows) and one tiny single-file commit after wall_sec is
+        # stamped (it reports that wall).
+        from ..operators.report import (
+            REPORT_SCHEMA_DDL,
+            process_report_rows,
+        )
 
-        report = process_report_df(
-            spark,
+        rpt_rows = process_report_rows(
             metrics,
-            routed=committed,
             routed_files=len(tables["routed"].data_files()),
+            # sink/tree cardinalities from the rows _publish_lineage
+            # already collected — the report adds ZERO scans to the run
+            lineage_rows=lineage_rows,
         )
         rpt_tbl = SnapshotTable(os.path.join(out_dir, "process_report"))
-        rpt_tbl.write(report.coalesce(1), mode="append")
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            # driver-side single-file commit: no Spark job for 20 rows
+            rpt_tbl.write_rows(
+                rpt_rows,
+                _parse_datatype_string(REPORT_SCHEMA_DDL),
+                mode="append",
+            )
+        except ValueError:
+            # URI-rooted warehouse: fall back to the Spark write path
+            rpt_tbl.write(
+                spark.createDataFrame(
+                    rpt_rows, schema=REPORT_SCHEMA_DDL
+                ).coalesce(1),
+                mode="append",
+            )
         tables["process_report"] = rpt_tbl
         return PipelineResult(metrics=metrics, tables=tables)
     finally:

@@ -858,6 +858,96 @@ class SnapshotTable:
         self._commit(snap, expected_parent=parent)
         return snap
 
+    def write_rows(
+        self,
+        rows: list[tuple],
+        schema: StructType,
+        mode: str = "overwrite",
+        properties: dict | None = None,
+    ) -> int:
+        """Driver-side single-file commit for METADATA-SCALE tables (run
+        reports, tiny manifests): one pyarrow parquet write + the same
+        snapshot/manifest/commit path as ``write()``, bypassing the
+        Spark job a 20-row relation would otherwise pay (~2 s of
+        planning + committer overhead per call — measured on the
+        process_report write). Parquet only, unpartitioned, no
+        stats/blooms; URI-rooted tables fall back to the Spark path via
+        the caller (pyarrow writes need a local filesystem). Appends
+        enforce the same shape-compatible-schema contract as
+        ``write()``."""
+        if fsmod.is_uri(self.root):
+            raise ValueError(
+                "write_rows needs a local root; use write() for URI roots"
+            )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parent = self.current_snapshot()
+        if mode == "append" and parent is not None:
+            pm = self._manifest(parent)
+            if pm.get("format", "parquet") != "parquet":
+                raise ValueError("cannot append parquet to a non-parquet table")
+            parent_schema = StructType.fromJson(json.loads(pm["schema"]))
+
+            def _shape(s: StructType) -> list:
+                return sorted((f.name, f.dataType) for f in s.fields)
+
+            if _shape(schema) != _shape(parent_schema):
+                raise ValueError(
+                    "append schema mismatch vs committed table schema "
+                    f"in {self.root}"
+                )
+        snap, snap_dir = self._reserve_snapshot()
+        data_dir = fsmod.join(snap_dir, "data")
+        self._fs.mkdirs(data_dir)
+        # Spark-parquet-compatible arrow table: timestamps as us (what
+        # Spark's vectorized reader expects), ints as int64/int32
+        _PA = {
+            "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+            "double": pa.float64(), "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+        }
+        cols = {}
+        for i, f in enumerate(schema.fields):
+            t = _PA.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"write_rows: unsupported dtype {f.dataType.simpleString()}"
+                    " (use write() for complex schemas)"
+                )
+            cols[f.name] = pa.array([r[i] for r in rows], type=t)
+        fname = "part-00000-driver.parquet"
+        pq.write_table(
+            pa.table(cols), os.path.join(data_dir, fname)
+        )
+        sizes = self._sizes_rel(data_dir, ".parquet")
+        files = sorted(sizes)
+        data_dirs = [fsmod.rel_to(data_dir, self.root)]
+        excluded: list[str] = []
+        if mode == "append" and parent is not None:
+            pm = self._manifest(parent)
+            data_dirs = pm["data_dirs"] + data_dirs
+            files = sorted(self._files_rel(pm) + files)
+            sizes.update(pm.get("file_bytes", {}))
+            excluded = pm.get("excluded_files", [])
+        manifest = {
+            "snapshot": snap,
+            "parent": parent,
+            "mode": mode,
+            "created_ms": int(time.time() * 1000),
+            "partition_by": [],
+            "data_dirs": data_dirs,
+            "format": "parquet",
+            "files": files,
+            "file_bytes": sizes,
+            "excluded_files": excluded,
+            "schema": schema.json(),
+            "properties": properties or {},
+        }
+        self._write_manifest(snap_dir, manifest)
+        self._commit(snap, expected_parent=parent)
+        return snap
+
     def exclude_files(self, files: list[str]) -> int:
         """Metadata-only snapshot that drops the given data files from the
         table (paths absolute or root-relative) — the structural-quarantine
